@@ -1,0 +1,109 @@
+"""Command-line interface.
+
+Replaces the reference's L6 CLI (jpeg.cpp:916-929, `./a.out <image>` with no
+flags) with a batch-capable argparse CLI: multiple inputs, selectable entropy
+backend / IDCT mode / output format, optional coefficient dumps for
+conformance debugging (the reference's verbose header narration is available
+via -v).
+
+Usage:
+    python -m jpeg_decoder_tpu [options] IMAGE [IMAGE ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="jpeg_decoder_tpu",
+        description="TPU-native JPEG decoder (JAX/XLA/Pallas)",
+    )
+    p.add_argument("inputs", nargs="+", help="input JPEG file(s)")
+    p.add_argument("-o", "--output", default=None,
+                   help="output file (single input) or directory; "
+                        "default: alongside input as .png")
+    p.add_argument("--format", choices=["png", "bmp", "ppm"], default="png")
+    p.add_argument("--entropy", default="auto",
+                   choices=["auto", "python", "native", "pallas"],
+                   help="entropy-decode backend")
+    p.add_argument("--idct", default="fast", choices=["exact", "fast"],
+                   help="'exact' matches the reference C++ bit-for-bit; "
+                        "'fast' uses MXU matmuls")
+    p.add_argument("--strict", action="store_true",
+                   help="eager pixel pipeline for byte-perfect reference "
+                        "parity (slow)")
+    p.add_argument("--dump-coeffs", metavar="PREFIX", default=None,
+                   help="also dump dequantized coefficient planes as "
+                        "PREFIX.<image>.comp<i>.npy")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu, tpu)")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("--time", action="store_true", help="print per-image decode ms")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(
+        level=[logging.WARNING, logging.INFO, logging.DEBUG][min(args.verbose, 2)],
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from . import decode
+    from .io import writers
+
+    multi = len(args.inputs) > 1
+    outdir = None
+    if args.output and (multi or os.path.isdir(args.output)):
+        outdir = args.output
+        os.makedirs(outdir, exist_ok=True)
+
+    rc = 0
+    for path in args.inputs:
+        try:
+            t0 = time.perf_counter()
+            res = decode(path, entropy=args.entropy, idct=args.idct,
+                         strict=args.strict,
+                         keep_planes=args.dump_coeffs is not None)
+            dt = (time.perf_counter() - t0) * 1e3
+            base = os.path.splitext(os.path.basename(path))[0]
+            if outdir:
+                out = os.path.join(outdir, f"{base}.{args.format}")
+            elif args.output:
+                out = args.output
+            else:
+                out = os.path.join(os.path.dirname(path) or ".",
+                                   f"{base}.{args.format}")
+            try:
+                writers.write_image(out, res.rgb)
+            except PermissionError:
+                out = os.path.join(os.getcwd(), f"{base}.{args.format}")
+                writers.write_image(out, res.rgb)
+            h, w = res.rgb.shape[:2]
+            msg = f"{path}: {w}x{h} -> {out}"
+            if args.time:
+                msg += f"  ({dt:.1f} ms, {w * h / dt / 1e3:.1f} MP/s)"
+            print(msg)
+            if args.dump_coeffs is not None:
+                import numpy as np
+
+                for ci, plane in enumerate(res.dequantized_planes):
+                    np.save(f"{args.dump_coeffs}.{base}.comp{ci}.npy", plane)
+        except Exception as e:  # noqa: BLE001 — per-image isolation
+            print(f"{path}: ERROR: {e}", file=sys.stderr)
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

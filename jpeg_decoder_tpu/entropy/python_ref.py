@@ -1,0 +1,168 @@
+"""Bit-exact reference-semantics entropy decoder (pure Python + LUT).
+
+This is the correctness anchor for the whole framework: it reproduces the
+reference decode semantics (jpeg.cpp:300-446) exactly — DC differential
+coding with sign extension ``coeff -= (1<<len)-1`` (jpeg.cpp:340-343), EOB /
+ZRL run-length AC decoding (jpeg.cpp:347-401), zig-zag placement into
+natural-order blocks, restart-interval DC resets and byte alignment
+(jpeg.cpp:419-425) — but uses the O(1) 16-bit LUT probe instead of the
+reference's per-bit linear scan (jpeg.cpp:300-320), i.e. the same algorithm
+the device kernel runs.
+
+It is intentionally slow (pure Python); the production host path is the C++
+backend in :mod:`jpeg_decoder_tpu.entropy.native`, and the device path is the
+Pallas kernel in :mod:`jpeg_decoder_tpu.ops.entropy_pallas`.  All three emit
+identical coefficient planes, so backends are swappable (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..huffman import build_lut
+from ..layout import scan_layout
+from ..types import FrameHeader, JPEGError, ScanHeader, ZIGZAG
+
+_ZZ = ZIGZAG.tolist()
+
+
+class BitReader:
+    """MSB-first bit reader over unstuffed bytes (parity: BitStream,
+    file.hpp:122-165).  Reads beyond the end return zero bits."""
+
+    __slots__ = ("data", "pos", "end")
+
+    def __init__(self, data: bytes, start_byte: int = 0,
+                 end_byte: int | None = None):
+        # Pad so peek16/getbits never index out of range.
+        self.data = data + b"\x00\x00\x00\x00"
+        self.pos = start_byte * 8
+        self.end = (len(data) if end_byte is None else end_byte) * 8
+
+    def peek16(self) -> int:
+        byte = self.pos >> 3
+        bitoff = self.pos & 7
+        d = self.data
+        v = (d[byte] << 16) | (d[byte + 1] << 8) | d[byte + 2]
+        return (v >> (8 - bitoff)) & 0xFFFF
+
+    def getbits(self, n: int) -> int:
+        """Read n (<=16) bits MSB-first (parity: getBitN, file.hpp:146-158)."""
+        byte = self.pos >> 3
+        bitoff = self.pos & 7
+        d = self.data
+        v = (d[byte] << 24) | (d[byte + 1] << 16) | (d[byte + 2] << 8) | d[byte + 3]
+        self.pos += n
+        return (v >> (32 - bitoff - n)) & ((1 << n) - 1)
+
+    def align(self):
+        """Discard partial byte (parity: BitStream::align, file.hpp:159-162)."""
+        self.pos = (self.pos + 7) & ~7
+
+
+def receive_extend(value: int, size: int) -> int:
+    """JPEG sign extension, exactly as the reference computes it
+    (jpeg.cpp:340-343): values below half-range map to negatives."""
+    if size != 0 and value < (1 << (size - 1)):
+        value -= (1 << size) - 1
+    return value
+
+
+def decode_block(reader: BitReader, dc_lut, ac_lut, block, pred: int) -> int:
+    """Decode one 8x8 block into ``block`` (natural order), returning the new
+    DC predictor.  Parity: decodeMCUComponent (jpeg.cpp:322-403)."""
+    t = dc_lut[reader.peek16()]
+    length = t & 31
+    if length == 0:
+        raise JPEGError("invalid DC Huffman code")
+    reader.pos += length
+    size = t >> 5
+    if size > 11:
+        raise JPEGError("invalid DC coefficient size")
+    diff = receive_extend(reader.getbits(size), size) if size else 0
+    pred += diff
+    block[0] = pred
+
+    i = 1
+    while i < 64:
+        t = ac_lut[reader.peek16()]
+        length = t & 31
+        if length == 0:
+            raise JPEGError("invalid AC Huffman code")
+        reader.pos += length
+        sym = t >> 5
+        if sym == 0x00:  # EOB — rest of block stays zero
+            break
+        run = 16 if sym == 0xF0 else sym >> 4
+        size = sym & 0x0F
+        if i + run > 64 or (size != 0 and i + run >= 64):
+            raise JPEGError("AC run overflows block")
+        i += run
+        if size:
+            if size > 10:
+                raise JPEGError("invalid AC coefficient size")
+            block[_ZZ[i]] = receive_extend(reader.getbits(size), size)
+            i += 1
+    return pred
+
+
+def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
+    """Decode a full baseline interleaved scan to scan-order coefficients.
+
+    Returns ``(total_blocks, 64)`` int32, natural coefficient order —
+    the pre-dequantization coefficient plane.
+    """
+    layout = scan_layout(hdr)
+    comps = hdr.components
+    # LUTs as plain Python lists: ~3x faster element indexing than ndarray.
+    dc_luts = {tid: build_lut(spec).tolist()
+               for tid, spec in scan.dc_specs.items()}
+    ac_luts = {tid: build_lut(spec).tolist()
+               for tid, spec in scan.ac_specs.items()}
+
+    # Per within-MCU block: (comp index, dc_lut, ac_lut).
+    per_mcu = []
+    for ci, c in enumerate(comps):
+        for _ in range(c.v * c.h):
+            per_mcu.append((ci, dc_luts[c.td], ac_luts[c.ta]))
+
+    n_mcus = layout.n_mcus
+    bpm = layout.blocks_per_mcu
+    out = np.zeros((n_mcus * bpm, 64), dtype=np.int32)
+    out_list = out  # numpy row views are fine: few writes per block
+
+    data_bytes = scan.data.tobytes()
+    seg_offsets = scan.seg_offsets
+    n_segments = len(seg_offsets) - 1
+    ri = scan.restart_interval
+    expected_segments = -(-n_mcus // ri) if ri else 1
+    if n_segments != expected_segments:
+        raise JPEGError(
+            f"restart-segment count {n_segments} does not match DRI "
+            f"{ri} over {n_mcus} MCUs (expected {expected_segments})")
+
+    mcu = 0
+    for s in range(n_segments):
+        reader = BitReader(data_bytes, int(seg_offsets[s]), int(seg_offsets[s + 1]))
+        preds = [0] * len(comps)
+        seg_mcus = min(ri, n_mcus - mcu) if ri else n_mcus
+        for _ in range(seg_mcus):
+            base = mcu * bpm
+            for k, (ci, dc_lut, ac_lut) in enumerate(per_mcu):
+                row = out_list[base + k]
+                preds[ci] = decode_block(reader, dc_lut, ac_lut, row, preds[ci])
+            mcu += 1
+    if mcu != n_mcus:
+        raise JPEGError("scan ended before all MCUs decoded")
+    return out
+
+
+def scan_to_comp_planes(hdr: FrameHeader, scan_coefs: np.ndarray):
+    """Gather scan-order blocks into dense per-component planes
+    ``(rows_c, cols_c, 64)`` int32 (the SoA coefficient planes)."""
+    layout = scan_layout(hdr)
+    planes = []
+    for ci in range(len(hdr.components)):
+        rows, cols = layout.comp_shapes[ci]
+        planes.append(scan_coefs[layout.comp_src[ci]].reshape(rows, cols, 64))
+    return planes

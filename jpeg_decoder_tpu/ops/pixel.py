@@ -1,0 +1,226 @@
+"""Device pixel pipeline: dequantize -> 8x8 IDCT -> upsample + YCbCr->RGB.
+
+Two IDCT modes:
+
+* ``exact`` — reproduces the reference's AAN float butterfly with int32
+  truncating stores between the column and row passes (jpeg.cpp:594-753), so
+  final pixels are bit-exact with the reference decoder.  Vectorized over
+  blocks on the VPU; all ops are IEEE f32 adds/muls in the same order as the
+  C++ source.
+* ``fast`` — the orthonormal 2-D IDCT as two 8x8 contractions
+  (``M @ X @ M^T``), batched over all blocks on the MXU.  Differs from
+  ``exact`` only in last-bit rounding; conformance tests bound the deviation.
+
+Chroma upsampling: the reference does fused nearest-neighbor upsampling from
+the MCU's own chroma block (jpeg.cpp:517-520).  For sampling factors in
+{1, 2} this is exactly ``pixel[y, x] -> chroma[y // v_max, x // h_max]`` on
+global pixel coordinates (see SURVEY.md §2 #15), i.e. a plain ``jnp.repeat``.
+
+Color conversion (jpeg.cpp:521-535): R = Y + 1.402 Cr + 128, etc., computed
+in f32 and truncated toward zero on int conversion, then clamped to [0, 255].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constants (parity: reference types.hpp:5-19 — computed in f64, stored f32)
+# ---------------------------------------------------------------------------
+_M0 = np.float32(2.0 * np.cos(1.0 / 16.0 * 2.0 * np.pi))
+_M1 = np.float32(2.0 * np.cos(2.0 / 16.0 * 2.0 * np.pi))
+_M3 = _M1
+_M5 = np.float32(2.0 * np.cos(3.0 / 16.0 * 2.0 * np.pi))
+_M2 = np.float32(_M0 - _M5)
+_M4 = np.float32(_M0 + _M5)
+
+_S = [np.float32(np.cos(0.0) / np.sqrt(8.0))] + [
+    np.float32(np.cos(k / 16.0 * np.pi) / 2.0) for k in range(1, 8)
+]
+
+#: Orthonormal IDCT basis: IDCT_M[p, u] = a(u) * cos((2p+1) u pi / 16),
+#: a(0) = 1/sqrt(8), a(u>0) = 1/2.  out = M @ X @ M^T.
+IDCT_M = np.zeros((8, 8), dtype=np.float64)
+for _p in range(8):
+    for _u in range(8):
+        a = np.sqrt(1.0 / 8.0) if _u == 0 else 0.5
+        IDCT_M[_p, _u] = a * np.cos((2 * _p + 1) * _u * np.pi / 16.0)
+IDCT_M_F32 = IDCT_M.astype(np.float32)
+
+
+def dequantize(coefs: jnp.ndarray, qtable: jnp.ndarray) -> jnp.ndarray:
+    """int32 coefficient plane (..., 64) * natural-order qtable (64,).
+
+    Parity: dequantizeMCUComponent (jpeg.cpp:563-569) — plain int multiply.
+    The result is THE conformance surface: bit-exactness of this plane vs the
+    reference is asserted by the golden tests.
+    """
+    return coefs * qtable.astype(jnp.int32)
+
+
+def _aan_1d(x: jnp.ndarray) -> jnp.ndarray:
+    """One scaled-AAN 1-D IDCT pass along axis -2 of f32 input (..., 8, k).
+
+    Mirrors inverseDCTComponent's column pass (jpeg.cpp:596-663) op-for-op so
+    f32 rounding matches the reference bit-for-bit.
+    """
+    g0 = x[..., 0, :] * _S[0]
+    g1 = x[..., 4, :] * _S[4]
+    g2 = x[..., 2, :] * _S[2]
+    g3 = x[..., 6, :] * _S[6]
+    g4 = x[..., 5, :] * _S[5]
+    g5 = x[..., 1, :] * _S[1]
+    g6 = x[..., 7, :] * _S[7]
+    g7 = x[..., 3, :] * _S[3]
+
+    f4 = g4 - g7
+    f5 = g5 + g6
+    f6 = g5 - g6
+    f7 = g4 + g7
+
+    e2 = g2 - g3
+    e3 = g2 + g3
+    e5 = f5 - f7
+    e7 = f5 + f7
+    e8 = f4 + f6
+
+    d2 = e2 * _M1
+    d4 = f4 * _M2
+    d5 = e5 * _M3
+    d6 = f6 * _M4
+    d8 = e8 * _M5
+
+    c0 = g0 + g1
+    c1 = g0 - g1
+    c2 = d2 - e3
+    c3 = e3
+    c4 = d4 + d8
+    c5 = d5 + e7
+    c6 = d6 - d8
+    c7 = e7
+    c8 = c5 - c6
+
+    b0 = c0 + c3
+    b1 = c1 + c2
+    b2 = c1 - c2
+    b3 = c0 - c3
+    b4 = c4 - c8
+    b5 = c8
+    b6 = c6 - c7
+    b7 = c7
+
+    return jnp.stack(
+        [b0 + b7, b1 + b6, b2 + b5, b3 + b4,
+         b3 - b4, b2 - b5, b1 - b6, b0 - b7],
+        axis=-2,
+    )
+
+
+def idct_exact(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Bit-exact reference IDCT on int32 blocks (..., 8, 8) -> int32.
+
+    Column pass, truncate to int32 (C++ float->int truncates toward zero,
+    jpeg.cpp:655-662), then row pass, truncate again (jpeg.cpp:723-730).
+    """
+    x = blocks.astype(jnp.float32)
+    cols = _aan_1d(x).astype(jnp.int32)  # truncating store between passes
+    rows = _aan_1d(cols.astype(jnp.float32).swapaxes(-1, -2))
+    return rows.astype(jnp.int32).swapaxes(-1, -2)
+
+
+def idct_fast(blocks: jnp.ndarray) -> jnp.ndarray:
+    """MXU-batched orthonormal IDCT: out = M @ X @ M^T, rounded to int32.
+
+    Contracted as two dense matmuls over all blocks at once so XLA tiles the
+    work onto the MXU; accuracy is within +-1 of ``idct_exact`` (asserted in
+    tests/test_pixel.py).
+    """
+    m = jnp.asarray(IDCT_M_F32)
+    x = blocks.astype(jnp.float32)
+    y = jnp.einsum("pu,...uv,qv->...pq", m, x, m,
+                   preferred_element_type=jnp.float32)
+    return jnp.round(y).astype(jnp.int32)
+
+
+def blocks_to_plane(plane: jnp.ndarray) -> jnp.ndarray:
+    """(rows, cols, 64) block plane -> (rows*8, cols*8) pixel plane."""
+    rows, cols = plane.shape[0], plane.shape[1]
+    return (plane.reshape(rows, cols, 8, 8)
+                 .swapaxes(1, 2)
+                 .reshape(rows * 8, cols * 8))
+
+
+def upsample_nn(plane: jnp.ndarray, vy: int, vx: int) -> jnp.ndarray:
+    """Nearest-neighbor chroma upsampling (parity: jpeg.cpp:517-520; global
+    coordinate equivalence derived in SURVEY.md §2 #15)."""
+    if vy > 1:
+        plane = jnp.repeat(plane, vy, axis=0)
+    if vx > 1:
+        plane = jnp.repeat(plane, vx, axis=1)
+    return plane
+
+
+def ycbcr_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
+    """Color conversion with reference f32 op order and truncating int
+    conversion (jpeg.cpp:521-535).  Inputs are int32 pixel planes (pre level
+    shift); output uint8 (H, W, 3)."""
+    yf = y.astype(jnp.float32)
+    cbf = cb.astype(jnp.float32)
+    crf = cr.astype(jnp.float32)
+    r = yf + jnp.float32(1.402) * crf + jnp.float32(128.0)
+    g = yf - jnp.float32(0.344) * cbf - jnp.float32(0.714) * crf + jnp.float32(128.0)
+    b = yf + jnp.float32(1.772) * cbf + jnp.float32(128.0)
+    rgb = jnp.stack([r, g, b], axis=-1)
+    # C++ float->int conversion truncates toward zero; clamp [0, 255] after.
+    rgb = jnp.clip(rgb.astype(jnp.int32), 0, 255)
+    return rgb.astype(jnp.uint8)
+
+
+def gray_to_rgb(y: jnp.ndarray) -> jnp.ndarray:
+    v = jnp.clip(y + 128, 0, 255).astype(jnp.uint8)
+    return jnp.stack([v, v, v], axis=-1)
+
+
+def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
+                        samplings: tuple, idct: str = "exact") -> jnp.ndarray:
+    """Full pixel pipeline on per-component coefficient planes.
+
+    Args:
+      planes: tuple of (rows_c, cols_c, 64) int32 quantized-coefficient
+        planes, one per component (scan order layout from layout.py).
+      qtables: tuple of (64,) int32 natural-order quant tables per component.
+      height/width: output crop.
+      samplings: tuple of (v_repeat, h_repeat) per component — the
+        upsampling factors h_max//h_c, v_max//v_c.
+      idct: "exact" (bit-exact vs reference) or "fast" (MXU matmul).
+
+    Returns (height, width, 3) uint8 RGB.
+    """
+    idct_fn = idct_exact if idct == "exact" else idct_fast
+    pix = []
+    for plane, q, (vy, vx) in zip(planes, qtables, samplings):
+        deq = dequantize(plane, q)
+        blocks = idct_fn(deq.reshape(*deq.shape[:-1], 8, 8))
+        img = blocks_to_plane(blocks.reshape(deq.shape[0], deq.shape[1], 64))
+        pix.append(upsample_nn(img, vy, vx))
+    if len(pix) == 1:
+        rgb = gray_to_rgb(pix[0])
+    else:
+        h = min(p.shape[0] for p in pix)
+        w = min(p.shape[1] for p in pix)
+        rgb = ycbcr_to_rgb(pix[0][:h, :w], pix[1][:h, :w], pix[2][:h, :w])
+    return rgb[:height, :width]
+
+
+#: Jitted pipeline.  Note: XLA fusion may contract mul+add into FMA, which can
+#: flip the odd truncation boundary by one count vs the reference (observed:
+#: <=3 samples per megapixel, max diff 1).  For byte-perfect conformance use
+#: ``strict=True`` in decode(), which evaluates this op-by-op (eager) where
+#: every f32 op rounds individually, matching the reference C++ exactly.
+pixel_pipeline = jax.jit(
+    pixel_pipeline_impl,
+    static_argnames=("height", "width", "samplings", "idct"))
