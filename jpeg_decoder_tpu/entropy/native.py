@@ -1,0 +1,136 @@
+"""ctypes wrapper for the native C++ entropy decoder.
+
+Compiles ``native_src/jpeg_entropy.cpp`` on first use (cached in
+``.cache/native`` next to the repo root, keyed by source mtime) and exposes
+:func:`decode_scan_baseline` with the exact same signature/semantics as
+:func:`jpeg_decoder_tpu.entropy.python_ref.decode_scan_baseline` — the
+backends are swappable at the coefficient-plane boundary.
+
+The C call releases the GIL, so Python-level thread pools give image-level
+parallelism on top of the in-call segment parallelism.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..huffman import build_lut
+from ..layout import scan_layout
+from ..types import FrameHeader, JPEGError, ScanHeader
+
+_SRC = os.path.join(os.path.dirname(__file__), "native_src", "jpeg_entropy.cpp")
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".cache", "native")
+_LIB_PATH = os.path.join(_CACHE, "libjpeg_entropy.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_lut16_cache: dict[int, np.ndarray] = {}
+
+
+def _compile() -> str:
+    os.makedirs(_CACHE, exist_ok=True)
+    if (os.path.exists(_LIB_PATH)
+            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
+        return _LIB_PATH
+    tmp = _LIB_PATH + f".tmp{os.getpid()}"
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
+         "-o", tmp, _SRC],
+        check=True, capture_output=True,
+    )
+    os.replace(tmp, _LIB_PATH)
+    return _LIB_PATH
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        lib = ctypes.CDLL(_compile())
+        lib.jd_abi_version.restype = ctypes.c_int32
+        if lib.jd_abi_version() != 1:
+            raise RuntimeError("jpeg_entropy ABI mismatch")
+        lib.jd_decode_scan.restype = ctypes.c_int64
+        lib.jd_decode_scan.argtypes = [
+            ctypes.c_void_p,                    # data
+            ctypes.c_void_p, ctypes.c_int32,    # seg_offsets, n_segments
+            ctypes.c_int32,                     # n_comps
+            ctypes.c_void_p, ctypes.c_void_p,   # h, v
+            ctypes.c_void_p, ctypes.c_void_p,   # dc_luts, ac_luts (ptr arrays)
+            ctypes.c_int64, ctypes.c_int64,     # n_mcus, restart_interval
+            ctypes.c_void_p, ctypes.c_int32,    # out, n_threads
+        ]
+        _lib = lib
+    return _lib
+
+
+def _lut16(spec) -> np.ndarray:
+    """int16 LUT entry (sym<<5)|len: max (255<<5)|31 = 8191 < 2^15."""
+    key = (spec.counts.tobytes(), spec.symbols.tobytes())
+    lut = _lut16_cache.get(key)
+    if lut is None:
+        lut = build_lut(spec).astype(np.int16)
+        _lut16_cache[key] = lut
+    return lut
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
+                         n_threads: int | None = None) -> np.ndarray:
+    """Decode a full baseline interleaved scan (native backend).
+
+    Returns (total_blocks, 64) int32 scan-order natural-layout coefficients,
+    identical to the python_ref backend (asserted by tests/test_entropy.py).
+    """
+    lib = _load()
+    lay = scan_layout(hdr)
+    comps = hdr.components
+
+    data = np.concatenate([scan.data, np.zeros(8, np.uint8)])
+    seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
+    n_segments = len(seg_offsets) - 1
+    ri = scan.restart_interval
+    expected = -(-lay.n_mcus // ri) if ri else 1
+    if n_segments != expected:
+        raise JPEGError(
+            f"restart-segment count {n_segments} does not match DRI {ri}")
+
+    h = np.array([c.h for c in comps], np.int32)
+    v = np.array([c.v for c in comps], np.int32)
+    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
+    ac_luts = [_lut16(scan.ac_specs[c.ta]) for c in comps]
+    PtrArray = ctypes.c_void_p * len(comps)
+    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
+    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+
+    out = np.zeros((lay.total_blocks, 64), dtype=np.int32)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, max(1, n_segments))
+
+    rc = lib.jd_decode_scan(
+        data.ctypes.data, seg_offsets.ctypes.data, n_segments,
+        len(comps), h.ctypes.data, v.ctypes.data,
+        dc_ptrs, ac_ptrs,
+        lay.n_mcus, ri, out.ctypes.data, n_threads,
+    )
+    if rc != 0:
+        raise JPEGError(
+            f"native entropy decode failed: segment {rc >> 8}, "
+            f"error code {rc & 0xFF}")
+    return out

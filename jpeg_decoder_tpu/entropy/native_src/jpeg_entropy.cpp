@@ -1,0 +1,222 @@
+// Native host entropy decoder for jpeg_decoder_tpu.
+//
+// TPU-native equivalent of the reference's sequential Huffman stage
+// (jpeg.cpp:300-446), redesigned:
+//   * O(1) decode: peek 16 bits -> flat 2^16 LUT -> (symbol, length), instead
+//     of the reference's per-bit linear scan (jpeg.cpp:300-320).
+//   * Restart-segment parallelism: each RSTn segment is byte-aligned with DC
+//     predictors reset (jpeg.cpp:419-425), so segments decode independently
+//     across std::thread workers.
+//   * Emits scan-order natural-layout int32 blocks — the same coefficient
+//     plane the Python and Pallas backends emit (swappable stage boundary).
+//
+// Exposed as a C ABI for ctypes.  No Python.h dependency; the GIL is
+// released for the whole call.
+//
+// Build: g++ -O3 -shared -fPIC -pthread -o libjpeg_entropy.so jpeg_entropy.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+#include <atomic>
+#include <algorithm>
+
+namespace {
+
+// LUT entry: (symbol << 5) | code_length, 0 = invalid prefix.
+using LutEntry = int16_t;
+
+constexpr int kLutBits = 16;
+constexpr int kMaxComps = 4;
+
+struct CompSpec {
+  int h, v;          // sampling factors
+  const LutEntry* dc_lut;
+  const LutEntry* ac_lut;
+};
+
+// Natural-order index of the i-th zigzag coefficient (T.81 Figure A.6).
+constexpr int kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct BitReader {
+  const uint8_t* data;  // caller guarantees >= 4 readable bytes past end
+  int64_t pos;          // absolute bit position
+  int64_t end;          // end bit position (soft; reads past return 0 bits)
+
+  inline uint32_t be32() const {
+    const uint8_t* p = data + (pos >> 3);
+    return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+           (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+  }
+  inline uint32_t peek16() const {
+    return (be32() << (pos & 7)) >> 16;
+  }
+  inline uint32_t getbits(int n) {  // n in [1, 16]
+    uint32_t v = (be32() << (pos & 7)) >> (32 - n);
+    pos += n;
+    return v;
+  }
+};
+
+// JPEG sign extension, reference semantics (jpeg.cpp:340-343).
+inline int32_t extend(uint32_t value, int size) {
+  if (size != 0 && value < (1u << (size - 1)))
+    return int32_t(value) - ((1 << size) - 1);
+  return int32_t(value);
+}
+
+// Decode one 8x8 block into out[64] (natural order, pre-zeroed).
+// Returns 0 on success, nonzero error code otherwise.
+// Parity: decodeMCUComponent (jpeg.cpp:322-403).
+inline int decode_block(BitReader& br, const LutEntry* dc_lut,
+                        const LutEntry* ac_lut, int32_t* out,
+                        int32_t& pred) {
+  LutEntry t = dc_lut[br.peek16()];
+  int len = t & 31;
+  if (len == 0) return 1;  // invalid DC code
+  br.pos += len;
+  int size = t >> 5;
+  if (size > 11) return 2;  // invalid DC size (jpeg.cpp:330-334)
+  int32_t diff = size ? extend(br.getbits(size), size) : 0;
+  pred += diff;
+  out[0] = pred;
+
+  int i = 1;
+  while (i < 64) {
+    t = ac_lut[br.peek16()];
+    len = t & 31;
+    if (len == 0) return 3;  // invalid AC code
+    br.pos += len;
+    int sym = t >> 5;
+    if (sym == 0x00) break;  // EOB
+    int run = (sym == 0xF0) ? 16 : (sym >> 4);
+    int csize = sym & 0x0F;
+    if (i + run > 64 || (csize != 0 && i + run >= 64)) return 4;
+    i += run;
+    if (csize) {
+      if (csize > 10) return 5;  // jpeg.cpp:381-384
+      out[kZigzag[i]] = extend(br.getbits(csize), csize);
+      ++i;
+    }
+  }
+  return 0;
+}
+
+struct ScanJob {
+  const uint8_t* data;
+  const int64_t* seg_offsets;  // n_segments + 1 entries, bytes
+  int n_segments;
+  int n_comps;
+  CompSpec comps[kMaxComps];
+  int blocks_per_mcu;
+  // Per within-MCU block: component index.
+  int block_comp[kMaxComps * 16];
+  int64_t n_mcus;
+  int64_t restart_interval;  // MCUs per segment (0 => single segment)
+  int32_t* out;              // (n_mcus * blocks_per_mcu, 64), pre-zeroed
+};
+
+int decode_segment(const ScanJob& job, int seg) {
+  BitReader br{job.data, job.seg_offsets[seg] * 8, job.seg_offsets[seg + 1] * 8};
+  int32_t preds[kMaxComps] = {0, 0, 0, 0};
+  int64_t mcu0 = job.restart_interval ? job.restart_interval * seg : 0;
+  int64_t mcu1 = job.restart_interval
+                     ? std::min(job.n_mcus, mcu0 + job.restart_interval)
+                     : job.n_mcus;
+  for (int64_t m = mcu0; m < mcu1; ++m) {
+    int32_t* base = job.out + m * job.blocks_per_mcu * 64;
+    for (int k = 0; k < job.blocks_per_mcu; ++k) {
+      int ci = job.block_comp[k];
+      const CompSpec& c = job.comps[ci];
+      int rc = decode_block(br, c.dc_lut, c.ac_lut, base + k * 64, preds[ci]);
+      if (rc) return rc;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a full interleaved baseline scan.
+//
+// data:          unstuffed entropy bytes, padded with >= 4 trailing zeros
+// seg_offsets:   (n_segments + 1) byte offsets into data
+// n_comps:       number of frame components (interleaved scan order)
+// h, v:          per-component sampling factors
+// dc_lut, ac_lut: per-component flat 2^16 int16 LUTs ((sym<<5)|len)
+// mcus:          total MCU count; restart_interval: MCUs per segment (0=all)
+// out:           (total_blocks, 64) int32, caller-zeroed
+// n_threads:     worker threads for segment parallelism (<=1 => serial)
+//
+// Returns 0 on success; else (segment_index << 8) | error_code of the first
+// failing segment.
+int64_t jd_decode_scan(const uint8_t* data,
+                       const int64_t* seg_offsets, int32_t n_segments,
+                       int32_t n_comps,
+                       const int32_t* h, const int32_t* v,
+                       const int16_t* const* dc_luts,
+                       const int16_t* const* ac_luts,
+                       int64_t n_mcus, int64_t restart_interval,
+                       int32_t* out, int32_t n_threads) {
+  if (n_comps < 1 || n_comps > kMaxComps) return -1;
+  ScanJob job;
+  job.data = data;
+  job.seg_offsets = seg_offsets;
+  job.n_segments = n_segments;
+  job.n_comps = n_comps;
+  job.n_mcus = n_mcus;
+  job.restart_interval = restart_interval;
+  job.out = out;
+  int bpm = 0;
+  for (int ci = 0; ci < n_comps; ++ci) {
+    job.comps[ci] = CompSpec{int(h[ci]), int(v[ci]), dc_luts[ci], ac_luts[ci]};
+    for (int b = 0; b < h[ci] * v[ci]; ++b) {
+      if (bpm >= kMaxComps * 16) return -2;
+      job.block_comp[bpm++] = ci;
+    }
+  }
+  job.blocks_per_mcu = bpm;
+
+  std::atomic<int64_t> err{0};
+  if (n_threads <= 1 || n_segments <= 1) {
+    for (int s = 0; s < n_segments; ++s) {
+      int rc = decode_segment(job, s);
+      if (rc) return (int64_t(s) << 8) | rc;
+    }
+    return 0;
+  }
+
+  std::atomic<int> next{0};
+  int nt = std::min<int>(n_threads, n_segments);
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    workers.emplace_back([&]() {
+      for (;;) {
+        int s = next.fetch_add(1);
+        if (s >= job.n_segments || err.load()) return;
+        int rc = decode_segment(job, s);
+        if (rc) {
+          int64_t e = (int64_t(s) << 8) | rc;
+          int64_t zero = 0;
+          err.compare_exchange_strong(zero, e);
+          return;
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return err.load();
+}
+
+// Version/capability probe for the ctypes wrapper.
+int32_t jd_abi_version() { return 1; }
+
+}  // extern "C"

@@ -43,7 +43,8 @@ def _entropy_backend(name: str):
 
     * ``python``  — bit-exact pure-Python LUT decoder (slow; oracle grade).
     * ``native``  — multi-threaded C++ host decoder via ctypes (fast host).
-    * ``pallas``  — on-device Pallas kernel (segment-parallel).
+    * ``jax``     — on-device XLA decoder, vmapped over restart segments.
+    * ``pallas``  — on-device Pallas kernel (VMEM-resident LUTs/stream).
     * ``auto``    — native if built, else python.
     """
     if name == "python":
@@ -52,6 +53,9 @@ def _entropy_backend(name: str):
     if name == "native":
         from ..entropy import native
         return native.decode_scan_baseline
+    if name == "jax":
+        from ..ops import entropy_jax
+        return entropy_jax.decode_scan_baseline
     if name == "pallas":
         from ..ops import entropy_pallas
         return entropy_pallas.decode_scan_baseline
