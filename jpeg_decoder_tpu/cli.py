@@ -35,6 +35,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--idct", default="fast", choices=["exact", "fast"],
                    help="'exact' matches the reference C++ bit-for-bit; "
                         "'fast' uses MXU matmuls")
+    p.add_argument("--upsample", default="nn", choices=["nn", "fancy"],
+                   help="chroma upsampling: 'nn' matches the reference; "
+                        "'fancy' is libjpeg-style triangular (higher quality)")
     p.add_argument("--strict", action="store_true",
                    help="eager pixel pipeline for byte-perfect reference "
                         "parity (slow)")
@@ -73,7 +76,7 @@ def main(argv=None) -> int:
         try:
             t0 = time.perf_counter()
             res = decode(path, entropy=args.entropy, idct=args.idct,
-                         strict=args.strict,
+                         upsample=args.upsample, strict=args.strict,
                          keep_planes=args.dump_coeffs is not None)
             dt = (time.perf_counter() - t0) * 1e3
             base = os.path.splitext(os.path.basename(path))[0]

@@ -88,7 +88,7 @@ def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
 
 
 def decode(source, *, entropy: str = "auto", idct: str = "exact",
-           keep_planes: bool = False, device=None,
+           upsample: str = "nn", keep_planes: bool = False, device=None,
            strict: bool = False) -> DecodeResult:
     """Decode a JPEG from a path or bytes to RGB.
 
@@ -96,6 +96,8 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
       source: file path or bytes-like JPEG stream.
       entropy: entropy backend ("auto" | "python" | "native" | "pallas").
       idct: "exact" (reference AAN f32 semantics) or "fast" (MXU matmuls).
+      upsample: "nn" (reference nearest-neighbor parity) or "fancy"
+        (libjpeg triangular filter — higher quality, matches PIL closely).
       keep_planes: also return the coefficient planes (conformance surface).
       device: optional jax.Device to place pixel-pipeline work on.
       strict: run the pixel pipeline eagerly (no XLA fusion) so every f32 op
@@ -126,7 +128,7 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
     rgb = pipeline(
         jplanes, qtables,
         height=hdr.height, width=hdr.width,
-        samplings=samplings, idct=idct,
+        samplings=samplings, idct=idct, upsample=upsample,
     )
 
     result = DecodeResult(header=hdr, rgb=np.asarray(rgb))

@@ -164,6 +164,53 @@ def upsample_nn(plane: jnp.ndarray, vy: int, vx: int) -> jnp.ndarray:
     return plane
 
 
+def _interleave(a: jnp.ndarray, b: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Interleave two equal-shape arrays along ``axis`` (a first)."""
+    stacked = jnp.stack([a, b], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] *= 2
+    return stacked.reshape(shape)
+
+
+def upsample_fancy(plane: jnp.ndarray, vy: int, vx: int) -> jnp.ndarray:
+    """libjpeg-style 'fancy' triangular chroma upsampling (jdsample.c
+    semantics, re-derived): 3:1 triangle filter with centered sample grid.
+
+    Operates on unshifted (level-shift-free) samples: the +128 offset
+    commutes exactly through the integer rounding because 4*128 and 16*128
+    are multiples of the rounding divisors.
+
+    Capability beyond the reference (which fuses nearest-neighbor only,
+    jpeg.cpp:517-520); enables tight conformance vs PIL/libjpeg output.
+    """
+    x = plane.astype(jnp.int32)
+    if vy == 2 and vx == 2:
+        up = jnp.concatenate([x[:1], x[:-1]], axis=0)
+        down = jnp.concatenate([x[1:], x[-1:]], axis=0)
+        rows_a = 3 * x + up      # contributes to output row 2i
+        rows_b = 3 * x + down    # contributes to output row 2i+1
+        cols = _interleave(rows_a, rows_b, axis=0)  # (2r, c), 0..1020 scale
+        left = jnp.concatenate([cols[:, :1], cols[:, :-1]], axis=1)
+        right = jnp.concatenate([cols[:, 1:], cols[:, -1:]], axis=1)
+        even = (3 * cols + left + 8) >> 4
+        odd = (3 * cols + right + 7) >> 4
+        return _interleave(even, odd, axis=1)
+    out = x
+    if vy == 2:
+        up = jnp.concatenate([out[:1], out[:-1]], axis=0)
+        down = jnp.concatenate([out[1:], out[-1:]], axis=0)
+        even = (3 * out + up + 1) >> 2
+        odd = (3 * out + down + 2) >> 2
+        out = _interleave(even, odd, axis=0)
+    if vx == 2:
+        left = jnp.concatenate([out[:, :1], out[:, :-1]], axis=1)
+        right = jnp.concatenate([out[:, 1:], out[:, -1:]], axis=1)
+        even = (3 * out + left + 1) >> 2
+        odd = (3 * out + right + 2) >> 2
+        out = _interleave(even, odd, axis=1)
+    return out
+
+
 def ycbcr_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
     """Color conversion with reference f32 op order and truncating int
     conversion (jpeg.cpp:521-535).  Inputs are int32 pixel planes (pre level
@@ -186,7 +233,8 @@ def gray_to_rgb(y: jnp.ndarray) -> jnp.ndarray:
 
 
 def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
-                        samplings: tuple, idct: str = "exact") -> jnp.ndarray:
+                        samplings: tuple, idct: str = "exact",
+                        upsample: str = "nn") -> jnp.ndarray:
     """Full pixel pipeline on per-component coefficient planes.
 
     Args:
@@ -201,12 +249,13 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
     Returns (height, width, 3) uint8 RGB.
     """
     idct_fn = idct_exact if idct == "exact" else idct_fast
+    up_fn = upsample_nn if upsample == "nn" else upsample_fancy
     pix = []
     for plane, q, (vy, vx) in zip(planes, qtables, samplings):
         deq = dequantize(plane, q)
         blocks = idct_fn(deq.reshape(*deq.shape[:-1], 8, 8))
         img = blocks_to_plane(blocks.reshape(deq.shape[0], deq.shape[1], 64))
-        pix.append(upsample_nn(img, vy, vx))
+        pix.append(img if (vy, vx) == (1, 1) else up_fn(img, vy, vx))
     if len(pix) == 1:
         rgb = gray_to_rgb(pix[0])
     else:
@@ -223,4 +272,4 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
 #: every f32 op rounds individually, matching the reference C++ exactly.
 pixel_pipeline = jax.jit(
     pixel_pipeline_impl,
-    static_argnames=("height", "width", "samplings", "idct"))
+    static_argnames=("height", "width", "samplings", "idct", "upsample"))

@@ -88,3 +88,29 @@ def test_gray_to_rgb():
     assert rgb[0, 1, 0] == 255  # 127 + 128 = 255
     assert rgb[0, 2, 0] == 255  # clamped
     assert rgb[0, 0, 0] == 128
+
+
+def test_upsample_fancy_constant_field():
+    # A constant field must stay constant under triangular upsampling.
+    x = jnp.full((4, 6), 77, jnp.int32)
+    for vy, vx in [(2, 2), (1, 2), (2, 1)]:
+        up = np.asarray(P.upsample_fancy(x, vy, vx))
+        assert up.shape == (4 * vy, 6 * vx)
+        assert np.all(up == 77), (vy, vx)
+
+
+def test_upsample_fancy_h2v1_weights():
+    # Interior samples: out[2i] = (3x[i] + x[i-1] + 1) >> 2,
+    #                   out[2i+1] = (3x[i] + x[i+1] + 2) >> 2
+    x = jnp.asarray(np.array([[0, 100, 200]], np.int32))
+    up = np.asarray(P.upsample_fancy(x, 1, 2))
+    assert up.tolist() == [[0, 25, 75, 125, 175, 200]]
+
+
+def test_upsample_fancy_level_shift_commutes():
+    # The +128 level shift must commute exactly through the int rounding.
+    rng = np.random.default_rng(0)
+    x = rng.integers(-128, 128, size=(6, 8)).astype(np.int32)
+    a = np.asarray(P.upsample_fancy(jnp.asarray(x), 2, 2)) + 128
+    b = np.asarray(P.upsample_fancy(jnp.asarray(x + 128), 2, 2))
+    assert np.array_equal(a, b)
