@@ -39,8 +39,27 @@ class ScanLayout:
         return self.blocks_per_mcu * self.n_mcus
 
 
+_LAYOUT_CACHE: dict[tuple, ScanLayout] = {}
+
+
 def scan_layout(hdr: FrameHeader) -> ScanLayout:
-    """Build the layout for the frame's interleaved scan geometry."""
+    """Build the layout for the frame's interleaved scan geometry.
+
+    Cached per geometry: the index-map construction is O(total blocks) on
+    host and identical for every image with the same dims/sampling."""
+    key = (hdr.mcus_x, hdr.mcus_y,
+           tuple((c.h, c.v) for c in hdr.components))
+    cached = _LAYOUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _build_scan_layout(hdr)
+    if len(_LAYOUT_CACHE) > 256:  # bound memory on pathological workloads
+        _LAYOUT_CACHE.clear()
+    _LAYOUT_CACHE[key] = out
+    return out
+
+
+def _build_scan_layout(hdr: FrameHeader) -> ScanLayout:
     comps = hdr.components
     mcus_x, mcus_y = hdr.mcus_x, hdr.mcus_y
     n_mcus = mcus_x * mcus_y

@@ -110,26 +110,43 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
     else:
         hdr = parser.parse_file(source)
 
-    planes = decode_to_planes(hdr, entropy=entropy)
-
     qtables = tuple(
         jnp.asarray(hdr.quant_tables[c.tq].values) for c in hdr.components
     )
     samplings = tuple(
         (hdr.v_max // c.v, hdr.h_max // c.h) for c in hdr.components
     )
-    jplanes = tuple(jnp.asarray(p) for p in planes)
-    if device is not None:
-        jplanes = tuple(jax.device_put(p, device) for p in jplanes)
-        qtables = tuple(jax.device_put(q, device) for q in qtables)
 
-    pipeline = (pixel_ops.pixel_pipeline_impl if strict
-                else pixel_ops.pixel_pipeline)
-    rgb = pipeline(
-        jplanes, qtables,
-        height=hdr.height, width=hdr.width,
-        samplings=samplings, idct=idct, upsample=upsample,
-    )
+    planes = None
+    if hdr.progressive or keep_planes or strict:
+        # Conformance / multi-scan path: assemble planes on host.
+        planes = decode_to_planes(hdr, entropy=entropy)
+        jplanes = tuple(jnp.asarray(p) for p in planes)
+        if device is not None:
+            jplanes = tuple(jax.device_put(p, device) for p in jplanes)
+            qtables = tuple(jax.device_put(q, device) for q in qtables)
+        pipeline = (pixel_ops.pixel_pipeline_impl if strict
+                    else pixel_ops.pixel_pipeline)
+        rgb = pipeline(
+            jplanes, qtables,
+            height=hdr.height, width=hdr.width,
+            samplings=samplings, idct=idct, upsample=upsample,
+        )
+    else:
+        # Production path: ship scan-order blocks verbatim; plane assembly
+        # is a device-side gather inside the fused pipeline.
+        scan_coefs = _entropy_backend(entropy)(hdr, hdr.scans[0])
+        lay = layout_mod.scan_layout(hdr)
+        blocks = jnp.asarray(np.asarray(scan_coefs))
+        comp_srcs = _comp_srcs_jax(lay)
+        if device is not None:
+            blocks = jax.device_put(blocks, device)
+        rgb = pixel_ops.pixel_pipeline_from_scan(
+            blocks, qtables, comp_srcs,
+            comp_shapes=tuple(lay.comp_shapes),
+            height=hdr.height, width=hdr.width,
+            samplings=samplings, idct=idct, upsample=upsample,
+        )
 
     result = DecodeResult(header=hdr, rgb=np.asarray(rgb))
     if keep_planes:
@@ -139,6 +156,19 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
             for p, c in zip(planes, hdr.components)
         ]
     return result
+
+
+_COMP_SRC_CACHE: dict[int, tuple] = {}
+
+
+def _comp_srcs_jax(lay) -> tuple:
+    """Device-resident gather maps, uploaded once per geometry."""
+    key = id(lay)  # ScanLayout instances are cached per geometry
+    hit = _COMP_SRC_CACHE.get(key)
+    if hit is None:
+        hit = tuple(jnp.asarray(src) for src in lay.comp_src)
+        _COMP_SRC_CACHE[key] = hit
+    return hit
 
 
 def decode_to_file(source, out_path, **kw) -> DecodeResult:

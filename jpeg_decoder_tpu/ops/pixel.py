@@ -273,3 +273,21 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
 pixel_pipeline = jax.jit(
     pixel_pipeline_impl,
     static_argnames=("height", "width", "samplings", "idct", "upsample"))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample"))
+def pixel_pipeline_from_scan(blocks, qtables, comp_srcs, *,
+                             comp_shapes: tuple, height: int, width: int,
+                             samplings: tuple, idct: str = "fast",
+                             upsample: str = "fancy") -> jnp.ndarray:
+    """Pixel pipeline taking raw scan-order blocks (N, 64) int32 plus
+    per-component gather maps — plane assembly happens ON DEVICE (one gather
+    per component), so the host ships the entropy decoder's output buffer
+    verbatim.  This is the production single-image path."""
+    planes = tuple(
+        jnp.take(blocks, src, axis=0).reshape(rows, cols, 64)
+        for src, (rows, cols) in zip(comp_srcs, comp_shapes))
+    return pixel_pipeline_impl(
+        planes, qtables, height=height, width=width,
+        samplings=samplings, idct=idct, upsample=upsample)

@@ -1,0 +1,289 @@
+"""Sharded decode: shard_map over restart segments + DP over images.
+
+The reference is strictly single-threaded (SURVEY.md §2, "Parallelism");
+here segments and images are first-class parallel axes:
+
+* Entropy decode runs under ``shard_map`` over the ``seg`` mesh axis: each
+  device decodes its local shard of restart segments with the XLA decoder
+  (ops/entropy_jax) — zero cross-device traffic during the sequential hot
+  loop, because RSTn segments share no state (DC predictors reset,
+  jpeg.cpp:419-425).
+* Plane assembly (scan-order -> per-component planes) and the pixel pipeline
+  run under ``jit`` with NamedSharding annotations; XLA inserts the
+  all-to-all/all-gather collectives, which ride ICI on a real slice.
+* Image batches shard over the ``data`` axis (pure DP).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..layout import scan_layout
+from ..ops import entropy_jax, pixel as pixel_ops
+from ..types import FrameHeader, JPEGError, ScanHeader
+
+
+def _pad_to(x: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "n_comps", "max_mcus", "mesh_holder"))
+def _decode_segments_shmap(words, seg_nmcus, dc_luts, ac_luts, *,
+                           block_comp, n_comps, max_mcus, mesh_holder):
+    """shard_map-wrapped segment decode: rows of ``words`` are sharded over
+    the 'seg' mesh axis; each device runs the sequential LUT decoder on its
+    local segments only."""
+    mesh = mesh_holder.mesh
+    decoder = entropy_jax.make_segment_decoder(block_comp, n_comps, max_mcus)
+
+    def local(words_l, nmcus_l, dc, ac):
+        return jax.vmap(decoder, in_axes=(0, 0, None, None))(
+            words_l, nmcus_l, dc, ac)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P("seg", None), P("seg"), P(None, None), P(None, None)),
+        out_specs=(P("seg", None, None), P("seg")),
+        check_rep=False,
+    )(words, seg_nmcus, dc_luts, ac_luts)
+
+
+class _MeshHolder:
+    """Hashable wrapper so a Mesh can ride through jit static args."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash((tuple(self.mesh.shape.items()),
+                     tuple(d.id for d in self.mesh.devices.flat)))
+
+    def __eq__(self, other):
+        return (isinstance(other, _MeshHolder)
+                and self.mesh.shape == other.mesh.shape
+                and [d.id for d in self.mesh.devices.flat]
+                == [d.id for d in other.mesh.devices.flat])
+
+
+def decode_scan_sharded(hdr: FrameHeader, scan: ScanHeader,
+                        mesh: Mesh) -> np.ndarray:
+    """Baseline scan decode with segments sharded over mesh axis 'seg'.
+
+    Output identical to every other entropy backend (tests/test_sharding.py
+    asserts equality with python_ref).
+    """
+    words, nm, block_comp, max_mcus, lay = entropy_jax.prepare_scan(hdr, scan)
+    dc, ac = entropy_jax.luts_for_scan(hdr, scan)
+
+    n_seg_dev = mesh.shape["seg"]
+    n_segments = words.shape[0]
+    padded = -(-n_segments // n_seg_dev) * n_seg_dev
+    words_p = _pad_to(words, padded)
+    nm_p = _pad_to(nm, padded)  # padded rows: n_mcus=0 -> decode nothing
+
+    seg_sharding = NamedSharding(mesh, P("seg", None))
+    words_j = jax.device_put(jnp.asarray(words_p), seg_sharding)
+    nm_j = jax.device_put(jnp.asarray(nm_p), NamedSharding(mesh, P("seg")))
+    repl = NamedSharding(mesh, P(None, None))
+    dc_j = jax.device_put(jnp.asarray(dc), repl)
+    ac_j = jax.device_put(jnp.asarray(ac), repl)
+
+    out, err = _decode_segments_shmap(
+        words_j, nm_j, dc_j, ac_j,
+        block_comp=block_comp, n_comps=len(hdr.components),
+        max_mcus=max_mcus, mesh_holder=_MeshHolder(mesh))
+    err = np.asarray(err)[:n_segments]
+    if err.any():
+        raise JPEGError(
+            f"sharded entropy decode failed in segments "
+            f"{np.flatnonzero(err)[:8]}")
+    bpm = len(block_comp)
+    blocks = np.asarray(out).reshape(-1, 64)
+    # Strip per-segment padding: segment s contributed max_mcus*bpm rows but
+    # only its real MCUs are valid; they are contiguous at the row start.
+    ri = scan.restart_interval
+    if ri and n_segments > 1:
+        rows = []
+        nm_cum = 0
+        for s in range(n_segments):
+            take = int(nm[s]) * bpm
+            rows.append(blocks[s * max_mcus * bpm: s * max_mcus * bpm + take])
+            nm_cum += take
+        blocks = np.concatenate(rows)
+    return blocks[: lay.n_mcus * bpm]
+
+
+def decode_planes_sharded(hdr: FrameHeader, mesh: Mesh):
+    """Full-frame entropy decode (sharded) -> per-component planes."""
+    scan_coefs = decode_scan_sharded(hdr, hdr.scans[0], mesh)
+    lay = scan_layout(hdr)
+    planes = []
+    for ci in range(len(hdr.components)):
+        rows, cols = lay.comp_shapes[ci]
+        planes.append(scan_coefs[lay.comp_src[ci]].reshape(rows, cols, 64))
+    return planes
+
+
+# ---------------------------------------------------------------------------
+# Batched (DP) pixel pipeline
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "samplings", "idct", "upsample"))
+def _batched_pixel(planes, qtables, *, height, width, samplings, idct,
+                   upsample):
+    fn = functools.partial(
+        pixel_ops.pixel_pipeline_impl,
+        height=height, width=width, samplings=samplings,
+        idct=idct, upsample=upsample)
+    return jax.vmap(lambda ps: fn(ps, qtables))(planes)
+
+
+def batch_pixel_pipeline(planes_batch, qtables, hdr: FrameHeader,
+                         mesh: Mesh | None = None, *, idct="fast",
+                         upsample="fancy"):
+    """Run the pixel pipeline on a batch of same-geometry images.
+
+    ``planes_batch``: tuple of per-component arrays (B, rows, cols, 64).
+    With a mesh, the batch axis is sharded over 'data' x 'seg' (flattened) —
+    pure image-level DP.
+    """
+    samplings = tuple(
+        (hdr.v_max // c.v, hdr.h_max // c.h) for c in hdr.components)
+    planes_batch = tuple(jnp.asarray(p) for p in planes_batch)
+    qtables = tuple(jnp.asarray(q) for q in qtables)
+    if mesh is not None:
+        flat_axes = tuple(mesh.axis_names)
+        sh = NamedSharding(mesh, P(flat_axes, None, None, None))
+        planes_batch = tuple(jax.device_put(p, sh) for p in planes_batch)
+    return _batched_pixel(
+        planes_batch, qtables, height=hdr.height, width=hdr.width,
+        samplings=samplings, idct=idct, upsample=upsample)
+
+
+# ---------------------------------------------------------------------------
+# Single-jit full decode step (entropy + assembly + pixel) over a 2-D mesh
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "n_comps", "max_mcus", "comp_shapes",
+                     "samplings", "height", "width", "idct", "upsample",
+                     "mesh_holder"))
+def _full_step(words, nm, dc, ac, qtables, comp_srcs, *,
+               block_comp, n_comps, max_mcus, comp_shapes, samplings,
+               height, width, idct, upsample, mesh_holder):
+    """One compiled program: shard_map'ed entropy decode over ('seg'),
+    image batch over ('data'), plane assembly + pixel pipeline with XLA-
+    inserted collectives.
+
+    words: (B, S, W) uint32 — B images x S segments, sharded P('data','seg').
+    comp_srcs: tuple of (rows*cols,) int32 gather maps (replicated).
+    Returns (B, height, width, 3) uint8, sharded over 'data'.
+    """
+    mesh = mesh_holder.mesh
+    decoder = entropy_jax.make_segment_decoder(block_comp, n_comps, max_mcus)
+
+    def local(words_l, nm_l, dc_l, ac_l):
+        return jax.vmap(jax.vmap(decoder, in_axes=(0, 0, None, None)),
+                        in_axes=(0, 0, None, None))(words_l, nm_l, dc_l, ac_l)
+
+    blocks, err = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", "seg", None), P("data", "seg"),
+                  P(None, None), P(None, None)),
+        out_specs=(P("data", "seg", None, None), P("data", "seg")),
+        check_rep=False,
+    )(words, nm, dc, ac)
+
+    b = words.shape[0]
+    bpm = len(block_comp)
+    blocks = blocks.reshape(b, -1, 64)  # (B, S*max_mcus*bpm, 64) scan order
+
+    def pixel_one(blocks_i):
+        planes = tuple(
+            jnp.take(blocks_i, src, axis=0).reshape(rows, cols, 64)
+            for src, (rows, cols) in zip(comp_srcs, comp_shapes))
+        return pixel_ops.pixel_pipeline_impl(
+            planes, qtables, height=height, width=width,
+            samplings=samplings, idct=idct, upsample=upsample)
+
+    rgb = jax.vmap(pixel_one)(blocks)
+    return rgb, err
+
+
+def full_decode_step(hdr: FrameHeader, words_b: np.ndarray,
+                     nm_b: np.ndarray, mesh: Mesh, *, idct="fast",
+                     upsample="fancy"):
+    """Decode a batch of same-geometry images in ONE jitted step.
+
+    ``words_b``/``nm_b``: (B, S, W) uint32 / (B, S) int32 per-segment packed
+    streams (B images, S segments each, padded).  This is the multi-chip
+    "training step" equivalent: segments shard over ICI ('seg'), images over
+    DCN ('data'); plane-assembly gathers are XLA-inserted collectives.
+    """
+    scan = hdr.scans[0]
+    lay = scan_layout(hdr)
+    ri = scan.restart_interval
+    max_mcus = ri if ri else lay.n_mcus
+    block_comp = tuple(
+        ci for ci, c in enumerate(hdr.components) for _ in range(c.v * c.h))
+    dc, ac = entropy_jax.luts_for_scan(hdr, scan)
+    qtables = tuple(jnp.asarray(hdr.quant_tables[c.tq].values)
+                    for c in hdr.components)
+    samplings = tuple(
+        (hdr.v_max // c.v, hdr.h_max // c.h) for c in hdr.components)
+
+    # Gather maps from padded scan-order rows (incl. per-segment padding) to
+    # plane cells: row of (seg s, local mcu m, block k) =
+    # (s*max_mcus + m)*bpm + k.
+    bpm = len(block_comp)
+    n_seg = words_b.shape[1]
+    valid_rows = np.arange(lay.n_mcus)  # global mcu index
+    seg_of = valid_rows // max_mcus if ri else np.zeros_like(valid_rows)
+    loc_of = valid_rows - seg_of * max_mcus
+    row_of_mcu = (seg_of * max_mcus + loc_of) * bpm  # base row per mcu
+    scan_row = np.repeat(row_of_mcu, bpm) + np.tile(np.arange(bpm),
+                                                    lay.n_mcus)
+    comp_srcs = tuple(
+        jnp.asarray(scan_row[lay.comp_src[ci]].astype(np.int32))
+        for ci in range(len(hdr.components)))
+    comp_shapes = tuple(lay.comp_shapes)
+
+    # Pad batch and segment axes to mesh-divisible sizes (padded rows decode
+    # nothing: nm=0).
+    b0 = words_b.shape[0]
+    bp = -(-b0 // mesh.shape["data"]) * mesh.shape["data"]
+    sp = -(-n_seg // mesh.shape["seg"]) * mesh.shape["seg"]
+    words_b = _pad_to(_pad_to(words_b, bp, 0), sp, 1)
+    nm_b = _pad_to(_pad_to(nm_b, bp, 0), sp, 1)
+
+    data_sh = NamedSharding(mesh, P("data", "seg", None))
+    words_j = jax.device_put(jnp.asarray(words_b), data_sh)
+    nm_j = jax.device_put(jnp.asarray(nm_b),
+                          NamedSharding(mesh, P("data", "seg")))
+    repl = NamedSharding(mesh, P(None, None))
+    dc_j = jax.device_put(jnp.asarray(dc), repl)
+    ac_j = jax.device_put(jnp.asarray(ac), repl)
+
+    rgb, err = _full_step(
+        words_j, nm_j, dc_j, ac_j, qtables, comp_srcs,
+        block_comp=block_comp, n_comps=len(hdr.components),
+        max_mcus=max_mcus, comp_shapes=comp_shapes, samplings=samplings,
+        height=hdr.height, width=hdr.width, idct=idct, upsample=upsample,
+        mesh_holder=_MeshHolder(mesh))
+    return rgb[:b0], err[:b0, :n_seg]

@@ -1,0 +1,97 @@
+"""Sharding equivalence (SURVEY.md §4.3-4.4): single-device decode output ==
+N-way segment-sharded output, exactly, on an 8-virtual-device CPU mesh.
+shard_map code is identical on CPU mesh and TPU mesh."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from conftest import corpus_path
+from jpeg_decoder_tpu import decode
+from jpeg_decoder_tpu.entropy import python_ref
+from jpeg_decoder_tpu.io import parser
+from jpeg_decoder_tpu.ops import entropy_jax
+from jpeg_decoder_tpu.parallel import mesh as mesh_mod
+from jpeg_decoder_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    return mesh_mod.make_mesh((2, 4), ("data", "seg"))
+
+
+@pytest.fixture(scope="module")
+def mesh18():
+    return mesh_mod.make_mesh((1, 8), ("data", "seg"))
+
+
+def test_segment_sharded_equals_python_img4(mesh18):
+    # img4.jpg: the corpus image with DRI=100 -> 50 restart segments.
+    hdr = parser.parse_file(corpus_path("img4.jpg"))
+    ref = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
+    got = sharded.decode_scan_sharded(hdr, hdr.scans[0], mesh18)
+    assert np.array_equal(ref, got)
+
+
+def test_segment_sharded_single_segment_image(mesh18):
+    # DRI=0 image: one segment; sharded path must still be exact.
+    hdr = parser.parse_file(corpus_path("img2.jpg"))
+    ref = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
+    got = sharded.decode_scan_sharded(hdr, hdr.scans[0], mesh18)
+    assert np.array_equal(ref, got)
+
+
+def _reencode_with_restarts(path, blocks):
+    rgb = np.asarray(Image.open(path).convert("RGB"))
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG", quality=88, subsampling=2,
+                              restart_marker_blocks=blocks)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("blocks", [1, 7, 64])
+def test_synthetic_dri_variants(mesh18, blocks):
+    # Re-encode a corpus image with different restart intervals (SURVEY.md
+    # §4.3: "synthetically re-encoded DRI variants").
+    data = _reencode_with_restarts(corpus_path("img2.jpg"), blocks)
+    hdr = parser.parse(data)
+    assert hdr.restart_interval == blocks
+    ref = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
+    got = sharded.decode_scan_sharded(hdr, hdr.scans[0], mesh18)
+    assert np.array_equal(ref, got)
+
+
+def test_full_step_batch_matches_single(mesh24):
+    hdr = parser.parse_file(corpus_path("img4.jpg"))
+    words, nm, _bc, _mm, _lay = entropy_jax.prepare_scan(hdr, hdr.scans[0])
+    batch = 5  # not divisible by 'data' axis: exercises batch padding
+    rgb, err = sharded.full_decode_step(
+        hdr, np.stack([words] * batch), np.stack([nm] * batch), mesh24,
+        idct="fast", upsample="nn")
+    assert not bool(np.asarray(err).any())
+    ref = decode(corpus_path("img4.jpg"), entropy="python",
+                 idct="fast", upsample="nn").rgb
+    rgb = np.asarray(rgb)
+    assert rgb.shape[0] == batch
+    for i in range(batch):
+        assert np.array_equal(rgb[i], ref), f"batch element {i}"
+
+
+def test_batch_pixel_pipeline_dp(mesh24):
+    hdr = parser.parse_file(corpus_path("img2.jpg"))
+    from jpeg_decoder_tpu.models import decoder as dec
+
+    planes = dec.decode_to_planes(hdr, entropy="python")
+    B = 8
+    batch = tuple(np.stack([p] * B) for p in planes)
+    qtables = tuple(hdr.quant_tables[c.tq].values for c in hdr.components)
+    rgb = sharded.batch_pixel_pipeline(batch, qtables, hdr, mesh24,
+                                       idct="fast", upsample="fancy")
+    ref = decode(corpus_path("img2.jpg"), entropy="python",
+                 idct="fast", upsample="fancy").rgb
+    rgb = np.asarray(rgb)
+    assert rgb.shape == (B, hdr.height, hdr.width, 3)
+    for i in range(B):
+        assert np.array_equal(rgb[i], ref)
