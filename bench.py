@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 CORPUS_GLOB = "/root/reference/images/img*.jpg"
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", "12"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "24"))
 
 
 def log(*a):
@@ -89,14 +89,13 @@ def measure_reference_mps() -> float | None:
 
         if not oracle.available():
             return None
+        from jpeg_decoder_tpu.io import parser as _parser
+
         total_mp, total_ms = 0.0, 0.0
         for path in sorted(glob.glob(CORPUS_GLOB)):
-            d = oracle.run(path, cache=False)
-            if d.decode_ms is None:
-                return None
-            w, h = d.coeff["width"], d.coeff["height"]
-            total_mp += w * h / 1e6
-            total_ms += d.decode_ms
+            hdr = _parser.parse_file(path)
+            total_mp += hdr.width * hdr.height / 1e6
+            total_ms += oracle.time_decode(path, repeats=3)
         return total_mp / (total_ms / 1e3)
     except Exception as e:  # noqa: BLE001
         log("reference baseline measurement failed:", e)
@@ -157,11 +156,19 @@ def main() -> int:
     # under 1 MB/s, so any large fetch would measure the tunnel, not us).
     log("spot check: computing numpy reference crop...")
     expected = _numpy_reference_crop(blobs[0], 32)
-    log("spot check: fetching 32x32 crop from device...")
-    got = np.asarray(warm[0].rgb[:32, :32])
-    diff = np.abs(got.astype(int) - expected.astype(int))
-    assert diff.max() <= 2, f"bench output mismatch (max diff {diff.max()})"
-    log(f"correctness spot check passed (max diff {diff.max()})")
+    log("spot check: comparing on device (scalar fetch only)...")
+    k = warm[0].batch_index
+
+    @jax.jit
+    def _maxdiff(batch, exp):
+        crop = jax.lax.dynamic_slice(
+            batch, (k, 0, 0, 0), (1, 32, 32, 3))[0].astype(jnp.int32)
+        return jnp.max(jnp.abs(crop - exp.astype(jnp.int32)))
+
+    md = int(_maxdiff(warm[0].rgb_batch,
+                      jax.device_put(jnp.asarray(expected), dev)))
+    assert md <= 2, f"bench output mismatch (max diff {md})"
+    log(f"correctness spot check passed (max diff {md})")
 
     # ---- timed ----
     t0 = time.perf_counter()

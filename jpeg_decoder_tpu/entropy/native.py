@@ -57,7 +57,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 1:
+        if lib.jd_abi_version() != 2:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_decode_scan.restype = ctypes.c_int64
         lib.jd_decode_scan.argtypes = [
@@ -68,6 +68,19 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,   # dc_luts, ac_luts (ptr arrays)
             ctypes.c_int64, ctypes.c_int64,     # n_mcus, restart_interval
             ctypes.c_void_p, ctypes.c_int32,    # out, n_threads
+        ]
+        lib.jd_decode_scan_packed.restype = ctypes.c_int64
+        lib.jd_decode_scan_packed.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,   # dc_out, ac_out
+            ctypes.c_void_p, ctypes.c_void_p,   # esc_idx, esc_val
+            ctypes.c_int64, ctypes.c_void_p,    # esc_cap, esc_count
+            ctypes.c_int32,                     # n_threads
         ]
         _lib = lib
     return _lib
@@ -134,3 +147,64 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
             f"native entropy decode failed: segment {rc >> 8}, "
             f"error code {rc & 0xFF}")
     return out
+
+
+def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,
+                       n_threads: int | None = None):
+    """Decode straight to the packed wire format (int16 DC plane, int8 AC
+    plane, sparse escape list) — zero extra host passes.
+
+    Returns (dc16 (N,), ac8 (N, 64) int8 with [:,0]=0, esc_idx (E,) int32,
+    esc_val (E,) int16); semantics identical to
+    models.batch.pack_blocks(decode_scan_baseline(...)).
+    """
+    lib = _load()
+    lay = scan_layout(hdr)
+    comps = hdr.components
+
+    data = np.concatenate([scan.data, np.zeros(8, np.uint8)])
+    seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
+    n_segments = len(seg_offsets) - 1
+    ri = scan.restart_interval
+    expected = -(-lay.n_mcus // ri) if ri else 1
+    if n_segments != expected:
+        raise JPEGError(
+            f"restart-segment count {n_segments} does not match DRI {ri}")
+
+    h = np.array([c.h for c in comps], np.int32)
+    v = np.array([c.v for c in comps], np.int32)
+    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
+    ac_luts = [_lut16(scan.ac_specs[c.ta]) for c in comps]
+    PtrArray = ctypes.c_void_p * len(comps)
+    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
+    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+
+    n_blocks = lay.total_blocks
+    dc16 = np.empty((n_blocks,), np.int16)
+    ac8 = np.empty((n_blocks, 64), np.int8)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, max(1, n_segments))
+
+    esc_cap = max(4096, n_blocks // 2)
+    while True:
+        esc_idx = np.empty((esc_cap,), np.int32)
+        esc_val = np.empty((esc_cap,), np.int16)
+        esc_count = np.zeros((1,), np.int64)
+        rc = lib.jd_decode_scan_packed(
+            data.ctypes.data, seg_offsets.ctypes.data, n_segments,
+            len(comps), h.ctypes.data, v.ctypes.data,
+            dc_ptrs, ac_ptrs,
+            lay.n_mcus, ri,
+            dc16.ctypes.data, ac8.ctypes.data,
+            esc_idx.ctypes.data, esc_val.ctypes.data,
+            esc_cap, esc_count.ctypes.data, n_threads,
+        )
+        if rc == -3:  # escape capacity exceeded (low-quality images)
+            esc_cap *= 4
+            continue
+        if rc != 0:
+            raise JPEGError(
+                f"native packed entropy decode failed: segment {rc >> 8}, "
+                f"error code {rc & 0xFF}")
+        e = int(esc_count[0])
+        return dc16, ac8, esc_idx[:e].copy(), esc_val[:e].copy()

@@ -216,7 +216,126 @@ int64_t jd_decode_scan(const uint8_t* data,
   return err.load();
 }
 
+// Packed-wire-format decode: emits int16 DC plane + int8 AC plane + sparse
+// escape list for |AC| > 127, ready for PCIe shipping (see
+// models/batch.py pack_blocks for the format rationale).  Segment-parallel
+// like jd_decode_scan; escape sublists are appended under a mutex (order is
+// irrelevant — they feed a scatter).
+//
+// Returns 0 ok; -3 if the escape capacity was exceeded (caller retries with
+// a larger buffer); else (segment << 8) | error_code.
+int64_t jd_decode_scan_packed(const uint8_t* data,
+                              const int64_t* seg_offsets, int32_t n_segments,
+                              int32_t n_comps,
+                              const int32_t* h, const int32_t* v,
+                              const int16_t* const* dc_luts,
+                              const int16_t* const* ac_luts,
+                              int64_t n_mcus, int64_t restart_interval,
+                              int16_t* dc_out, int8_t* ac_out,
+                              int32_t* esc_idx, int16_t* esc_val,
+                              int64_t esc_cap, int64_t* esc_count,
+                              int32_t n_threads) {
+  if (n_comps < 1 || n_comps > kMaxComps) return -1;
+  ScanJob job;
+  job.data = data;
+  job.seg_offsets = seg_offsets;
+  job.n_segments = n_segments;
+  job.n_comps = n_comps;
+  job.n_mcus = n_mcus;
+  job.restart_interval = restart_interval;
+  job.out = nullptr;
+  int bpm = 0;
+  for (int ci = 0; ci < n_comps; ++ci) {
+    job.comps[ci] = CompSpec{int(h[ci]), int(v[ci]), dc_luts[ci], ac_luts[ci]};
+    for (int b = 0; b < h[ci] * v[ci]; ++b) {
+      if (bpm >= kMaxComps * 16) return -2;
+      job.block_comp[bpm++] = ci;
+    }
+  }
+  job.blocks_per_mcu = bpm;
+
+  std::atomic<int64_t> err{0};
+  std::atomic<int64_t> esc_pos{0};
+
+  auto run_seg = [&](int seg) -> int {
+    BitReader br{job.data, job.seg_offsets[seg] * 8,
+                 job.seg_offsets[seg + 1] * 8};
+    int32_t preds[kMaxComps] = {0, 0, 0, 0};
+    int64_t mcu0 = job.restart_interval ? job.restart_interval * seg : 0;
+    int64_t mcu1 = job.restart_interval
+                       ? std::min(job.n_mcus, mcu0 + job.restart_interval)
+                       : job.n_mcus;
+    std::vector<std::pair<int32_t, int16_t>> local_esc;
+    int32_t tmp[64];
+    for (int64_t m = mcu0; m < mcu1; ++m) {
+      for (int k = 0; k < job.blocks_per_mcu; ++k) {
+        int ci = job.block_comp[k];
+        const CompSpec& c = job.comps[ci];
+        std::memset(tmp, 0, sizeof(tmp));
+        int rc = decode_block(br, c.dc_lut, c.ac_lut, tmp, preds[ci]);
+        if (rc) return rc;
+        int64_t bi = m * job.blocks_per_mcu + k;
+        dc_out[bi] = int16_t(tmp[0]);
+        int8_t* ac = ac_out + bi * 64;
+        ac[0] = 0;
+        for (int i = 1; i < 64; ++i) {
+          int32_t val = tmp[i];
+          if (val < -128 || val > 127) {
+            local_esc.emplace_back(int32_t(bi * 64 + i), int16_t(val));
+            ac[i] = int8_t(val < -128 ? -128 : 127);
+          } else {
+            ac[i] = int8_t(val);
+          }
+        }
+      }
+    }
+    if (!local_esc.empty()) {
+      int64_t base = esc_pos.fetch_add(int64_t(local_esc.size()));
+      if (base + int64_t(local_esc.size()) > esc_cap) return 64;  // overflow
+      for (size_t i = 0; i < local_esc.size(); ++i) {
+        esc_idx[base + i] = local_esc[i].first;
+        esc_val[base + i] = local_esc[i].second;
+      }
+    }
+    return 0;
+  };
+
+  if (n_threads <= 1 || n_segments <= 1) {
+    for (int s = 0; s < n_segments; ++s) {
+      int rc = run_seg(s);
+      if (rc == 64) return -3;
+      if (rc) return (int64_t(s) << 8) | rc;
+    }
+    *esc_count = esc_pos.load();
+    return 0;
+  }
+
+  std::atomic<int> next{0};
+  int nt = std::min<int>(n_threads, n_segments);
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    workers.emplace_back([&]() {
+      for (;;) {
+        int s = next.fetch_add(1);
+        if (s >= job.n_segments || err.load()) return;
+        int rc = run_seg(s);
+        if (rc) {
+          int64_t e = (rc == 64) ? -3 : ((int64_t(s) << 8) | rc);
+          int64_t zero = 0;
+          err.compare_exchange_strong(zero, e);
+          return;
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  if (err.load()) return err.load();
+  *esc_count = esc_pos.load();
+  return 0;
+}
+
 // Version/capability probe for the ctypes wrapper.
-int32_t jd_abi_version() { return 1; }
+int32_t jd_abi_version() { return 2; }
 
 }  // extern "C"

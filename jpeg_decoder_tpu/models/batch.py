@@ -47,6 +47,52 @@ def _batched_from_scan(blocks_b, qtables_b, comp_srcs, *, comp_shapes,
     return jax.vmap(one)(blocks_b, qtables_b)
 
 
+def pack_blocks(blocks: np.ndarray):
+    """Compact lossless wire format for quantized coefficients.
+
+    JPEG AC coefficients rarely exceed |127|; DC values routinely do.
+    Split: DC plane as int16, AC as int8 with a sparse escape list for the
+    outliers.  ~1.9x fewer bytes over PCIe than int16 blocks.
+
+    Returns (dc16 (N,), ac8 (N, 64) with [:,0]=0, esc_idx (E,), esc_val (E,)).
+    """
+    dc16 = blocks[:, 0].astype(np.int16)
+    ac = blocks.copy()
+    ac[:, 0] = 0
+    flat = ac.reshape(-1)
+    esc_idx = np.flatnonzero((flat < -128) | (flat > 127)).astype(np.int32)
+    esc_val = flat[esc_idx].astype(np.int16)
+    ac8 = np.clip(ac, -128, 127).astype(np.int8)
+    return dc16, ac8, esc_idx, esc_val
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample"))
+def _batched_from_packed(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b,
+                         comp_srcs, *, comp_shapes, height, width,
+                         samplings, idct, upsample):
+    """Packed-wire-format batch: unpack on device, then the usual pipeline.
+
+    esc_idx_b is padded with out-of-range indices (dropped by the scatter).
+    """
+
+    def one(dc16, ac8, esc_idx, esc_val, qt):
+        n = ac8.shape[0]
+        flat = ac8.astype(jnp.int32).reshape(-1)
+        flat = flat.at[esc_idx].set(esc_val.astype(jnp.int32), mode="drop")
+        blocks = flat.reshape(n, 64)
+        blocks = blocks.at[:, 0].set(dc16.astype(jnp.int32))
+        planes = tuple(
+            jnp.take(blocks, src, axis=0).reshape(rows, cols, 64)
+            for src, (rows, cols) in zip(comp_srcs, comp_shapes))
+        qts = tuple(qt[i] for i in range(len(comp_shapes)))
+        return pixel_ops.pixel_pipeline_impl(
+            planes, qts, height=height, width=width,
+            samplings=samplings, idct=idct, upsample=upsample)
+
+    return jax.vmap(one)(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b)
+
+
 @dataclasses.dataclass
 class BatchItem:
     index: int              # position in the input list
@@ -75,6 +121,16 @@ class BatchDecoder:
         self.device = device
         self._pool = ThreadPoolExecutor(host_threads or 2)
         self._decode_scan = decoder_mod._entropy_backend(entropy)
+        # Fast path: native decoder emits the packed wire format directly.
+        self._packed_fn = None
+        if entropy in ("auto", "native"):
+            try:
+                from ..entropy import native
+
+                if native.available():
+                    self._packed_fn = native.decode_scan_packed
+            except Exception:
+                pass
 
     def _host_one(self, blob):
         hdr = parser.parse(blob)
@@ -87,11 +143,11 @@ class BatchDecoder:
             blocks = np.zeros((lay.total_blocks, 64), np.int32)
             for ci, p in enumerate(planes):
                 blocks[lay.comp_src[ci]] = p.reshape(-1, 64)
-            return hdr, blocks.astype(np.int16)
-        # int16 shipping: JPEG quantized coefficients are magnitude-bounded
-        # by 2047 (DC) / 1023 (AC), so int16 is lossless and halves H2D.
-        return hdr, np.asarray(
-            self._decode_scan(hdr, hdr.scans[0])).astype(np.int16)
+            return hdr, pack_blocks(blocks)
+        if self._packed_fn is not None:
+            return hdr, self._packed_fn(hdr, hdr.scans[0])
+        return hdr, pack_blocks(
+            np.asarray(self._decode_scan(hdr, hdr.scans[0])))
 
     def decode(self, blobs: list[bytes]) -> list[BatchItem]:
         """Decode a list of JPEG byte strings; returns device-resident RGB
@@ -115,13 +171,28 @@ class BatchDecoder:
             groups.setdefault(key, []).append(i)
 
         results: list[BatchItem | None] = [None] * len(blobs)
-        for key, idxs in groups.items():
+
+        def run_group(key_idxs):
+            key, idxs = key_idxs
             hdr0 = host_out[idxs[0]][0]
             lay = layout_mod.scan_layout(hdr0)
             comp_srcs = decoder_mod._comp_srcs_jax(lay)
             samplings = tuple((hdr0.v_max // c.v, hdr0.h_max // c.h)
                               for c in hdr0.components)
-            blocks_b = np.stack([host_out[i][1] for i in idxs])
+            packs = [host_out[i][1] for i in idxs]
+            dc_b = np.stack([p[0] for p in packs])
+            ac_b = np.stack([p[1] for p in packs])
+            n_coef = ac_b.shape[1] * 64
+            # Escape lists are ragged: pad each to the group max (bucketed
+            # to a power of two) with out-of-range indices, dropped by the
+            # device-side scatter.
+            emax = max(1, max(len(p[2]) for p in packs))
+            emax = 1 << (emax - 1).bit_length()
+            ei_b = np.full((len(packs), emax), n_coef, np.int32)
+            ev_b = np.zeros((len(packs), emax), np.int16)
+            for k, p in enumerate(packs):
+                ei_b[k, :len(p[2])] = p[2]
+                ev_b[k, :len(p[3])] = p[3]
             qtables_b = np.stack([
                 np.stack([host_out[i][0].quant_tables[c.tq].values
                           for c in host_out[i][0].components])
@@ -131,18 +202,19 @@ class BatchDecoder:
             b0 = len(idxs)
             bp = 1 << (b0 - 1).bit_length()
             if bp != b0:
-                pad = [(0, bp - b0)] + [(0, 0)] * (blocks_b.ndim - 1)
-                blocks_b = np.pad(blocks_b, pad)
+                def padb(x, fill=0):
+                    w = [(0, bp - b0)] + [(0, 0)] * (x.ndim - 1)
+                    return np.pad(x, w, constant_values=fill)
+                dc_b, ac_b, ev_b = padb(dc_b), padb(ac_b), padb(ev_b)
+                ei_b = padb(ei_b, fill=n_coef)
                 qtables_b = np.pad(
-                    qtables_b, [(0, bp - b0), (0, 0), (0, 0)],
-                    mode="edge")
-            blocks_j = jnp.asarray(blocks_b)
-            qt_j = jnp.asarray(qtables_b)
+                    qtables_b, [(0, bp - b0), (0, 0), (0, 0)], mode="edge")
+            arrs = [jnp.asarray(x) for x in (dc_b, ac_b, ei_b, ev_b,
+                                             qtables_b)]
             if self.device is not None:
-                blocks_j = jax.device_put(blocks_j, self.device)
-                qt_j = jax.device_put(qt_j, self.device)
-            rgb_b = _batched_from_scan(
-                blocks_j, qt_j, comp_srcs,
+                arrs = [jax.device_put(x, self.device) for x in arrs]
+            rgb_b = _batched_from_packed(
+                *arrs, comp_srcs,
                 comp_shapes=tuple(lay.comp_shapes),
                 height=hdr0.height, width=hdr0.width,
                 samplings=samplings, idct=self.idct, upsample=self.upsample)
@@ -152,7 +224,15 @@ class BatchDecoder:
             if debug:
                 print(f"[batch] group {key}: B={len(idxs)} "
                       f"{time.perf_counter()-t0:.3f}s", flush=True)
-                t0 = time.perf_counter()
+
+        # Groups run on a small thread pool: H2D transfers for one group
+        # overlap the previous group's dispatch (jax dispatch is
+        # thread-safe; per-group results land in disjoint slots).
+        if len(groups) > 1:
+            list(self._pool.map(run_group, groups.items()))
+        else:
+            for kv in groups.items():
+                run_group(kv)
         return results  # type: ignore[return-value]
 
 

@@ -67,6 +67,7 @@ _TIMER_REPORT = r"""
     {
       auto _t1 = std::chrono::steady_clock::now();
       double _ms = std::chrono::duration<double, std::milli>(_t1 - _t0).count();
+      fprintf(stderr, "DECODE_MS %f\n", _ms);
       const char *prefix = getenv("DUMP_PREFIX");
       if (prefix) {
         std::string path = std::string(prefix) + ".time.txt";
@@ -168,6 +169,26 @@ class OracleDump:
                     .transpose(0, 3, 1, 4, 2)
                     .reshape(mhr * 8, mwr * 8, 3))
         return img[: d["height"], : d["width"]].astype(np.uint8)
+
+
+def time_decode(image_path: str, repeats: int = 3) -> float:
+    """Best-of-N wall time (ms) of the reference's process_image_data, with
+    plane dumps DISABLED (the dump write would otherwise sit inside the
+    timed window and inflate the reference's time)."""
+    binary = build()
+    env = dict(os.environ)
+    env.pop("DUMP_PREFIX", None)
+    best = None
+    for _ in range(repeats):
+        proc = subprocess.run([binary, image_path], env=env, check=True,
+                              capture_output=True, timeout=300, text=True)
+        for line in proc.stderr.splitlines():
+            if line.startswith("DECODE_MS"):
+                ms = float(line.split()[1])
+                best = ms if best is None else min(best, ms)
+    if best is None:
+        raise RuntimeError("oracle produced no DECODE_MS line")
+    return best
 
 
 def run(image_path: str, cache: bool = True) -> OracleDump:
