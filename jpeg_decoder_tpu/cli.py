@@ -32,7 +32,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--entropy", default="auto",
                    choices=["auto", "python", "native", "jax", "pallas"],
                    help="entropy-decode backend")
-    p.add_argument("--idct", default="fast", choices=["exact", "fast"],
+    p.add_argument("--idct", default="fast",
+                   choices=["exact", "fast", "kron", "pallas"],
                    help="'exact' matches the reference C++ bit-for-bit; "
                         "'fast' uses MXU matmuls")
     p.add_argument("--upsample", default="nn", choices=["nn", "fancy"],

@@ -95,7 +95,10 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
     Args:
       source: file path or bytes-like JPEG stream.
       entropy: entropy backend ("auto" | "python" | "native" | "pallas").
-      idct: "exact" (reference AAN f32 semantics) or "fast" (MXU matmuls).
+      idct: "exact" (reference AAN f32 semantics), "fast" (MXU einsum),
+        "kron" (fused dequant+IDCT as one MXU matmul), or "pallas" (the
+        Pallas kernel form of "kron"; TPU only — mapped to "kron"
+        elsewhere).
       upsample: "nn" (reference nearest-neighbor parity) or "fancy"
         (libjpeg triangular filter — higher quality, matches PIL closely).
       keep_planes: also return the coefficient planes (conformance surface).
@@ -109,6 +112,9 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
         hdr = parser.parse(source)
     else:
         hdr = parser.parse_file(source)
+
+    if idct == "pallas" and jax.default_backend() != "tpu":
+        idct = "kron"  # Pallas kernel is TPU-only; same arithmetic
 
     qtables = tuple(
         jnp.asarray(hdr.quant_tables[c.tq].values) for c in hdr.components

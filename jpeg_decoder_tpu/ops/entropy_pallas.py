@@ -1,0 +1,228 @@
+"""Pallas TPU kernel for Huffman entropy decode (segment-grid variant).
+
+Same algorithm as :mod:`jpeg_decoder_tpu.ops.entropy_jax` (16-bit LUT probe,
+one-hot zig-zag accumulation, DC predictor carry, per-segment independence)
+but expressed as a Pallas kernel so the 2^16 decode LUTs and the packed
+bitstream words are VMEM-resident: every probe is an on-chip dynamic slice
+instead of an XLA gather through HBM.
+
+Grid: one program per restart segment.  Output blocks live in a VMEM tile
+per segment, so this kernel targets restart-interval streams (the sharding-
+friendly case); DRI=0 whole-image streams fall back to entropy_jax (their
+single segment has no parallelism to exploit anyway, and its output tile
+would exceed VMEM).
+
+The kernel is validated bit-exactly against entropy.python_ref in interpret
+mode (tests/test_entropy_pallas.py) and on hardware via the tpu marker.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import FrameHeader, JPEGError, ScanHeader, ZIGZAG_INV
+from . import entropy_jax
+
+# VMEM budget for one segment's output tile (blocks * 64 * 4B).
+_MAX_TILE_BYTES = 2 * 1024 * 1024
+
+
+def _peek16(words_ref, pos):
+    w = (pos >> 5).astype(jnp.int32)
+    off = (pos & 31).astype(jnp.uint32)
+    w0 = words_ref[0, 0, w]
+    w1 = words_ref[0, 0, w + 1]
+    hi = jnp.where(off == 0, w0,
+                   (w0 << off) | (w1 >> (32 - jnp.maximum(off, 1))))
+    return (hi >> 16).astype(jnp.int32)
+
+
+def _extend(value, size):
+    value = value.astype(jnp.int32)
+    half = jnp.where(size > 0, 1 << jnp.maximum(size - 1, 0), 0)
+    return jnp.where((size > 0) & (value < half),
+                     value - ((1 << size) - 1), value)
+
+
+def _decode_block(words_ref, lut_ref, ci, pos, pred, err):
+    """One 8x8 block; LUT rows: lut_ref[2*ci] = DC, lut_ref[2*ci+1] = AC.
+    Returns (pos, pred, block_zz (64,), err)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (64,), 0)
+
+    entry = lut_ref[2 * ci, _peek16(words_ref, pos)]
+    length = (entry & 31).astype(jnp.uint32)
+    size = (entry >> 5).astype(jnp.uint32)
+    err = err | (entry == 0) | (size > 11)
+    pos = pos + length
+    raw = (_peek16(words_ref, pos).astype(jnp.uint32) >> (16 - size)
+           ).astype(jnp.int32)
+    pos = pos + size
+    pred = pred + _extend(raw, size.astype(jnp.int32))
+    block = jnp.where(lane == 0, pred, 0)
+
+    def cond(c):
+        _pos, i, _blk, done, _err = c
+        return jnp.logical_not(done) & (i < 64)
+
+    def body(c):
+        pos, i, blk, done, err = c
+        entry = lut_ref[2 * ci + 1, _peek16(words_ref, pos)]
+        length = (entry & 31).astype(jnp.uint32)
+        sym = entry >> 5
+        err = err | (entry == 0)
+        pos = pos + length
+        is_eob = sym == 0x00
+        run = jnp.where(sym == 0xF0, 16, sym >> 4)
+        csize = (sym & 0x0F).astype(jnp.uint32)
+        i_new = i + run
+        overflow = (i_new > 64) | ((csize > 0) & (i_new >= 64)) | (csize > 10)
+        err = err | (~is_eob & overflow)
+        raw = (_peek16(words_ref, pos).astype(jnp.uint32) >> (16 - csize)
+               ).astype(jnp.int32)
+        pos = pos + csize
+        coeff = _extend(raw, csize.astype(jnp.int32))
+        write = (~is_eob) & (csize > 0) & (~overflow)
+        idx = jnp.clip(i_new, 0, 63)
+        blk = blk + jnp.where(write & (lane == idx), coeff, 0)
+        i_next = jnp.where(is_eob, 64, jnp.where(write, i_new + 1, i_new))
+        return (pos, i_next, blk, done | is_eob, err)
+
+    pos, _, block, _, err = jax.lax.while_loop(
+        cond, body, (pos, jnp.int32(1), block, jnp.bool_(False), err))
+    return pos, pred, block, err
+
+
+def _segment_body(block_comp, n_comps, max_mcus, n_mcus,
+                  words_ref, lut_ref, out_ref):
+    """Decode one segment into out_ref (zig-zag de-permuted rows);
+    returns the error flag."""
+    import jax.experimental.pallas as pl
+
+    bpm = len(block_comp)
+
+    def mcu_body(m, carry):
+        # DC predictors are a tuple of scalars (Mosaic cannot lower the
+        # scatter a traced .at[i].set on a vector would emit).
+        pos, preds, err = carry[0], list(carry[1:1 + n_comps]), carry[-1]
+
+        def do(carry):
+            pos, preds, err = carry[0], list(carry[1:1 + n_comps]), carry[-1]
+            for k, ci in enumerate(block_comp):
+                pos, pred, blk, err = _decode_block(
+                    words_ref, lut_ref, ci, pos, preds[ci], err)
+                preds[ci] = pred
+                # Rows are written in ZIG-ZAG order; the caller applies the
+                # static de-zigzag permutation on the whole output (keeps
+                # the kernel free of captured constants).
+                out_ref[0, pl.ds(m * bpm + k, 1), :] = blk[None, :]
+            return (pos, *preds, err)
+
+        return jax.lax.cond(m < n_mcus, do, lambda c: c,
+                            (pos, *preds, err))
+
+    init = (jnp.uint32(0),) + tuple(
+        jnp.int32(0) for _ in range(n_comps)) + (jnp.bool_(False),)
+    final = jax.lax.fori_loop(0, max_mcus, mcu_body, init)
+    return final[-1]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "block_comp", "n_comps", "max_mcus", "interpret"))
+def decode_segments_pallas(words, seg_nmcus, luts, *,
+                           block_comp: tuple[int, ...], n_comps: int,
+                           max_mcus: int, interpret: bool = False):
+    """(n_segments, seg_words) uint32 + (2*n_comps, 65536) int32 LUTs ->
+    ((n_segments, max_mcus*bpm, 64) int32 natural order, (n_segments,) err).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_segments, seg_words = words.shape
+    # Mosaic requires the last two block dims to divide (8, 128) or equal
+    # the array dims; a (n_seg, 1, W) layout with (1, 1, W) blocks does.
+    words = words.reshape(n_segments, 1, seg_words)
+    bpm = len(block_comp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_segments,),
+        in_specs=[
+            pl.BlockSpec((1, 1, seg_words), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n_comps, 1 << 16), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, max_mcus * bpm, 64), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # Whole-array SMEM block: each grid step writes its own row
+            # (per-block specs of width 1 violate Mosaic's tiling rule).
+            pl.BlockSpec((n_segments, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+    )
+
+    def kernel(nmcus_all_ref, words_ref, lut_ref, out_ref, err_ref):
+        seg = pl.program_id(0)
+        n_mcus = nmcus_all_ref[seg]
+        err = _segment_body(block_comp, n_comps, max_mcus, n_mcus,
+                            words_ref, lut_ref, out_ref)
+        err_ref[seg, 0] = err.astype(jnp.int32)
+
+    out, err = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_segments, max_mcus * bpm, 64), jnp.int32),
+            jax.ShapeDtypeStruct((n_segments, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(seg_nmcus, words, luts)
+    out = jnp.take(out, jnp.asarray(ZIGZAG_INV), axis=2)
+    return out, err[:, 0]
+
+
+def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
+                         interpret: bool | None = None) -> np.ndarray:
+    """Common-backend-signature wrapper (see models.decoder backends).
+
+    Falls back to the XLA decoder for streams whose per-segment output tile
+    exceeds the VMEM budget (DRI=0 whole-image scans).
+    """
+    words, nm, block_comp, max_mcus, lay = entropy_jax.prepare_scan(hdr, scan)
+    bpm = len(block_comp)
+    tile_bytes = max_mcus * bpm * 64 * 4
+    if tile_bytes > _MAX_TILE_BYTES:
+        return entropy_jax.decode_scan_baseline(hdr, scan)
+    dc, ac = entropy_jax.luts_for_scan(hdr, scan)
+    luts = np.empty((2 * len(hdr.components), 1 << 16), np.int32)
+    for ci in range(len(hdr.components)):
+        luts[2 * ci] = dc[ci]
+        luts[2 * ci + 1] = ac[ci]
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    try:
+        out, err = decode_segments_pallas(
+            jnp.asarray(words), jnp.asarray(nm), jnp.asarray(luts),
+            block_comp=block_comp, n_comps=len(hdr.components),
+            max_mcus=max_mcus, interpret=interpret)
+    except Exception as e:  # noqa: BLE001
+        # The Mosaic TPU lowering of this kernel hits an internal compiler
+        # error on jax 0.9.0 (scalar-heavy while loops with dynamic VMEM
+        # lane indexing); the algorithm is identical to the XLA decoder, so
+        # fall back rather than fail the decode.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pallas entropy kernel unavailable (%s); falling back to the "
+            "XLA segment decoder", type(e).__name__)
+        return entropy_jax.decode_scan_baseline(hdr, scan)
+    if bool(np.asarray(err).any()):
+        bad = np.flatnonzero(np.asarray(err))
+        raise JPEGError(
+            f"pallas entropy decode failed in segments {bad[:8]}")
+    out = np.asarray(out).reshape(-1, 64)
+    return out[: lay.n_mcus * bpm]

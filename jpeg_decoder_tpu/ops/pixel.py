@@ -248,13 +248,25 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
 
     Returns (height, width, 3) uint8 RGB.
     """
-    idct_fn = idct_exact if idct == "exact" else idct_fast
     up_fn = upsample_nn if upsample == "nn" else upsample_fancy
     pix = []
     for plane, q, (vy, vx) in zip(planes, qtables, samplings):
-        deq = dequantize(plane, q)
-        blocks = idct_fn(deq.reshape(*deq.shape[:-1], 8, 8))
-        img = blocks_to_plane(blocks.reshape(deq.shape[0], deq.shape[1], 64))
+        rows, cols = plane.shape[0], plane.shape[1]
+        if idct in ("kron", "pallas"):
+            # Fused dequant+IDCT as one (N, 64) @ (64, 64) MXU matmul
+            # (Kronecker form; see ops/idct_pallas.py) — XLA ("kron") or
+            # the Pallas kernel ("pallas", TPU only).
+            from . import idct_pallas
+
+            fn = (idct_pallas.idct_kron if idct == "kron"
+                  else idct_pallas.fused_dequant_idct)
+            out = fn(plane.reshape(rows * cols, 64), q)
+            img = blocks_to_plane(out.reshape(rows, cols, 64))
+        else:
+            idct_fn = idct_exact if idct == "exact" else idct_fast
+            deq = dequantize(plane, q)
+            blocks = idct_fn(deq.reshape(*deq.shape[:-1], 8, 8))
+            img = blocks_to_plane(blocks.reshape(rows, cols, 64))
         pix.append(img if (vy, vx) == (1, 1) else up_fn(img, vy, vx))
     if len(pix) == 1:
         rgb = gray_to_rgb(pix[0])

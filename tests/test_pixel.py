@@ -114,3 +114,14 @@ def test_upsample_fancy_level_shift_commutes():
     a = np.asarray(P.upsample_fancy(jnp.asarray(x), 2, 2)) + 128
     b = np.asarray(P.upsample_fancy(jnp.asarray(x + 128), 2, 2))
     assert np.array_equal(a, b)
+
+
+def test_pixel_pipeline_idct_kron_mode():
+    # Full pipeline with the fused Kronecker IDCT must track "fast" closely.
+    from jpeg_decoder_tpu import decode
+
+    a = decode("/root/reference/images/img2.jpg", entropy="python",
+               idct="fast", upsample="fancy").rgb
+    b = decode("/root/reference/images/img2.jpg", entropy="python",
+               idct="kron", upsample="fancy").rgb
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
