@@ -47,17 +47,25 @@ def build_argparser() -> argparse.ArgumentParser:
                         "PREFIX.<image>.comp<i>.npy")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu, tpu)")
-    p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("-v", "--verbose", action="count", default=0,
+                   help="-v: summary; -vv: full header narration "
+                        "(tables, scans) like the reference's verbose dumps")
     p.add_argument("--time", action="store_true", help="print per-image decode ms")
+    p.add_argument("--profile", metavar="LOGDIR", default=None,
+                   help="capture a jax.profiler trace of the decode(s)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip inputs whose output file already exists "
+                        "(restartable batch decode)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
-    logging.basicConfig(
-        level=[logging.WARNING, logging.INFO, logging.DEBUG][min(args.verbose, 2)],
-        format="%(levelname)s %(name)s: %(message)s",
-    )
+    logging.basicConfig(level=logging.WARNING,
+                        format="%(levelname)s %(name)s: %(message)s")
+    # Scope verbosity to our logger: root DEBUG would flood with jax internals.
+    logging.getLogger("jpeg_decoder_tpu").setLevel(
+        [logging.WARNING, logging.INFO, logging.DEBUG][min(args.verbose, 2)])
     if args.platform:
         import jax
 
@@ -65,6 +73,16 @@ def main(argv=None) -> int:
 
     from . import decode
     from .io import writers
+    from .utils import logging as jd_logging
+    from .utils.profiling import StageTimer
+
+    timer = StageTimer()
+    profile_cm = None
+    if args.profile:
+        from .utils.profiling import device_trace
+
+        profile_cm = device_trace(args.profile)
+        profile_cm.__enter__()
 
     multi = len(args.inputs) > 1
     outdir = None
@@ -73,13 +91,9 @@ def main(argv=None) -> int:
         os.makedirs(outdir, exist_ok=True)
 
     rc = 0
+    total_mp = 0.0
     for path in args.inputs:
         try:
-            t0 = time.perf_counter()
-            res = decode(path, entropy=args.entropy, idct=args.idct,
-                         upsample=args.upsample, strict=args.strict,
-                         keep_planes=args.dump_coeffs is not None)
-            dt = (time.perf_counter() - t0) * 1e3
             base = os.path.splitext(os.path.basename(path))[0]
             if outdir:
                 out = os.path.join(outdir, f"{base}.{args.format}")
@@ -88,6 +102,18 @@ def main(argv=None) -> int:
             else:
                 out = os.path.join(os.path.dirname(path) or ".",
                                    f"{base}.{args.format}")
+            if args.resume and os.path.exists(out):
+                print(f"{path}: exists, skipped ({out})")
+                continue
+            t0 = time.perf_counter()
+            with timer.stage("decode"):
+                res = decode(path, entropy=args.entropy, idct=args.idct,
+                             upsample=args.upsample, strict=args.strict,
+                             keep_planes=args.dump_coeffs is not None)
+            if args.verbose:
+                jd_logging.log_header(res.header)
+            total_mp += res.rgb.shape[0] * res.rgb.shape[1] / 1e6
+            dt = (time.perf_counter() - t0) * 1e3
             try:
                 writers.write_image(out, res.rgb)
             except PermissionError:
@@ -106,6 +132,10 @@ def main(argv=None) -> int:
         except Exception as e:  # noqa: BLE001 — per-image isolation
             print(f"{path}: ERROR: {e}", file=sys.stderr)
             rc = 1
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
+    if args.time and total_mp:
+        print(timer.report(megapixels=total_mp), file=sys.stderr)
     return rc
 
 

@@ -96,9 +96,14 @@ def _batched_from_packed(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b,
 @dataclasses.dataclass
 class BatchItem:
     index: int              # position in the input list
-    header: FrameHeader
-    rgb_batch: jax.Array    # (B, H, W, 3) uint8 group output, device-resident
+    header: FrameHeader | None
+    rgb_batch: jax.Array | None  # (B, H, W, 3) uint8 group output (device)
     batch_index: int        # this image's row in rgb_batch
+    error: Exception | None = None  # per-image failure isolation
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None
 
     @property
     def rgb(self) -> jax.Array:
@@ -133,6 +138,15 @@ class BatchDecoder:
                 pass
 
     def _host_one(self, blob):
+        """Host stage with per-image failure isolation: one malformed image
+        must not fail the batch (unlike the reference's exit(1) policy,
+        SURVEY.md §5)."""
+        try:
+            return self._host_one_inner(blob)
+        except Exception as e:  # noqa: BLE001
+            return e, None
+
+    def _host_one_inner(self, blob):
         hdr = parser.parse(blob)
         if hdr.progressive:
             from ..entropy import progressive
@@ -165,12 +179,15 @@ class BatchDecoder:
 
         # Group by geometry (and table-independent pipeline signature).
         groups: dict[tuple, list[int]] = {}
+        results: list[BatchItem | None] = [None] * len(blobs)
         for i, (hdr, _) in enumerate(host_out):
+            if isinstance(hdr, Exception):
+                results[i] = BatchItem(index=i, header=None, rgb_batch=None,
+                                       batch_index=-1, error=hdr)
+                continue
             key = (hdr.width, hdr.height,
                    tuple((c.h, c.v) for c in hdr.components))
             groups.setdefault(key, []).append(i)
-
-        results: list[BatchItem | None] = [None] * len(blobs)
 
         def run_group(key_idxs):
             key, idxs = key_idxs

@@ -1,0 +1,37 @@
+"""Decode configuration.
+
+Replaces the reference's ``argv[1]``-only configuration (jpeg.cpp:918-922)
+and its compile-time ``t_count`` knob (display.hpp:74) with a dataclass
+shared by the CLI, the single-image decoder, and the batch/sharded paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Knobs for a decode pipeline instance."""
+
+    entropy: str = "auto"      # auto | python | native | jax | pallas
+    idct: str = "fast"         # exact | fast | kron | pallas
+    upsample: str = "fancy"    # nn | fancy
+    strict: bool = False       # eager pixel pipeline (bit-exact vs reference)
+    host_threads: int | None = None
+    # Mesh geometry for sharded decode: (data, seg) axis sizes; None = no
+    # sharding (single device).
+    mesh_shape: tuple[int, int] | None = None
+
+    def validate(self) -> "DecodeConfig":
+        if self.entropy not in ("auto", "python", "native", "jax", "pallas"):
+            raise ValueError(f"bad entropy backend {self.entropy!r}")
+        if self.idct not in ("exact", "fast", "kron", "pallas"):
+            raise ValueError(f"bad idct mode {self.idct!r}")
+        if self.upsample not in ("nn", "fancy"):
+            raise ValueError(f"bad upsample mode {self.upsample!r}")
+        return self
+
+    def decode_kwargs(self) -> dict:
+        return dict(entropy=self.entropy, idct=self.idct,
+                    upsample=self.upsample, strict=self.strict)
