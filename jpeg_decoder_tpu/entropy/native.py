@@ -57,7 +57,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 2:
+        if lib.jd_abi_version() != 3:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_decode_scan.restype = ctypes.c_int64
         lib.jd_decode_scan.argtypes = [
@@ -68,6 +68,16 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,   # dc_luts, ac_luts (ptr arrays)
             ctypes.c_int64, ctypes.c_int64,     # n_mcus, restart_interval
             ctypes.c_void_p, ctypes.c_int32,    # out, n_threads
+        ]
+        lib.jd_decode_scan_speculative.restype = ctypes.c_int64
+        lib.jd_decode_scan_speculative.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,    # data, data_len
+            ctypes.c_int32,                     # n_comps
+            ctypes.c_void_p, ctypes.c_void_p,   # h, v
+            ctypes.c_void_p, ctypes.c_void_p,   # dc_luts, ac_luts
+            ctypes.c_int64,                     # n_mcus
+            ctypes.c_void_p, ctypes.c_int32,    # out, n_threads
+            ctypes.c_int32,                     # n_chunks
         ]
         lib.jd_decode_scan_packed.restype = ctypes.c_int64
         lib.jd_decode_scan_packed.argtypes = [
@@ -146,6 +156,40 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
         raise JPEGError(
             f"native entropy decode failed: segment {rc >> 8}, "
             f"error code {rc & 0xFF}")
+    return out
+
+
+def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader,
+                            n_threads: int | None = None,
+                            n_chunks: int | None = None) -> np.ndarray:
+    """Speculative self-synchronizing parallel decode of a DRI=0 stream
+    (see jpeg_entropy.cpp for the algorithm).  Output identical to
+    decode_scan_baseline; raises JPEGError on malformed streams."""
+    lib = _load()
+    lay = scan_layout(hdr)
+    comps = hdr.components
+    if len(scan.seg_offsets) != 2:
+        raise JPEGError("speculative decode requires a single-segment scan")
+    data = np.concatenate([scan.data, np.zeros(8, np.uint8)])
+    h = np.array([c.h for c in comps], np.int32)
+    v = np.array([c.v for c in comps], np.int32)
+    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
+    ac_luts = [_lut16(scan.ac_specs[c.ta]) for c in comps]
+    PtrArray = ctypes.c_void_p * len(comps)
+    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
+    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+    out = np.zeros((lay.total_blocks, 64), dtype=np.int32)
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    if n_chunks is None:
+        n_chunks = max(1, n_threads * 4)
+    rc = lib.jd_decode_scan_speculative(
+        data.ctypes.data, len(scan.data),
+        len(comps), h.ctypes.data, v.ctypes.data,
+        dc_ptrs, ac_ptrs, lay.n_mcus,
+        out.ctypes.data, n_threads, n_chunks)
+    if rc != 0:
+        raise JPEGError(f"speculative entropy decode failed (code {rc})")
     return out
 
 

@@ -140,9 +140,246 @@ int decode_segment(const ScanJob& job, int seg) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Speculative self-synchronizing parallel decode for DRI=0 streams.
+//
+// Huffman streams self-synchronize: a decoder started at an arbitrary byte
+// boundary (assuming "start of MCU" phase) converges to the true symbol
+// stream within a few MCUs with overwhelming probability.  We exploit this
+// to parallelize the single entropy-coded segment of images WITHOUT restart
+// markers (which the RSTn path cannot shard):
+//
+//   phase 1 (parallel): split the stream into chunks; each worker decodes
+//     speculatively from its chunk's first byte, recording the bit offset of
+//     every speculative MCU start (DC stored as raw diffs, no predictor).
+//   phase 2 (parallel): each worker continues from its chunk-end state into
+//     the next chunk until its MCU-start offset coincides with one recorded
+//     by that chunk's own pass (synchronization), storing the overflow MCUs.
+//   phase 3 (sequential, cheap): splice — chunk 0 is exact from bit 0; for
+//     each chunk the true entry offset must be one of its recorded starts
+//     (guaranteed by the sync), so its records from there on are the true
+//     decode.  Any gap (failed sync / errored speculation) is filled by
+//     plain sequential decode, so correctness never depends on the
+//     speculation succeeding.  Finally DC diffs are prefix-summed into
+//     predictors (jpeg.cpp:344-345 semantics).
+//
+// This is the decode-domain analogue of the subsequence-parallel scheme in
+// the GPU JPEG literature, applied to host threads here and structured so
+// the same trace/splice representation can later drive a TPU lane-parallel
+// variant.
+// ---------------------------------------------------------------------------
+
+struct SpecChunk {
+  std::vector<int64_t> starts;   // bit offset of each speculative MCU start
+  std::vector<int32_t> blocks;   // starts.size() * bpm * 64 coefficients
+  std::vector<int64_t> ovf_starts;   // phase-2 overflow MCU starts
+  std::vector<int32_t> ovf_blocks;
+  int64_t sync_bit = -1;         // where phase 2 synchronized (-1 = none)
+  bool ok = true;                // speculative pass hit a decode error?
+  int64_t end_bit = 0;           // bit position after the last own-chunk MCU
+};
+
+// Decode one MCU (bpm blocks) with DC emitted as raw diff. Returns 0 or err.
+static int decode_mcu_diff(const ScanJob& job, BitReader& br, int32_t* out) {
+  int32_t zero_pred;
+  for (int k = 0; k < job.blocks_per_mcu; ++k) {
+    int ci = job.block_comp[k];
+    const CompSpec& c = job.comps[ci];
+    zero_pred = 0;
+    std::memset(out + k * 64, 0, 64 * sizeof(int32_t));
+    int rc = decode_block(br, c.dc_lut, c.ac_lut, out + k * 64, zero_pred);
+    if (rc) return rc;
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Speculative parallel decode of a DRI=0 interleaved baseline scan.
+// data must be padded with >= 4 zero bytes; data_len excludes the padding.
+// out: (n_mcus * bpm, 64) int32, DC already predictor-accumulated.
+// Returns 0 on success, -5 if the splice needed a full-sequential fallback
+// and THAT failed (i.e. the stream is malformed), else error codes as
+// jd_decode_scan.
+int64_t jd_decode_scan_speculative(const uint8_t* data, int64_t data_len,
+                                   int32_t n_comps,
+                                   const int32_t* h, const int32_t* v,
+                                   const int16_t* const* dc_luts,
+                                   const int16_t* const* ac_luts,
+                                   int64_t n_mcus,
+                                   int32_t* out, int32_t n_threads,
+                                   int32_t n_chunks) {
+  if (n_comps < 1 || n_comps > kMaxComps) return -1;
+  ScanJob job{};
+  job.data = data;
+  job.n_comps = n_comps;
+  job.n_mcus = n_mcus;
+  int bpm = 0;
+  for (int ci = 0; ci < n_comps; ++ci) {
+    job.comps[ci] = CompSpec{int(h[ci]), int(v[ci]), dc_luts[ci], ac_luts[ci]};
+    for (int b = 0; b < h[ci] * v[ci]; ++b) {
+      if (bpm >= kMaxComps * 16) return -2;
+      job.block_comp[bpm++] = ci;
+    }
+  }
+  job.blocks_per_mcu = bpm;
+  const int64_t end_bit_total = data_len * 8;
+
+  if (n_chunks < 1) n_chunks = 1;
+  if (int64_t(n_chunks) > std::max<int64_t>(1, data_len / 4096))
+    n_chunks = int32_t(std::max<int64_t>(1, data_len / 4096));
+  const int64_t chunk_bytes = (data_len + n_chunks - 1) / n_chunks;
+
+  std::vector<SpecChunk> chunks(n_chunks);
+  auto chunk_start_bit = [&](int i) { return int64_t(i) * chunk_bytes * 8; };
+  auto chunk_end_bit = [&](int i) {
+    return std::min<int64_t>(int64_t(i + 1) * chunk_bytes, data_len) * 8;
+  };
+
+  // Phase 1: speculative decode of each chunk.
+  auto phase1 = [&](int i) {
+    SpecChunk& ch = chunks[i];
+    BitReader br{data, chunk_start_bit(i), end_bit_total};
+    std::vector<int32_t> mcu(bpm * 64);
+    int64_t limit = chunk_end_bit(i);
+    // Bound memory on adversarial data: a valid speculative trace has about
+    // n_mcus / n_chunks records; allow 4x slack, then bail to the
+    // sequential-fallback path.
+    size_t cap = size_t(4 * (n_mcus / n_chunks) + 64);
+    while (br.pos < limit && ch.starts.size() < cap) {
+      int64_t at = br.pos;
+      if (decode_mcu_diff(job, br, mcu.data())) { ch.ok = false; break; }
+      ch.starts.push_back(at);
+      ch.blocks.insert(ch.blocks.end(), mcu.begin(), mcu.end());
+    }
+    ch.end_bit = br.pos;
+  };
+
+  // Phase 2: continue into the next chunk until synchronization.
+  auto phase2 = [&](int i) {
+    if (i + 1 >= n_chunks) return;
+    SpecChunk& ch = chunks[i];
+    const SpecChunk& nx = chunks[i + 1];
+    if (!ch.ok || nx.starts.empty()) return;
+    BitReader br{data, ch.end_bit, end_bit_total};
+    std::vector<int32_t> mcu(bpm * 64);
+    int64_t limit = chunk_end_bit(i + 1);
+    while (br.pos < limit) {
+      if (std::binary_search(nx.starts.begin(), nx.starts.end(), br.pos)) {
+        ch.sync_bit = br.pos;
+        return;
+      }
+      int64_t at = br.pos;
+      if (decode_mcu_diff(job, br, mcu.data())) return;
+      ch.ovf_starts.push_back(at);
+      ch.ovf_blocks.insert(ch.ovf_blocks.end(), mcu.begin(), mcu.end());
+    }
+  };
+
+  {
+    std::atomic<int> next{0};
+    int nt = std::max(1, std::min<int>(n_threads, n_chunks));
+    std::vector<std::thread> workers;
+    for (int t = 0; t < nt; ++t)
+      workers.emplace_back([&]() {
+        for (;;) {
+          int i = next.fetch_add(1);
+          if (i >= n_chunks) return;
+          phase1(i);
+        }
+      });
+    for (auto& w : workers) w.join();
+    next.store(0);
+    workers.clear();
+    for (int t = 0; t < nt; ++t)
+      workers.emplace_back([&]() {
+        for (;;) {
+          int i = next.fetch_add(1);
+          if (i >= n_chunks) return;
+          phase2(i);
+        }
+      });
+    for (auto& w : workers) w.join();
+  }
+
+  // Phase 3: sequential splice with sequential-decode fallback for gaps.
+  int64_t bit = 0;       // true decode position (always an MCU start)
+  int64_t mcu_idx = 0;
+  const int64_t mcu_words = int64_t(bpm) * 64;
+  BitReader seq{data, 0, end_bit_total};
+  std::vector<int32_t> tmp(mcu_words);
+  int chunk_i = 0;
+  while (mcu_idx < n_mcus) {
+    // Advance chunk_i to the chunk containing `bit`.
+    while (chunk_i + 1 < n_chunks && bit >= chunk_start_bit(chunk_i + 1))
+      ++chunk_i;
+    SpecChunk& ch = chunks[chunk_i];
+    auto it = std::lower_bound(ch.starts.begin(), ch.starts.end(), bit);
+    if (it != ch.starts.end() && *it == bit) {
+      // True decode coincides with the speculative trace: bulk-copy MCUs.
+      size_t j = size_t(it - ch.starts.begin());
+      size_t n_take = ch.starts.size() - j;
+      n_take = std::min<size_t>(n_take, size_t(n_mcus - mcu_idx));
+      std::memcpy(out + mcu_idx * mcu_words,
+                  ch.blocks.data() + j * mcu_words,
+                  n_take * mcu_words * sizeof(int32_t));
+      mcu_idx += int64_t(n_take);
+      if (mcu_idx >= n_mcus) break;
+      if (j + n_take == ch.starts.size()) {
+        // Consumed the chunk's own records; append its overflow records.
+        size_t n_ovf = std::min<size_t>(ch.ovf_starts.size(),
+                                        size_t(n_mcus - mcu_idx));
+        if (n_ovf) {
+          std::memcpy(out + mcu_idx * mcu_words,
+                      ch.ovf_blocks.data(),
+                      n_ovf * mcu_words * sizeof(int32_t));
+          mcu_idx += int64_t(n_ovf);
+        }
+        if (mcu_idx >= n_mcus) break;
+        if (ch.sync_bit >= 0 && n_ovf == ch.ovf_starts.size()) {
+          bit = ch.sync_bit;
+          continue;
+        }
+        // No sync: fall through to sequential decode from the position
+        // after the last emitted MCU.
+        bit = n_ovf ? -1 : ch.end_bit;
+        if (bit < 0) {
+          // Recompute: end of overflow decode.
+          BitReader br{data, ch.ovf_starts.back(), end_bit_total};
+          if (decode_mcu_diff(job, br, tmp.data())) return -5;
+          bit = br.pos;
+          // The MCU was already emitted above; do not emit twice.
+        }
+      } else {
+        return -6;  // internal: partial take must exhaust records
+      }
+    } else {
+      // Gap: decode one MCU sequentially (correctness fallback).
+      seq.pos = bit;
+      if (decode_mcu_diff(job, seq, tmp.data())) return -5;
+      std::memcpy(out + mcu_idx * mcu_words, tmp.data(),
+                  mcu_words * sizeof(int32_t));
+      ++mcu_idx;
+      bit = seq.pos;
+    }
+  }
+
+  // DC predictor accumulation (prefix sum of diffs per component).
+  {
+    int32_t preds[kMaxComps] = {0, 0, 0, 0};
+    for (int64_t m = 0; m < n_mcus; ++m) {
+      int32_t* base = out + m * mcu_words;
+      for (int k = 0; k < bpm; ++k) {
+        int ci = job.block_comp[k];
+        preds[ci] += base[k * 64];
+        base[k * 64] = preds[ci];
+      }
+    }
+  }
+  return 0;
+}
 
 // Decode a full interleaved baseline scan.
 //
@@ -336,6 +573,6 @@ int64_t jd_decode_scan_packed(const uint8_t* data,
 }
 
 // Version/capability probe for the ctypes wrapper.
-int32_t jd_abi_version() { return 2; }
+int32_t jd_abi_version() { return 3; }
 
 }  // extern "C"

@@ -125,6 +125,7 @@ class BatchDecoder:
         self.upsample = upsample
         self.device = device
         self._pool = ThreadPoolExecutor(host_threads or 2)
+        self._device_pool = ThreadPoolExecutor(2)
         self._decode_scan = decoder_mod._entropy_backend(entropy)
         # Fast path: native decoder emits the packed wire format directly.
         self._packed_fn = None
@@ -163,27 +164,48 @@ class BatchDecoder:
         return hdr, pack_blocks(
             np.asarray(self._decode_scan(hdr, hdr.scans[0])))
 
-    def decode(self, blobs: list[bytes]) -> list[BatchItem]:
+    def decode(self, blobs: list[bytes],
+               wave: int | None = None) -> list[BatchItem]:
         """Decode a list of JPEG byte strings; returns device-resident RGB
-        in input order."""
+        in input order.
+
+        Large inputs are processed in *waves*: host entropy for wave k+1
+        overlaps device transfer/compute for wave k (2-stage pipeline).
+        """
+        if wave is None:
+            wave = 24
+        if len(blobs) > wave:
+            results: list[BatchItem | None] = [None] * len(blobs)
+            device_fut = None
+            for start in range(0, len(blobs), wave):
+                chunk = blobs[start:start + wave]
+                host_out = list(self._pool.map(self._host_one, chunk))
+                if device_fut is not None:
+                    device_fut.result()
+                device_fut = self._device_pool.submit(
+                    self._decode_wave, host_out, results, start)
+            if device_fut is not None:
+                device_fut.result()
+            return results  # type: ignore[return-value]
+        results = [None] * len(blobs)
+        self._decode_wave(list(self._pool.map(self._host_one, blobs)),
+                          results, 0)
+        return results  # type: ignore[return-value]
+
+    def _decode_wave(self, host_out, results, base):
         import os
         import time
 
         debug = os.environ.get("JD_BATCH_DEBUG")
         t0 = time.perf_counter()
-        host_out = list(self._pool.map(self._host_one, blobs))
-        if debug:
-            print(f"[batch] host stage: {time.perf_counter()-t0:.3f}s",
-                  flush=True)
-            t0 = time.perf_counter()
 
         # Group by geometry (and table-independent pipeline signature).
         groups: dict[tuple, list[int]] = {}
-        results: list[BatchItem | None] = [None] * len(blobs)
         for i, (hdr, _) in enumerate(host_out):
             if isinstance(hdr, Exception):
-                results[i] = BatchItem(index=i, header=None, rgb_batch=None,
-                                       batch_index=-1, error=hdr)
+                results[base + i] = BatchItem(
+                    index=base + i, header=None, rgb_batch=None,
+                    batch_index=-1, error=hdr)
                 continue
             key = (hdr.width, hdr.height,
                    tuple((c.h, c.v) for c in hdr.components))
@@ -236,8 +258,9 @@ class BatchDecoder:
                 height=hdr0.height, width=hdr0.width,
                 samplings=samplings, idct=self.idct, upsample=self.upsample)
             for k, i in enumerate(idxs):
-                results[i] = BatchItem(index=i, header=host_out[i][0],
-                                       rgb_batch=rgb_b, batch_index=k)
+                results[base + i] = BatchItem(
+                    index=base + i, header=host_out[i][0],
+                    rgb_batch=rgb_b, batch_index=k)
             if debug:
                 print(f"[batch] group {key}: B={len(idxs)} "
                       f"{time.perf_counter()-t0:.3f}s", flush=True)
@@ -246,11 +269,10 @@ class BatchDecoder:
         # overlap the previous group's dispatch (jax dispatch is
         # thread-safe; per-group results land in disjoint slots).
         if len(groups) > 1:
-            list(self._pool.map(run_group, groups.items()))
+            list(self._device_pool.map(run_group, groups.items()))
         else:
             for kv in groups.items():
                 run_group(kv)
-        return results  # type: ignore[return-value]
 
 
 def decode_batch(blobs: list[bytes], **kw) -> list[BatchItem]:

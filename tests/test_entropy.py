@@ -158,3 +158,34 @@ def test_native_corrupt_stream_raises(native):
     bad_scan = dataclasses.replace(scan, data=bad)
     with pytest.raises(JPEGError):
         native.decode_scan_baseline(hdr, bad_scan)
+
+
+@pytest.mark.parametrize("name", ["img.jpg", "img2.jpg", "img5.jpg"])
+def test_speculative_matches_python(native, name):
+    # Self-synchronizing chunk-parallel decode of DRI=0 streams must be
+    # bit-exact (splice falls back to sequential decode on sync failure,
+    # so correctness never depends on the speculation).
+    hdr = parser.parse_file(corpus_path(name))
+    scan = hdr.scans[0]
+    ref = python_ref.decode_scan_baseline(hdr, scan)
+    for n_chunks in (1, 3, 8, 17):
+        got = native.decode_scan_speculative(hdr, scan, n_chunks=n_chunks)
+        assert np.array_equal(ref, got), f"{name} n_chunks={n_chunks}"
+
+
+def test_speculative_rejects_segmented(native):
+    hdr = parser.parse_file(corpus_path("img4.jpg"))  # DRI=100
+    with pytest.raises(JPEGError):
+        native.decode_scan_speculative(hdr, hdr.scans[0])
+
+
+def test_speculative_corrupt_stream(native):
+    hdr = parser.parse_file(corpus_path("img2.jpg"))
+    scan = hdr.scans[0]
+    import dataclasses
+
+    bad = scan.data.copy()
+    bad[:] = 0xFF  # whole stream invalid -> sequential fallback must error
+    with pytest.raises(JPEGError):
+        native.decode_scan_speculative(
+            hdr, dataclasses.replace(scan, data=bad), n_chunks=4)
