@@ -57,7 +57,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 3:
+        if lib.jd_abi_version() != 4:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_decode_scan.restype = ctypes.c_int64
         lib.jd_decode_scan.argtypes = [
@@ -78,6 +78,26 @@ def _load():
             ctypes.c_int64,                     # n_mcus
             ctypes.c_void_p, ctypes.c_int32,    # out, n_threads
             ctypes.c_int32,                     # n_chunks
+        ]
+        lib.jd_prog_dc_scan.restype = ctypes.c_int64
+        lib.jd_prog_dc_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,  # data, segs, n
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,    # first, al, il
+            ctypes.c_int32,                                    # n_scan_comps
+            ctypes.c_void_p, ctypes.c_void_p,                  # comp_h, comp_v
+            ctypes.c_void_p, ctypes.c_void_p,                  # planes, cols
+            ctypes.c_void_p,                                   # dc_luts
+            ctypes.c_int64, ctypes.c_int64,                    # mcus_x, mcus_y
+            ctypes.c_int64, ctypes.c_int64,                    # sc_rows, sc_cols
+            ctypes.c_int64,                                    # restart
+        ]
+        lib.jd_prog_ac_scan.restype = ctypes.c_int64
+        lib.jd_prog_ac_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32,                   # plane, cols
+            ctypes.c_void_p,                                   # ac_lut
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,    # rows, cols, ri
         ]
         lib.jd_decode_scan_packed.restype = ctypes.c_int64
         lib.jd_decode_scan_packed.argtypes = [
@@ -252,3 +272,72 @@ def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,
                 f"error code {rc & 0xFF}")
         e = int(esc_count[0])
         return dc16, ac8, esc_idx[:e].copy(), esc_val[:e].copy()
+
+
+def decode_progressive(hdr: FrameHeader) -> list:
+    """Native fast path for progressive frames (T.81 G.2): per-scan C++
+    decoders mutate caller-owned per-component planes.
+
+    Output identical to entropy.progressive.decode_progressive (asserted in
+    tests/test_progressive_native.py).
+    """
+    from ..layout import comp_dims_unpadded
+
+    lib = _load()
+    planes = []
+    for ci in range(len(hdr.components)):
+        rows = hdr.mcus_y * hdr.components[ci].v
+        cols = hdr.mcus_x * hdr.components[ci].h
+        planes.append(np.zeros((rows, cols, 64), np.int32))
+
+    for scan in hdr.scans:
+        data = np.concatenate([scan.data, np.zeros(8, np.uint8)])
+        seg_offsets = np.ascontiguousarray(scan.seg_offsets, np.int64)
+        n_segments = len(seg_offsets) - 1
+        ri = scan.restart_interval
+        first = 1 if scan.ah == 0 else 0
+        if scan.ss == 0:
+            if scan.se != 0:
+                raise JPEGError("progressive: DC scan must have Se=0")
+            nsc = len(scan.comp_indices)
+            interleaved = 1 if nsc > 1 else 0
+            comps = [hdr.components[ci] for ci in scan.comp_indices]
+            comp_h = np.array([c.h for c in comps], np.int32)
+            comp_v = np.array([c.v for c in comps], np.int32)
+            plane_ptrs = (ctypes.c_void_p * nsc)(
+                *[planes[ci].ctypes.data for ci in scan.comp_indices])
+            plane_cols = np.array(
+                [planes[ci].shape[1] for ci in scan.comp_indices], np.int32)
+            if first:
+                luts = [_lut16(scan.dc_specs[scan.dc_table_ids[k]])
+                        for k in range(nsc)]
+            else:
+                luts = [np.zeros(1, np.int16)] * nsc  # unused
+            lut_ptrs = (ctypes.c_void_p * nsc)(
+                *[a.ctypes.data for a in luts])
+            if interleaved:
+                sc_rows = sc_cols = 0
+            else:
+                sc_rows, sc_cols = comp_dims_unpadded(
+                    hdr, scan.comp_indices[0])
+            rc = lib.jd_prog_dc_scan(
+                data.ctypes.data, seg_offsets.ctypes.data, n_segments,
+                first, scan.al, interleaved, nsc,
+                comp_h.ctypes.data, comp_v.ctypes.data,
+                plane_ptrs, plane_cols.ctypes.data, lut_ptrs,
+                hdr.mcus_x, hdr.mcus_y, sc_rows, sc_cols, ri)
+        else:
+            if len(scan.comp_indices) != 1:
+                raise JPEGError(
+                    "progressive: AC scans must be single-component")
+            ci = scan.comp_indices[0]
+            rows, cols = comp_dims_unpadded(hdr, ci)
+            lut = _lut16(scan.ac_specs[scan.ac_table_ids[0]])
+            rc = lib.jd_prog_ac_scan(
+                data.ctypes.data, seg_offsets.ctypes.data, n_segments,
+                first, scan.ss, scan.se, scan.al,
+                planes[ci].ctypes.data, planes[ci].shape[1],
+                lut.ctypes.data, rows, cols, ri)
+        if rc != 0:
+            raise JPEGError(f"native progressive scan failed (code {rc})")
+    return planes

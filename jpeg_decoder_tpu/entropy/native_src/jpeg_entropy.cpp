@@ -572,7 +572,188 @@ int64_t jd_decode_scan_packed(const uint8_t* data,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Progressive scans (ITU-T T.81 Annex G.2) — native fast path.
+//
+// Same semantics as entropy/progressive.py (the correctness-grade Python
+// implementation, cross-tested bit-exactly): DC first/refinement scans
+// (interleaved or single-component), AC first/refinement scans with EOB
+// runs and in-band correction bits, restart intervals in every scan type.
+// Planes are caller-owned (rows, cols, 64) int32 natural-order arrays.
+// ---------------------------------------------------------------------------
+
+// Decode DC scan.  interleaved: blocks cycle through scan components with
+// their sampling factors over the (mcus_x, mcus_y) grid; otherwise a single
+// component's unpadded (rows x cols) block grid, one block per MCU.
+// plane stride: plane_cols[c] * 64 per block row.
+int64_t jd_prog_dc_scan(const uint8_t* data, const int64_t* seg_offsets,
+                        int32_t n_segments, int32_t first, int32_t al,
+                        int32_t interleaved, int32_t n_scan_comps,
+                        const int32_t* comp_h, const int32_t* comp_v,
+                        int32_t* const* planes, const int32_t* plane_cols,
+                        const int16_t* const* dc_luts,
+                        int64_t mcus_x, int64_t mcus_y,
+                        int64_t sc_rows, int64_t sc_cols,
+                        int64_t restart_interval) {
+  if (n_scan_comps < 1 || n_scan_comps > kMaxComps) return -1;
+  const int64_t n_mcus = interleaved ? mcus_x * mcus_y : sc_rows * sc_cols;
+  int64_t mcu = 0;
+  for (int s = 0; s < n_segments; ++s) {
+    BitReader br{data, seg_offsets[s] * 8, seg_offsets[s + 1] * 8};
+    int32_t preds[kMaxComps] = {0, 0, 0, 0};
+    int64_t seg_mcus = restart_interval
+                           ? std::min<int64_t>(restart_interval, n_mcus - mcu)
+                           : n_mcus;
+    for (int64_t t = 0; t < seg_mcus; ++t, ++mcu) {
+      if (interleaved) {
+        int64_t my = mcu / mcus_x, mx = mcu % mcus_x;
+        for (int c = 0; c < n_scan_comps; ++c) {
+          for (int vv = 0; vv < comp_v[c]; ++vv) {
+            for (int hh = 0; hh < comp_h[c]; ++hh) {
+              int64_t row = my * comp_v[c] + vv, col = mx * comp_h[c] + hh;
+              int32_t* blk = planes[c] + (row * plane_cols[c] + col) * 64;
+              if (first) {
+                LutEntry e = dc_luts[c][br.peek16()];
+                int len = e & 31;
+                if (!len) return 1;
+                br.pos += len;
+                int size = e >> 5;
+                if (size > 11) return 2;
+                int32_t diff =
+                    size ? extend(br.getbits(size), size) : 0;
+                preds[c] += diff;
+                blk[0] = preds[c] << al;
+              } else {
+                if (br.getbits(1)) blk[0] |= (1 << al);
+              }
+            }
+          }
+        }
+      } else {
+        int64_t row = mcu / sc_cols, col = mcu % sc_cols;
+        int32_t* blk = planes[0] + (row * plane_cols[0] + col) * 64;
+        if (first) {
+          LutEntry e = dc_luts[0][br.peek16()];
+          int len = e & 31;
+          if (!len) return 1;
+          br.pos += len;
+          int size = e >> 5;
+          if (size > 11) return 2;
+          int32_t diff = size ? extend(br.getbits(size), size) : 0;
+          preds[0] += diff;
+          blk[0] = preds[0] << al;
+        } else {
+          if (br.getbits(1)) blk[0] |= (1 << al);
+        }
+      }
+    }
+  }
+  return mcu == n_mcus ? 0 : -4;
+}
+
+// AC scans: always single-component over the unpadded (rows x cols) grid.
+int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
+                        int32_t n_segments, int32_t first,
+                        int32_t ss, int32_t se, int32_t al,
+                        int32_t* plane, int32_t plane_cols,
+                        const int16_t* ac_lut,
+                        int64_t rows, int64_t cols,
+                        int64_t restart_interval) {
+  const int64_t n_mcus = rows * cols;
+  const int32_t p1 = 1 << al;
+  int64_t mcu = 0;
+  for (int s = 0; s < n_segments; ++s) {
+    BitReader br{data, seg_offsets[s] * 8, seg_offsets[s + 1] * 8};
+    int64_t eobrun = 0;
+    int64_t seg_mcus = restart_interval
+                           ? std::min<int64_t>(restart_interval, n_mcus - mcu)
+                           : n_mcus;
+    for (int64_t t = 0; t < seg_mcus; ++t, ++mcu) {
+      int64_t row = mcu / cols, col = mcu % cols;
+      int32_t* blk = plane + (row * int64_t(plane_cols) + col) * 64;
+      if (first) {
+        if (eobrun > 0) {
+          --eobrun;
+          continue;
+        }
+        int k = ss;
+        while (k <= se) {
+          LutEntry e = ac_lut[br.peek16()];
+          int len = e & 31;
+          if (!len) return 3;
+          br.pos += len;
+          int sym = e >> 5;
+          int r = sym >> 4, sz = sym & 0x0F;
+          if (sz == 0) {
+            if (r < 15) {
+              eobrun = (int64_t(1) << r) - 1;
+              if (r) eobrun += br.getbits(r);
+              break;
+            }
+            k += 16;  // ZRL
+          } else {
+            k += r;
+            if (k > se) return 4;
+            blk[kZigzag[k]] = extend(br.getbits(sz), sz) << al;
+            ++k;
+          }
+        }
+      } else {
+        // Refinement (G.2.3).
+        int k = ss;
+        if (eobrun == 0) {
+          while (k <= se) {
+            LutEntry e = ac_lut[br.peek16()];
+            int len = e & 31;
+            if (!len) return 3;
+            br.pos += len;
+            int sym = e >> 5;
+            int r = sym >> 4, sz = sym & 0x0F;
+            int32_t newval = 0;
+            if (sz == 0) {
+              if (r < 15) {
+                eobrun = int64_t(1) << r;
+                if (r) eobrun += br.getbits(r);
+                break;
+              }
+              // r == 15: ZRL — skip 16 zero-history coefficients
+            } else {
+              if (sz != 1) return 5;
+              newval = br.getbits(1) ? p1 : -p1;
+            }
+            while (k <= se) {
+              int32_t& nz = blk[kZigzag[k]];
+              if (nz != 0) {
+                if (br.getbits(1) && (nz & p1) == 0)
+                  nz += (nz > 0) ? p1 : -p1;
+              } else {
+                if (r == 0) break;
+                --r;
+              }
+              ++k;
+            }
+            if (newval && k <= se) blk[kZigzag[k]] = newval;
+            ++k;
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            int32_t& nz = blk[kZigzag[k]];
+            if (nz != 0) {
+              if (br.getbits(1) && (nz & p1) == 0)
+                nz += (nz > 0) ? p1 : -p1;
+            }
+            ++k;
+          }
+          --eobrun;
+        }
+      }
+    }
+  }
+  return mcu == n_mcus ? 0 : -4;
+}
+
 // Version/capability probe for the ctypes wrapper.
-int32_t jd_abi_version() { return 3; }
+int32_t jd_abi_version() { return 4; }
 
 }  // extern "C"

@@ -150,9 +150,7 @@ class BatchDecoder:
     def _host_one_inner(self, blob):
         hdr = parser.parse(blob)
         if hdr.progressive:
-            from ..entropy import progressive
-
-            planes = progressive.decode_progressive(hdr)
+            planes = decoder_mod.decode_to_planes(hdr, entropy=self.entropy)
             # Flatten planes back to scan order so batching is uniform.
             lay = layout_mod.scan_layout(hdr)
             blocks = np.zeros((lay.total_blocks, 64), np.int32)
@@ -173,7 +171,7 @@ class BatchDecoder:
         overlaps device transfer/compute for wave k (2-stage pipeline).
         """
         if wave is None:
-            wave = 24
+            wave = 96
         if len(blobs) > wave:
             results: list[BatchItem | None] = [None] * len(blobs)
             device_fut = None

@@ -73,6 +73,14 @@ def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
     """Run entropy decode for all scans, returning per-component quantized
     coefficient planes (rows, cols, 64) int32."""
     if hdr.progressive:
+        if entropy in ("auto", "native"):
+            try:
+                from ..entropy import native
+
+                if native.available():
+                    return native.decode_progressive(hdr)
+            except Exception:
+                pass
         from ..entropy import progressive
         return progressive.decode_progressive(hdr)
     scan = hdr.scans[0]
