@@ -44,14 +44,19 @@ def pack_words(data: np.ndarray) -> np.ndarray:
     return padded.view(">u4").astype(np.uint32)
 
 
-def _peek16(words: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Next 16 bits at absolute bit position ``pos`` (uint32 scalar)."""
+def _peek32(words: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Next 32 bits at absolute bit position ``pos`` as uint32.
+
+    One fetch serves both the 16-bit LUT probe (top half) and the value
+    bits that follow the code (up to 16 more bits) — halving the number of
+    dynamic gathers per symbol vs a peek-per-field design.
+    """
     w = (pos >> 5).astype(jnp.int32)
     off = (pos & 31).astype(jnp.uint32)
     w0 = jax.lax.dynamic_index_in_dim(words, w, keepdims=False)
     w1 = jax.lax.dynamic_index_in_dim(words, w + 1, keepdims=False)
-    hi = jnp.where(off == 0, w0, (w0 << off) | (w1 >> (32 - jnp.maximum(off, 1))))
-    return (hi >> 16).astype(jnp.int32)
+    return jnp.where(off == 0, w0,
+                     (w0 << off) | (w1 >> (32 - jnp.maximum(off, 1))))
 
 
 def _extend(value: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
@@ -71,14 +76,18 @@ def _decode_block(words, pos, pred, dc_lut, ac_lut, err):
     lane = jax.lax.broadcasted_iota(jnp.int32, (64,), 0)
 
     # ---- DC (parity: jpeg.cpp:324-345) ----
-    entry = jax.lax.dynamic_index_in_dim(dc_lut, _peek16(words, pos),
-                                         keepdims=False)
+    window = _peek32(words, pos)
+    entry = jax.lax.dynamic_index_in_dim(
+        dc_lut, (window >> 16).astype(jnp.int32), keepdims=False)
     length = (entry & 31).astype(jnp.uint32)
     size = (entry >> 5).astype(jnp.uint32)
     err = err | (entry == 0) | (size > 11)
-    pos = pos + length
-    raw = (_peek16(words, pos).astype(jnp.uint32) >> (16 - size)).astype(jnp.int32)
-    pos = pos + size
+    # Value bits follow the code inside the same 32-bit window
+    # (length + size <= 16 + 11 <= 32).
+    raw = jnp.where(
+        size == 0, jnp.uint32(0),
+        (window << length) >> (32 - jnp.maximum(size, 1))).astype(jnp.int32)
+    pos = pos + length + size
     diff = _extend(raw, size.astype(jnp.int32))
     pred = pred + diff
     block = jnp.where(lane == 0, pred, 0)
@@ -90,20 +99,23 @@ def _decode_block(words, pos, pred, dc_lut, ac_lut, err):
 
     def body(c):
         pos, i, blk, done, err = c
-        entry = jax.lax.dynamic_index_in_dim(ac_lut, _peek16(words, pos),
-                                             keepdims=False)
+        window = _peek32(words, pos)
+        entry = jax.lax.dynamic_index_in_dim(
+            ac_lut, (window >> 16).astype(jnp.int32), keepdims=False)
         length = (entry & 31).astype(jnp.uint32)
         sym = entry >> 5
         err = err | (entry == 0)
-        pos = pos + length
         is_eob = sym == 0x00
         run = jnp.where(sym == 0xF0, 16, sym >> 4)
         csize = (sym & 0x0F).astype(jnp.uint32)
         i_new = i + run
         overflow = (i_new > 64) | ((csize > 0) & (i_new >= 64)) | (csize > 10)
         err = err | (~is_eob & overflow)
-        raw = (_peek16(words, pos).astype(jnp.uint32) >> (16 - csize)).astype(jnp.int32)
-        pos = pos + csize
+        raw = jnp.where(
+            csize == 0, jnp.uint32(0),
+            (window << length) >> (32 - jnp.maximum(csize, 1))
+        ).astype(jnp.int32)
+        pos = pos + length + csize
         coeff = _extend(raw, csize.astype(jnp.int32))
         write = (~is_eob) & (csize > 0) & (~overflow)
         idx = jnp.clip(i_new, 0, 63)
