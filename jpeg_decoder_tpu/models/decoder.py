@@ -44,6 +44,8 @@ def _entropy_backend(name: str):
     * ``python``  — bit-exact pure-Python LUT decoder (slow; oracle grade).
     * ``native``  — multi-threaded C++ host decoder via ctypes (fast host).
     * ``jax``     — on-device XLA decoder, vmapped over restart segments.
+    * ``speculative`` — native C++ with chunk-parallel self-synchronizing
+      decode for DRI=0 streams (segment-threaded otherwise).
     * ``pallas``  — on-device Pallas kernel (VMEM-resident LUTs/stream).
     * ``auto``    — native if built, else python.
     """
@@ -53,6 +55,14 @@ def _entropy_backend(name: str):
     if name == "native":
         from ..entropy import native
         return native.decode_scan_baseline
+    if name == "speculative":
+        from ..entropy import native
+
+        def spec(hdr, scan):
+            if len(scan.seg_offsets) == 2:
+                return native.decode_scan_speculative(hdr, scan)
+            return native.decode_scan_baseline(hdr, scan)
+        return spec
     if name == "jax":
         from ..ops import entropy_jax
         return entropy_jax.decode_scan_baseline
@@ -83,6 +93,13 @@ def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
                 pass
         from ..entropy import progressive
         return progressive.decode_progressive(hdr)
+    if len(hdr.scans) != 1 or (len(hdr.scans[0].comp_indices)
+                               != len(hdr.components)):
+        # T.81 allows sequential non-interleaved multi-scan frames; rare in
+        # practice and unsupported here (the reference supports only the
+        # single interleaved scan too, jpeg.cpp:858-862).
+        raise JPEGError(
+            "unsupported: sequential frame with multiple/partial scans")
     scan = hdr.scans[0]
     decode_scan = _entropy_backend(entropy)
     scan_coefs = decode_scan(hdr, scan)

@@ -24,7 +24,8 @@ class DecodeConfig:
     mesh_shape: tuple[int, int] | None = None
 
     def validate(self) -> "DecodeConfig":
-        if self.entropy not in ("auto", "python", "native", "jax", "pallas"):
+        if self.entropy not in ("auto", "python", "native", "speculative",
+                                "jax", "pallas"):
             raise ValueError(f"bad entropy backend {self.entropy!r}")
         if self.idct not in ("exact", "fast", "kron", "pallas"):
             raise ValueError(f"bad idct mode {self.idct!r}")
