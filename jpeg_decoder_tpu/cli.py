@@ -56,6 +56,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="skip inputs whose output file already exists "
                         "(restartable batch decode)")
+    p.add_argument("--show", action="store_true",
+                   help="open the decoded image in the system viewer "
+                        "(replaces the reference's X11 display)")
+    p.add_argument("--batch", action="store_true",
+                   help="decode all inputs through the batched device "
+                        "pipeline (geometry-grouped single dispatches)")
     return p
 
 
@@ -89,6 +95,9 @@ def main(argv=None) -> int:
     if args.output and (multi or os.path.isdir(args.output)):
         outdir = args.output
         os.makedirs(outdir, exist_ok=True)
+
+    if args.batch:
+        return _run_batch(args, timer, profile_cm)
 
     rc = 0
     total_mp = 0.0
@@ -124,6 +133,10 @@ def main(argv=None) -> int:
             if args.time:
                 msg += f"  ({dt:.1f} ms, {w * h / dt / 1e3:.1f} MP/s)"
             print(msg)
+            if args.show:
+                from PIL import Image as _PILImage
+
+                _PILImage.fromarray(res.rgb).show(title=base)
             if args.dump_coeffs is not None:
                 import numpy as np
 
@@ -136,6 +149,49 @@ def main(argv=None) -> int:
         profile_cm.__exit__(None, None, None)
     if args.time and total_mp:
         print(timer.report(megapixels=total_mp), file=sys.stderr)
+    return rc
+
+
+def _run_batch(args, timer, profile_cm) -> int:
+    """Batched decode path: all inputs through BatchDecoder."""
+    import numpy as np
+
+    from .io import writers
+    from .models.batch import BatchDecoder
+
+    blobs, names = [], []
+    for path in args.inputs:
+        with open(path, "rb") as f:
+            blobs.append(f.read())
+        names.append(os.path.splitext(os.path.basename(path))[0])
+
+    outdir = args.output or "."
+    os.makedirs(outdir, exist_ok=True)
+
+    bd = BatchDecoder(entropy=args.entropy, idct=args.idct,
+                      upsample=args.upsample)
+    t0 = time.perf_counter()
+    with timer.stage("batch decode"):
+        items = bd.decode(blobs)
+    dt = time.perf_counter() - t0
+
+    rc = 0
+    total_mp = 0.0
+    for name, item in zip(names, items):
+        if not item.ok:
+            print(f"{name}: ERROR: {item.error}", file=sys.stderr)
+            rc = 1
+            continue
+        rgb = np.asarray(item.rgb)
+        total_mp += rgb.shape[0] * rgb.shape[1] / 1e6
+        out = os.path.join(outdir, f"{name}.{args.format}")
+        writers.write_image(out, rgb)
+        print(f"{name}: {rgb.shape[1]}x{rgb.shape[0]} -> {out}")
+    if args.time:
+        print(f"batch: {len(blobs)} images, {total_mp:.2f} MP in "
+              f"{dt*1e3:.0f} ms -> {total_mp/dt:.1f} MP/s", file=sys.stderr)
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
     return rc
 
 
