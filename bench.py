@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 CORPUS_GLOB = "/root/reference/images/img*.jpg"
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", "24"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "48"))
 
 
 def log(*a):

@@ -50,15 +50,22 @@ def _decode_segments_shmap(words, seg_nmcus, dc_luts, ac_luts, *,
     decoder = entropy_jax.make_segment_decoder(block_comp, n_comps, max_mcus)
 
     def local(words_l, nmcus_l, dc, ac):
-        return jax.vmap(decoder, in_axes=(0, 0, None, None))(
+        out, err = jax.vmap(decoder, in_axes=(0, 0, None, None))(
             words_l, nmcus_l, dc, ac)
+        # Global failure count over ICI: every shard learns whether ANY
+        # segment anywhere failed (cheap scalar psum on the 'seg' axis) so
+        # callers can gate collective post-processing without a host round
+        # trip.
+        global_errs = jax.lax.psum(jnp.sum(err.astype(jnp.int32)), "seg")
+        return out, err, global_errs
 
-    return shard_map(
+    out, err, global_errs = shard_map(
         local, mesh=mesh,
         in_specs=(P("seg", None), P("seg"), P(None, None), P(None, None)),
-        out_specs=(P("seg", None, None), P("seg")),
+        out_specs=(P("seg", None, None), P("seg"), P()),
         check_rep=False,
     )(words, seg_nmcus, dc_luts, ac_luts)
+    return out, err, global_errs
 
 
 class _MeshHolder:
@@ -101,7 +108,7 @@ def decode_scan_sharded(hdr: FrameHeader, scan: ScanHeader,
     dc_j = jax.device_put(jnp.asarray(dc), repl)
     ac_j = jax.device_put(jnp.asarray(ac), repl)
 
-    out, err = _decode_segments_shmap(
+    out, err, global_errs = _decode_segments_shmap(
         words_j, nm_j, dc_j, ac_j,
         block_comp=block_comp, n_comps=len(hdr.components),
         max_mcus=max_mcus, mesh_holder=_MeshHolder(mesh))
