@@ -177,3 +177,39 @@ def test_geometry_img():
     assert (hdr.mcu_width, hdr.mcu_height) == (85, 57)
     assert (hdr.mcu_width_real, hdr.mcu_height_real) == (86, 58)
     assert (hdr.h_max, hdr.v_max) == (2, 2)
+
+
+def test_zero_based_component_ids():
+    # Reference quirk (jpeg.cpp:91-104): some encoders number components
+    # 0,1,2 instead of 1,2,3.  Patch a PIL-encoded image's SOF/SOS ids.
+    import io as _io
+    from PIL import Image as _Image
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (6, 6, 3)).astype(np.uint8)
+    buf = _io.BytesIO()
+    _Image.fromarray(np.asarray(_Image.fromarray(base).resize((48, 40)))
+                     ).save(buf, "JPEG", quality=90, subsampling=0)
+    data = bytearray(buf.getvalue())
+
+    # SOF0 segment: find FF C0; ids at offsets +10, +13, +16 from marker.
+    i = bytes(data).find(b"\xff\xc0")
+    assert i > 0
+    for k in range(3):
+        off = i + 10 + 3 * k
+        assert data[off] == k + 1
+        data[off] = k
+    # SOS segment: ids at +5, +7, +9.
+    j = bytes(data).find(b"\xff\xda")
+    for k in range(3):
+        off = j + 5 + 2 * k
+        assert data[off] == k + 1
+        data[off] = k
+
+    hdr = parser.parse(bytes(data))
+    assert hdr.zero_based_ids
+    from jpeg_decoder_tpu import decode
+
+    ref = decode(buf.getvalue(), entropy="python", idct="fast").rgb
+    got = decode(bytes(data), entropy="python", idct="fast").rgb
+    assert np.array_equal(ref, got)
