@@ -130,8 +130,10 @@ def main() -> int:
 
     from jpeg_decoder_tpu.models.batch import BatchDecoder
 
+    wire = os.environ.get("BENCH_WIRE", "sparse")
+    log(f"wire format: {wire}")
     bd = BatchDecoder(entropy="auto", idct="fast", upsample="fancy",
-                      device=dev, host_threads=2)
+                      device=dev, host_threads=2, wire=wire)
 
     # Workload: ROUNDS copies of the corpus, decoded in batched groups.
     # Decoded RGB stays DEVICE-RESIDENT (the TPU decode product feeds

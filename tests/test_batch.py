@@ -1,0 +1,172 @@
+"""Batched decode path (models/batch.py): wire formats, grouping, isolation.
+
+The batched path must produce exactly the same RGB as the single-image
+``decode()`` API for every wire format — the wire encoding is lossless by
+construction and these tests pin that down (including escape coefficients,
+gap extenders, ragged padding, and non-power-of-two batch sizes).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from conftest import CORPUS, PROGRESSIVE_CORPUS, corpus_path
+
+from jpeg_decoder_tpu import decode
+from jpeg_decoder_tpu.models.batch import (
+    BatchDecoder, pack_blocks, sparsify_ac)
+
+
+def _blob(name: str) -> bytes:
+    with open(corpus_path(name), "rb") as f:
+        return f.read()
+
+
+# ---------------------------------------------------------------------------
+# sparsify_ac: encoding round-trip (host-side property tests)
+# ---------------------------------------------------------------------------
+
+def _unsparsify(g: np.ndarray, v: np.ndarray, n_coef: int) -> np.ndarray:
+    """NumPy model of the device reconstruction (cumsum + scatter-add)."""
+    flat = np.zeros(n_coef, np.int32)
+    idx = np.cumsum(g.astype(np.int64)) - 1
+    np.add.at(flat, idx[idx >= 0], v[idx >= 0])
+    return flat
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("density", [0.0, 0.01, 0.15, 1.0])
+def test_sparsify_roundtrip(seed, density):
+    rng = np.random.default_rng(seed)
+    n_blocks = 37
+    blocks = np.zeros((n_blocks, 64), np.int32)
+    mask = rng.random(blocks.shape) < density
+    mask[:, 0] = False  # DC slots are zero in the AC plane
+    blocks[mask] = rng.integers(-128, 128, mask.sum())
+    ac8 = blocks.astype(np.int8)
+    g, v = sparsify_ac(ac8)
+    assert g.dtype == np.uint8 and v.dtype == np.int8
+    out = _unsparsify(g, v, n_blocks * 64)
+    np.testing.assert_array_equal(out, blocks.reshape(-1))
+
+
+def test_sparsify_long_gaps_extenders():
+    """Gaps > 255 must emit (255, 0) extender entries, exactly."""
+    ac8 = np.zeros((100, 64), np.int8)
+    flat = ac8.reshape(-1)
+    positions = [0, 1, 300, 301, 1000, 6399]  # gaps incl. 299 and 5399
+    for p in positions:
+        flat[p] = 7
+    g, v = sparsify_ac(ac8)
+    assert (v[g == 255] == 0).sum() >= 1 or 255 not in g[v != 0]
+    out = _unsparsify(g, v, flat.size)
+    np.testing.assert_array_equal(out, flat.astype(np.int32))
+    # entries with val==0 are exactly the extenders; all gaps in [0,255]
+    assert g.max() <= 255 and g.min() >= 1
+
+
+def test_sparsify_matches_pack_blocks_on_corpus():
+    """Wire encodings agree with each other on a real image."""
+    from jpeg_decoder_tpu.entropy import python_ref
+    from jpeg_decoder_tpu.io import parser
+
+    hdr = parser.parse(_blob("img2.jpg"))
+    blocks = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
+    dc16, ac8, ei, ev = pack_blocks(np.asarray(blocks))
+    g, v = sparsify_ac(ac8)
+    flat = _unsparsify(g, v, ac8.size)
+    np.testing.assert_array_equal(flat, ac8.reshape(-1).astype(np.int32))
+
+
+def test_native_sparse_emitter_matches_numpy():
+    """The C++ sparse emitter must produce the exact byte stream of
+    sparsify_ac over the packed decode, including the threaded
+    segment-splice path (img4.jpg has DRI=100 -> 160 segments)."""
+    from jpeg_decoder_tpu.entropy import native
+    from jpeg_decoder_tpu.io import parser
+
+    if not native.available():
+        pytest.skip("native backend unavailable")
+    for name in ("img2.jpg", "img4.jpg", "img5.jpg"):
+        hdr = parser.parse(_blob(name))
+        dc_p, ac8, ei_p, ev_p = native.decode_scan_packed(hdr, hdr.scans[0])
+        g_ref, v_ref = sparsify_ac(ac8)
+        for nt in (1, 2):
+            dc, g, v, ei, ev = native.decode_scan_sparse(
+                hdr, hdr.scans[0], n_threads=nt)
+            np.testing.assert_array_equal(dc, dc_p, err_msg=name)
+            np.testing.assert_array_equal(g, g_ref, err_msg=name)
+            np.testing.assert_array_equal(v, v_ref, err_msg=name)
+            o1, o2 = np.argsort(ei, kind="stable"), np.argsort(
+                ei_p, kind="stable")
+            np.testing.assert_array_equal(ei[o1], ei_p[o2], err_msg=name)
+            np.testing.assert_array_equal(ev[o1], ev_p[o2], err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# BatchDecoder end-to-end vs single-image decode
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("wire", ["sparse", "packed"])
+def test_batch_matches_single(wire):
+    names = ["img.jpg", "img2.jpg", "img4.jpg"]
+    blobs = [_blob(n) for n in names]
+    bd = BatchDecoder(entropy="auto", idct="fast", upsample="fancy",
+                      wire=wire)
+    items = bd.decode(blobs)
+    for name, blob, item in zip(names, blobs, items):
+        assert item.ok, item.error
+        ref = decode(blob, idct="fast", upsample="fancy").rgb
+        np.testing.assert_array_equal(
+            np.asarray(item.rgb), np.asarray(ref), err_msg=name)
+
+
+@pytest.mark.parametrize("wire", ["sparse", "packed"])
+def test_batch_same_geometry_nonpow2(wire):
+    """5 copies of one geometry exercises the pow-2 batch padding."""
+    blob = _blob("img6.jpg")
+    bd = BatchDecoder(wire=wire)
+    items = bd.decode([blob] * 5)
+    ref = np.asarray(decode(blob, idct="fast", upsample="fancy").rgb)
+    for item in items:
+        assert item.ok
+        np.testing.assert_array_equal(np.asarray(item.rgb), ref)
+
+
+def test_batch_error_isolation():
+    """A malformed image fails alone; the rest of the batch decodes."""
+    good = _blob("img2.jpg")
+    bad = b"\xff\xd8\xff\xdb\x00\x04garbage"
+    items = BatchDecoder().decode([good, bad, good])
+    assert items[0].ok and items[2].ok and not items[1].ok
+    assert isinstance(items[1].error, Exception)
+    ref = np.asarray(decode(good, idct="fast", upsample="fancy").rgb)
+    np.testing.assert_array_equal(np.asarray(items[0].rgb), ref)
+    np.testing.assert_array_equal(np.asarray(items[2].rgb), ref)
+
+
+@pytest.mark.slow
+def test_batch_progressive_in_batch():
+    """Progressive images flow through the batch path (host planes)."""
+    names = ["img3.jpg", PROGRESSIVE_CORPUS[0]]
+    blobs = [_blob(n) for n in names]
+    items = BatchDecoder(wire="sparse").decode(blobs)
+    for name, blob, item in zip(names, blobs, items):
+        assert item.ok, item.error
+        ref = decode(blob, idct="fast", upsample="fancy").rgb
+        np.testing.assert_array_equal(
+            np.asarray(item.rgb), np.asarray(ref), err_msg=name)
+
+
+def test_batch_wave_pipelining():
+    """Wave-split path (len > wave) produces in-order, correct results."""
+    blobs = [_blob("img2.jpg"), _blob("img6.jpg")] * 3
+    items = BatchDecoder(wire="sparse").decode(blobs, wave=2)
+    refs = {n: np.asarray(decode(_blob(n), idct="fast",
+                                 upsample="fancy").rgb)
+            for n in ("img2.jpg", "img6.jpg")}
+    for i, item in enumerate(items):
+        assert item.ok and item.index == i
+        name = "img2.jpg" if i % 2 == 0 else "img6.jpg"
+        np.testing.assert_array_equal(np.asarray(item.rgb), refs[name])
