@@ -160,7 +160,7 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
     lay = scan_layout(hdr)
     comps = hdr.components
 
-    data = np.concatenate([scan.data, np.zeros(8, np.uint8)])
+    data = np.concatenate([scan.data, np.zeros(256, np.uint8)])
     seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
     n_segments = len(seg_offsets) - 1
     ri = scan.restart_interval
@@ -205,7 +205,7 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader,
     comps = hdr.components
     if len(scan.seg_offsets) != 2:
         raise JPEGError("speculative decode requires a single-segment scan")
-    data = np.concatenate([scan.data, np.zeros(8, np.uint8)])
+    data = np.concatenate([scan.data, np.zeros(256, np.uint8)])
     h = np.array([c.h for c in comps], np.int32)
     v = np.array([c.v for c in comps], np.int32)
     dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
@@ -241,7 +241,7 @@ def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,
     lay = scan_layout(hdr)
     comps = hdr.components
 
-    data = np.concatenate([scan.data, np.zeros(8, np.uint8)])
+    data = np.concatenate([scan.data, np.zeros(256, np.uint8)])
     seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
     n_segments = len(seg_offsets) - 1
     ri = scan.restart_interval
@@ -303,7 +303,7 @@ def decode_scan_sparse(hdr: FrameHeader, scan: ScanHeader,
     lay = scan_layout(hdr)
     comps = hdr.components
 
-    data = np.concatenate([scan.data, np.zeros(8, np.uint8)])
+    data = np.concatenate([scan.data, np.zeros(256, np.uint8)])
     seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
     n_segments = len(seg_offsets) - 1
     ri = scan.restart_interval
@@ -378,7 +378,7 @@ def decode_progressive(hdr: FrameHeader) -> list:
         planes.append(np.zeros((rows, cols, 64), np.int32))
 
     for scan in hdr.scans:
-        data = np.concatenate([scan.data, np.zeros(8, np.uint8)])
+        data = np.concatenate([scan.data, np.zeros(256, np.uint8)])
         seg_offsets = np.ascontiguousarray(scan.seg_offsets, np.int64)
         n_segments = len(seg_offsets) - 1
         ri = scan.restart_interval

@@ -45,20 +45,24 @@ constexpr int kZigzag[64] = {
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
 struct BitReader {
-  const uint8_t* data;  // caller guarantees >= 4 readable bytes past end
+  const uint8_t* data;  // caller guarantees >= 256 readable bytes past end
   int64_t pos;          // absolute bit position
-  int64_t end;          // end bit position (soft; reads past return 0 bits)
+  int64_t end;          // end bit position; loops bound overrun to one block
 
-  inline uint32_t be32() const {
-    const uint8_t* p = data + (pos >> 3);
-    return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
-           (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+  // 64-bit big-endian window with the bit at `pos` in the MSB: one
+  // unaligned load + bswap serves both the 16-bit LUT probe and the
+  // value bits of the same symbol (<= 16 + 11 bits consumed per call).
+  inline uint64_t window() const {
+    uint64_t w;
+    std::memcpy(&w, data + (pos >> 3), 8);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+    w = __builtin_bswap64(w);
+#endif
+    return w << (pos & 7);
   }
-  inline uint32_t peek16() const {
-    return (be32() << (pos & 7)) >> 16;
-  }
+  inline uint32_t peek16() const { return uint32_t(window() >> 48); }
   inline uint32_t getbits(int n) {  // n in [1, 16]
-    uint32_t v = (be32() << (pos & 7)) >> (32 - n);
+    uint32_t v = uint32_t(window() >> (64 - n));
     pos += n;
     return v;
   }
@@ -77,33 +81,39 @@ inline int32_t extend(uint32_t value, int size) {
 inline int decode_block(BitReader& br, const LutEntry* dc_lut,
                         const LutEntry* ac_lut, int32_t* out,
                         int32_t& pred) {
-  LutEntry t = dc_lut[br.peek16()];
+  uint64_t w = br.window();
+  LutEntry t = dc_lut[w >> 48];
   int len = t & 31;
   if (len == 0) return 1;  // invalid DC code
-  br.pos += len;
   int size = t >> 5;
   if (size > 11) return 2;  // invalid DC size (jpeg.cpp:330-334)
-  int32_t diff = size ? extend(br.getbits(size), size) : 0;
+  int32_t diff =
+      size ? extend(uint32_t((w << len) >> (64 - size)), size) : 0;
+  br.pos += len + size;
   pred += diff;
   out[0] = pred;
 
   int i = 1;
   while (i < 64) {
-    t = ac_lut[br.peek16()];
+    w = br.window();
+    t = ac_lut[w >> 48];
     len = t & 31;
     if (len == 0) return 3;  // invalid AC code
-    br.pos += len;
     int sym = t >> 5;
-    if (sym == 0x00) break;  // EOB
+    if (sym == 0x00) {  // EOB
+      br.pos += len;
+      break;
+    }
     int run = (sym == 0xF0) ? 16 : (sym >> 4);
     int csize = sym & 0x0F;
     if (i + run > 64 || (csize != 0 && i + run >= 64)) return 4;
     i += run;
     if (csize) {
       if (csize > 10) return 5;  // jpeg.cpp:381-384
-      out[kZigzag[i]] = extend(br.getbits(csize), csize);
+      out[kZigzag[i]] = extend(uint32_t((w << len) >> (64 - csize)), csize);
       ++i;
     }
+    br.pos += len + csize;
   }
   return 0;
 }
@@ -116,25 +126,30 @@ inline int decode_block(BitReader& br, const LutEntry* dc_lut,
 inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
                              const LutEntry* ac_lut, int32_t* out,
                              int32_t& pred, uint64_t& mask) {
-  LutEntry t = dc_lut[br.peek16()];
+  uint64_t w = br.window();
+  LutEntry t = dc_lut[w >> 48];
   int len = t & 31;
   if (len == 0) return 1;
-  br.pos += len;
   int size = t >> 5;
   if (size > 11) return 2;
-  int32_t diff = size ? extend(br.getbits(size), size) : 0;
+  int32_t diff =
+      size ? extend(uint32_t((w << len) >> (64 - size)), size) : 0;
+  br.pos += len + size;
   pred += diff;
   out[0] = pred;
   mask = 0;
 
   int i = 1;
   while (i < 64) {
-    t = ac_lut[br.peek16()];
+    w = br.window();
+    t = ac_lut[w >> 48];
     len = t & 31;
     if (len == 0) return 3;
-    br.pos += len;
     int sym = t >> 5;
-    if (sym == 0x00) break;  // EOB
+    if (sym == 0x00) {  // EOB
+      br.pos += len;
+      break;
+    }
     int run = (sym == 0xF0) ? 16 : (sym >> 4);
     int csize = sym & 0x0F;
     if (i + run > 64 || (csize != 0 && i + run >= 64)) return 4;
@@ -142,10 +157,11 @@ inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
     if (csize) {
       if (csize > 10) return 5;
       int nat = kZigzag[i];
-      out[nat] = extend(br.getbits(csize), csize);
+      out[nat] = extend(uint32_t((w << len) >> (64 - csize)), csize);
       mask |= uint64_t(1) << nat;
       ++i;
     }
+    br.pos += len + csize;
   }
   return 0;
 }
@@ -178,6 +194,7 @@ int decode_segment(const ScanJob& job, int seg) {
       const CompSpec& c = job.comps[ci];
       int rc = decode_block(br, c.dc_lut, c.ac_lut, base + k * 64, preds[ci]);
       if (rc) return rc;
+      if (br.pos > br.end) return 6;  // truncated segment
     }
   }
   return 0;
@@ -232,6 +249,7 @@ static int decode_mcu_diff(const ScanJob& job, BitReader& br, int32_t* out) {
     std::memset(out + k * 64, 0, 64 * sizeof(int32_t));
     int rc = decode_block(br, c.dc_lut, c.ac_lut, out + k * 64, zero_pred);
     if (rc) return rc;
+    if (br.pos > br.end) return 6;  // ran past the stream end
   }
   return 0;
 }
@@ -554,6 +572,7 @@ int64_t jd_decode_scan_packed(const uint8_t* data,
         std::memset(tmp, 0, sizeof(tmp));
         int rc = decode_block(br, c.dc_lut, c.ac_lut, tmp, preds[ci]);
         if (rc) return rc;
+        if (br.pos > br.end) return 6;  // truncated segment
         int64_t bi = m * job.blocks_per_mcu + k;
         dc_out[bi] = int16_t(tmp[0]);
         int8_t* ac = ac_out + bi * 64;
@@ -698,6 +717,7 @@ int64_t jd_decode_scan_sparse(const uint8_t* data,
         int rc = decode_block_mask(br, c.dc_lut, c.ac_lut, tmp, preds[ci],
                                    mask);
         if (rc) return rc;
+        if (br.pos > br.end) return 6;  // truncated segment
         const int64_t bi = m * job.blocks_per_mcu + k;
         dc_out[bi] = int16_t(tmp[0]);
         const int64_t babs = bi * 64;
@@ -874,6 +894,7 @@ int64_t jd_prog_dc_scan(const uint8_t* data, const int64_t* seg_offsets,
           if (br.getbits(1)) blk[0] |= (1 << al);
         }
       }
+      if (br.pos > br.end) return 6;  // truncated scan
     }
   }
   return mcu == n_mcus ? 0 : -4;
@@ -976,6 +997,7 @@ int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
           --eobrun;
         }
       }
+      if (br.pos > br.end) return 6;  // truncated scan
     }
   }
   return mcu == n_mcus ? 0 : -4;

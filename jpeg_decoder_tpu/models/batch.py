@@ -153,6 +153,17 @@ def _batched_from_packed(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b,
     return jax.vmap(one)(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b)
 
 
+def _bucket(n: int, min_size: int = 256) -> int:
+    """Round up keeping 3 significant bits (max 12.5% padding waste).
+
+    Pure pow-2 bucketing wastes up to 2x wire bytes on the padded sparse
+    streams — material when H2D transfer is the bottleneck.  Finer buckets
+    trade a few more compiled programs for tight transfers."""
+    n = max(n, min_size)
+    step = 1 << max((n - 1).bit_length() - 3, 0)
+    return -(-n // step) * step
+
+
 @dataclasses.dataclass
 class BatchItem:
     index: int              # position in the input list
@@ -297,9 +308,8 @@ class BatchDecoder:
             n_coef = dc_b.shape[1] * 64
             if sparse:
                 # Sparse (gap, val) streams are ragged: pad to the group
-                # max (pow-2 bucket) with (0, 0) no-op fillers.
-                kmax = max(1, max(len(p[1]) for p in packs))
-                kmax = 1 << (kmax - 1).bit_length()
+                # max (bucketed) with (0, 0) no-op fillers.
+                kmax = _bucket(max(len(p[1]) for p in packs))
                 g_b = np.zeros((len(packs), kmax), np.uint8)
                 v_b = np.zeros((len(packs), kmax), np.int8)
                 for k, p in enumerate(packs):
@@ -309,11 +319,9 @@ class BatchDecoder:
             else:
                 ac_b = np.stack([p[1] for p in packs])
                 ac_parts, ei_at, ev_at = (ac_b,), 2, 3
-            # Escape lists are ragged: pad each to the group max (bucketed
-            # to a power of two) with out-of-range indices, dropped by the
-            # device-side scatter.
-            emax = max(1, max(len(p[ei_at]) for p in packs))
-            emax = 1 << (emax - 1).bit_length()
+            # Escape lists are ragged: pad each to the group max (bucketed)
+            # with out-of-range indices, dropped by the device-side scatter.
+            emax = _bucket(max(len(p[ei_at]) for p in packs), min_size=64)
             ei_b = np.full((len(packs), emax), n_coef, np.int32)
             ev_b = np.zeros((len(packs), emax), np.int16)
             for k, p in enumerate(packs):
