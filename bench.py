@@ -132,7 +132,7 @@ def main() -> int:
 
     from jpeg_decoder_tpu.models.batch import BatchDecoder
 
-    wire = os.environ.get("BENCH_WIRE", "sparse")
+    wire = os.environ.get("BENCH_WIRE", "nibble")
     log(f"wire format: {wire}")
     bd = BatchDecoder(entropy="auto", idct="fast", upsample="fancy",
                       device=dev, host_threads=2, wire=wire)
@@ -169,7 +169,7 @@ def main() -> int:
 
     try:
         fut = ThreadPoolExecutor(1).submit(spot_check)
-        md = fut.result(timeout=180)
+        md = fut.result(timeout=60)
         assert md <= 2, f"bench output mismatch (max diff {md})"
         log(f"correctness spot check passed (max diff {md})")
     except TimeoutError:

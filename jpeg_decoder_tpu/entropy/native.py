@@ -57,7 +57,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 5:
+        if lib.jd_abi_version() != 6:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_decode_scan.restype = ctypes.c_int64
         lib.jd_decode_scan.argtypes = [
@@ -108,6 +108,23 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,   # dc_out, ac_out
+            ctypes.c_void_p, ctypes.c_void_p,   # esc_idx, esc_val
+            ctypes.c_int64, ctypes.c_void_p,    # esc_cap, esc_count
+            ctypes.c_int32,                     # n_threads
+        ]
+        lib.jd_decode_scan_nibble.restype = ctypes.c_int64
+        lib.jd_decode_scan_nibble.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p,                    # dc_out
+            ctypes.c_void_p, ctypes.c_int64,    # entry_out, entry_cap
+            ctypes.c_void_p,                    # entry_count
+            ctypes.c_void_p, ctypes.c_int64,    # ov_out, ov_cap
+            ctypes.c_void_p,                    # ov_count
             ctypes.c_void_p, ctypes.c_void_p,   # esc_idx, esc_val
             ctypes.c_int64, ctypes.c_void_p,    # esc_cap, esc_count
             ctypes.c_int32,                     # n_threads
@@ -358,6 +375,74 @@ def decode_scan_sparse(hdr: FrameHeader, scan: ScanHeader,
         k = int(sparse_count[0])
         e = int(esc_count[0])
         return (dc16, gaps[:k].copy(), vals[:k].copy(),
+                esc_idx[:e].copy(), esc_val[:e].copy())
+
+
+def decode_scan_nibble(hdr: FrameHeader, scan: ScanHeader,
+                       n_threads: int | None = None):
+    """Decode straight to the nibble wire format (int16 DC plane +
+    (gap<<4)|val-code uint8 entry stream + int8 overflow stream + escape
+    list); see models.batch.nibbleize_ac for the encoding.
+
+    Returns (dc16 (N,), entries (K,) uint8, ov (O,) int8,
+    esc_idx (E,) int32, esc_val (E,) int16)."""
+    lib = _load()
+    lay = scan_layout(hdr)
+    comps = hdr.components
+
+    data = np.concatenate([scan.data, np.zeros(256, np.uint8)])
+    seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
+    n_segments = len(seg_offsets) - 1
+    ri = scan.restart_interval
+    expected = -(-lay.n_mcus // ri) if ri else 1
+    if n_segments != expected:
+        raise JPEGError(
+            f"restart-segment count {n_segments} does not match DRI {ri}")
+
+    h = np.array([c.h for c in comps], np.int32)
+    v = np.array([c.v for c in comps], np.int32)
+    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
+    ac_luts = [_lut16(scan.ac_specs[c.ta]) for c in comps]
+    PtrArray = ctypes.c_void_p * len(comps)
+    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
+    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+
+    n_blocks = lay.total_blocks
+    dc16 = np.empty((n_blocks,), np.int16)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, max(1, n_segments))
+
+    entry_cap = max(4096, n_blocks * 12)
+    ov_cap = max(1024, n_blocks * 3)
+    esc_cap = max(4096, n_blocks // 2)
+    while True:
+        entries = np.empty((entry_cap,), np.uint8)
+        ov = np.empty((ov_cap,), np.int8)
+        esc_idx = np.empty((esc_cap,), np.int32)
+        esc_val = np.empty((esc_cap,), np.int16)
+        counts = np.zeros((3,), np.int64)
+        rc = lib.jd_decode_scan_nibble(
+            data.ctypes.data, seg_offsets.ctypes.data, n_segments,
+            len(comps), h.ctypes.data, v.ctypes.data,
+            dc_ptrs, ac_ptrs,
+            lay.n_mcus, ri,
+            dc16.ctypes.data,
+            entries.ctypes.data, entry_cap, counts[0:].ctypes.data,
+            ov.ctypes.data, ov_cap, counts[1:].ctypes.data,
+            esc_idx.ctypes.data, esc_val.ctypes.data,
+            esc_cap, counts[2:].ctypes.data, n_threads,
+        )
+        if rc == -3:  # capacity exceeded
+            entry_cap *= 4
+            ov_cap *= 4
+            esc_cap *= 4
+            continue
+        if rc != 0:
+            raise JPEGError(
+                f"native nibble entropy decode failed: segment {rc >> 8}, "
+                f"error code {rc & 0xFF}")
+        k, o, e = (int(x) for x in counts)
+        return (dc16, entries[:k].copy(), ov[:o].copy(),
                 esc_idx[:e].copy(), esc_val[:e].copy())
 
 

@@ -820,6 +820,208 @@ int64_t jd_decode_scan_sparse(const uint8_t* data,
   return 0;
 }
 
+// Nibble-wire-format decode ("v2"): one uint8 entry per nonzero,
+// (gap<<4)|val-code, plus an int8 overflow stream for |val| > 7 and the
+// usual escape list for |val| > 127 (see models/batch.py nibbleize_ac for
+// the code assignments and device-side reconstruction).  ~1.5x fewer
+// wire bytes than the (gap u8, val i8) sparse format on the corpus.
+//
+// Returns 0 ok; -3 on entry/ov/esc capacity overflow (caller retries);
+// else (segment << 8) | error_code.
+int64_t jd_decode_scan_nibble(const uint8_t* data,
+                              const int64_t* seg_offsets, int32_t n_segments,
+                              int32_t n_comps,
+                              const int32_t* h, const int32_t* v,
+                              const int16_t* const* dc_luts,
+                              const int16_t* const* ac_luts,
+                              int64_t n_mcus, int64_t restart_interval,
+                              int16_t* dc_out,
+                              uint8_t* entry_out, int64_t entry_cap,
+                              int64_t* entry_count,
+                              int8_t* ov_out, int64_t ov_cap,
+                              int64_t* ov_count,
+                              int32_t* esc_idx, int16_t* esc_val,
+                              int64_t esc_cap, int64_t* esc_count,
+                              int32_t n_threads) {
+  if (n_comps < 1 || n_comps > kMaxComps) return -1;
+  ScanJob job;
+  job.data = data;
+  job.seg_offsets = seg_offsets;
+  job.n_segments = n_segments;
+  job.n_comps = n_comps;
+  job.n_mcus = n_mcus;
+  job.restart_interval = restart_interval;
+  job.out = nullptr;
+  int bpm = 0;
+  for (int ci = 0; ci < n_comps; ++ci) {
+    job.comps[ci] = CompSpec{int(h[ci]), int(v[ci]), dc_luts[ci], ac_luts[ci]};
+    for (int b = 0; b < h[ci] * v[ci]; ++b) {
+      if (bpm >= kMaxComps * 16) return -2;
+      job.block_comp[bpm++] = ci;
+    }
+  }
+  job.blocks_per_mcu = bpm;
+
+  struct SegNib {
+    std::unique_ptr<uint8_t[]> entries;  // uninitialized worst-case buffer
+    size_t n = 0;
+    size_t first_chain = 0;  // entries encoding the first nonzero's gap
+    int64_t first_abs = -1, last_abs = -1;
+    std::vector<int8_t> ov;
+    std::vector<int32_t> eidx;
+    std::vector<int16_t> eval;
+  };
+  std::vector<SegNib> segs(std::max(1, int(n_segments)));
+  std::atomic<int64_t> err{0};
+
+  auto run_seg = [&](int seg) -> int {
+    SegNib& out = segs[seg];
+    BitReader br{job.data, job.seg_offsets[seg] * 8,
+                 job.seg_offsets[seg + 1] * 8};
+    int32_t preds[kMaxComps] = {0, 0, 0, 0};
+    int64_t mcu0 = job.restart_interval ? job.restart_interval * seg : 0;
+    int64_t mcu1 = job.restart_interval
+                       ? std::min(job.n_mcus, mcu0 + job.restart_interval)
+                       : job.n_mcus;
+    const int64_t base = mcu0 * job.blocks_per_mcu * 64;
+    int64_t prev = base - 1;
+    // Worst case: per nonzero 1 real + 1 scaled extender; chain extenders
+    // bounded by total span / 240.
+    const int64_t n_blocks_seg = (mcu1 - mcu0) * job.blocks_per_mcu;
+    const size_t cap = size_t(n_blocks_seg) * 128 + 16;
+    out.entries.reset(new uint8_t[cap]);
+    uint8_t* ep = out.entries.get();
+    int32_t tmp[64];
+    bool first = true;
+    for (int64_t m = mcu0; m < mcu1; ++m) {
+      for (int k = 0; k < job.blocks_per_mcu; ++k) {
+        int ci = job.block_comp[k];
+        const CompSpec& c = job.comps[ci];
+        uint64_t mask;
+        int rc = decode_block_mask(br, c.dc_lut, c.ac_lut, tmp, preds[ci],
+                                   mask);
+        if (rc) return rc;
+        if (br.pos > br.end) return 6;  // truncated segment
+        const int64_t bi = m * job.blocks_per_mcu + k;
+        dc_out[bi] = int16_t(tmp[0]);
+        const int64_t babs = bi * 64;
+        while (mask) {
+          const int i = __builtin_ctzll(mask);
+          mask &= mask - 1;
+          const int32_t val = tmp[i];
+          const int64_t abs_i = babs + i;
+          int64_t g = abs_i - prev;
+          while (g > 255) {
+            *ep++ = 0xF0;  // chain extender: advance 240
+            g -= 240;
+          }
+          if (g > 15) {
+            *ep++ = uint8_t((g >> 4) << 4);  // scaled extender: g_hi * 16
+            g &= 15;
+          }
+          uint8_t vcn;
+          if (val >= -7 && val <= 7) {
+            vcn = uint8_t(val & 15);
+          } else {
+            vcn = 8;
+            out.ov.push_back(
+                int8_t(val < -128 ? -128 : (val > 127 ? 127 : val)));
+            if (__builtin_expect(val < -128 || val > 127, 0)) {
+              out.eidx.push_back(int32_t(abs_i));
+              out.eval.push_back(int16_t(val));
+            }
+          }
+          *ep++ = uint8_t((g << 4) | vcn);
+          if (first) {
+            first = false;
+            out.first_abs = abs_i;
+            out.first_chain = size_t(ep - out.entries.get());
+          }
+          prev = abs_i;
+        }
+      }
+    }
+    out.n = size_t(ep - out.entries.get());
+    out.last_abs = (prev >= base) ? prev : -1;
+    return 0;
+  };
+
+  if (n_threads <= 1 || n_segments <= 1) {
+    for (int s = 0; s < n_segments; ++s) {
+      int rc = run_seg(s);
+      if (rc) return (int64_t(s) << 8) | rc;
+    }
+  } else {
+    std::atomic<int> next{0};
+    int nt = std::min<int>(n_threads, n_segments);
+    std::vector<std::thread> workers;
+    workers.reserve(nt);
+    for (int t = 0; t < nt; ++t) {
+      workers.emplace_back([&]() {
+        for (;;) {
+          int s = next.fetch_add(1);
+          if (s >= job.n_segments || err.load()) return;
+          int rc = run_seg(s);
+          if (rc) {
+            int64_t e = (int64_t(s) << 8) | rc;
+            int64_t zero = 0;
+            err.compare_exchange_strong(zero, e);
+            return;
+          }
+        }
+      });
+    }
+    for (auto& w : workers) w.join();
+    if (err.load()) return err.load();
+  }
+
+  // Splice: re-encode each segment's first gap chain against the true
+  // previous nonzero, copy the rest; ov/escapes concatenate in order.
+  int64_t sp = 0, op = 0, ep_ = 0;
+  int64_t prev_abs = -1;
+  for (int s = 0; s < std::max(1, int(n_segments)); ++s) {
+    SegNib& sg = segs[s];
+    if (sg.n != 0) {
+      int64_t g = sg.first_abs - prev_abs;
+      const uint8_t vcn = sg.entries[sg.first_chain - 1] & 15;
+      // Worst case chain length for g: g/240 + 2.
+      if (sp + int64_t(g / 240 + 2) + int64_t(sg.n - sg.first_chain) >
+          entry_cap)
+        return -3;
+      while (g > 255) {
+        entry_out[sp++] = 0xF0;
+        g -= 240;
+      }
+      if (g > 15) {
+        entry_out[sp++] = uint8_t((g >> 4) << 4);
+        g &= 15;
+      }
+      entry_out[sp++] = uint8_t((g << 4) | vcn);
+      std::memcpy(entry_out + sp, sg.entries.get() + sg.first_chain,
+                  sg.n - sg.first_chain);
+      sp += int64_t(sg.n - sg.first_chain);
+      prev_abs = sg.last_abs;
+    }
+    if (!sg.ov.empty()) {
+      if (op + int64_t(sg.ov.size()) > ov_cap) return -3;
+      std::memcpy(ov_out + op, sg.ov.data(), sg.ov.size());
+      op += int64_t(sg.ov.size());
+    }
+    if (!sg.eidx.empty()) {
+      if (ep_ + int64_t(sg.eidx.size()) > esc_cap) return -3;
+      std::memcpy(esc_idx + ep_, sg.eidx.data(),
+                  sg.eidx.size() * sizeof(int32_t));
+      std::memcpy(esc_val + ep_, sg.eval.data(),
+                  sg.eval.size() * sizeof(int16_t));
+      ep_ += int64_t(sg.eidx.size());
+    }
+  }
+  *entry_count = sp;
+  *ov_count = op;
+  *esc_count = ep_;
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Progressive scans (ITU-T T.81 Annex G.2) — native fast path.
 //
@@ -1004,6 +1206,6 @@ int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
 }
 
 // Version/capability probe for the ctypes wrapper.
-int32_t jd_abi_version() { return 5; }
+int32_t jd_abi_version() { return 6; }
 
 }  // extern "C"

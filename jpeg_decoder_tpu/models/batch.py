@@ -94,6 +94,80 @@ def sparsify_ac(ac8: np.ndarray):
     return g, v
 
 
+def nibbleize_ac(ac8: np.ndarray):
+    """Nibble wire encoding ("v2"): one byte per entry, (gap<<4)|val-code.
+
+    Val codes: 0x1-0x7 = +1..+7, 0x9-0xF = -7..-1 (two's-complement low
+    nibble), 0x8 = value overflows 4 bits and comes from the next slot of
+    the side `ov` int8 stream, 0x0 = extender (no value written).  Gap
+    semantics: a real entry advances by its gap nibble (0-15); an extender
+    entry advances by gap*16 (so one extender + one entry cover gaps up to
+    255, like the v1 uint8 gap; chains of (15,0) extenders cover more).
+
+    ~1.5x fewer wire bytes than the (gap u8, val i8) pair format on the
+    reference corpus (0.35 vs 0.52 B/px) — values cluster in [-7, 7].
+
+    Returns (entries (K,) uint8, ov (O,) int8).  |val| > 127 still goes
+    through the separate escape list (the int8 ov slot holds the clipped
+    value, exactly like the v1 val stream).
+    """
+    flat = ac8.reshape(-1)
+    nz = np.flatnonzero(flat)
+    vals = flat[nz].astype(np.int32)
+    gaps = np.diff(nz, prepend=-1)
+    n240 = np.maximum(0, -(-(gaps - 255) // 240))
+    rem = gaps - 240 * n240          # in [1, 255] (>= 16 when n240 > 0)
+    n16 = rem > 15
+    reps = n240 + n16 + 1
+    total = int(reps.sum())
+    e = np.full(total, 0xF0, np.uint8)     # default: chain extender (+240)
+    last = np.cumsum(reps) - 1
+    lo = np.where(n16, rem & 15, rem)
+    vc = np.where(np.abs(vals) <= 7, vals & 15, 8).astype(np.uint8)
+    e[last] = (lo.astype(np.uint8) << 4) | vc
+    scaled = last[n16] - 1
+    e[scaled] = (rem[n16] >> 4).astype(np.uint8) << 4
+    ov = np.clip(vals[np.abs(vals) > 7], -128, 127).astype(np.int8)
+    return e, ov
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample"))
+def _batched_from_nibble(dc16_b, e_b, ov_b, esc_idx_b, esc_val_b,
+                         qtables_b, comp_srcs, *, comp_shapes, height,
+                         width, samplings, idct, upsample):
+    """Nibble-wire batch: decode entry bytes, cumsum advances, scatter-add.
+
+    Padding: 0x00 filler entries advance 0 and write 0; all-filler rows
+    cumsum to -1 (dropped); ov pads are never ranked; escape pads are out
+    of range (dropped)."""
+
+    def one(dc16, e, ov, esc_idx, esc_val, qt):
+        n = dc16.shape[0]
+        ei = e.astype(jnp.int32)
+        g, vcode = ei >> 4, ei & 15
+        adv = jnp.where(vcode == 0, g * 16, g)
+        idx = jnp.cumsum(adv) - 1
+        v4 = ((vcode + 8) & 15) - 8          # 0x8 -> -8, replaced below
+        is_ov = vcode == 8
+        rank = jnp.cumsum(is_ov.astype(jnp.int32)) - 1
+        vals = jnp.where(is_ov, ov[rank].astype(jnp.int32), v4)
+        flat = jnp.zeros((n * 64,), jnp.int32)
+        flat = flat.at[idx].add(vals, mode="drop")
+        flat = flat.at[esc_idx].set(esc_val.astype(jnp.int32), mode="drop")
+        blocks = flat.reshape(n, 64).at[:, 0].set(dc16.astype(jnp.int32))
+        planes = tuple(
+            jnp.take(blocks, src, axis=0).reshape(rows, cols, 64)
+            for src, (rows, cols) in zip(comp_srcs, comp_shapes))
+        qts = tuple(qt[i] for i in range(len(comp_shapes)))
+        return pixel_ops.pixel_pipeline_impl(
+            planes, qts, height=height, width=width,
+            samplings=samplings, idct=idct, upsample=upsample)
+
+    return jax.vmap(one)(dc16_b, e_b, ov_b, esc_idx_b, esc_val_b,
+                         qtables_b)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "comp_shapes", "height", "width", "samplings", "idct", "upsample"))
 def _batched_from_sparse(dc16_b, gaps_b, vals_b, esc_idx_b, esc_val_b,
@@ -190,8 +264,8 @@ class BatchDecoder:
 
     def __init__(self, *, entropy: str = "auto", idct: str = "fast",
                  upsample: str = "fancy", device=None,
-                 host_threads: int | None = None, wire: str = "sparse"):
-        if wire not in ("sparse", "packed"):
+                 host_threads: int | None = None, wire: str = "nibble"):
+        if wire not in ("nibble", "sparse", "packed"):
             raise ValueError(f"unknown wire format {wire!r}")
         self.entropy = entropy
         self.idct = idct
@@ -204,6 +278,7 @@ class BatchDecoder:
         # Fast path: native decoder emits the wire format directly.
         self._packed_fn = None
         self._sparse_fn = None
+        self._nibble_fn = None
         if entropy in ("auto", "native"):
             try:
                 from ..entropy import native
@@ -211,6 +286,8 @@ class BatchDecoder:
                 if native.available():
                     self._packed_fn = native.decode_scan_packed
                     self._sparse_fn = native.decode_scan_sparse
+                    self._nibble_fn = getattr(
+                        native, "decode_scan_nibble", None)
             except Exception:
                 pass
 
@@ -233,6 +310,8 @@ class BatchDecoder:
             for ci, p in enumerate(planes):
                 blocks[lay.comp_src[ci]] = p.reshape(-1, 64)
             pack = pack_blocks(blocks)
+        elif self.wire == "nibble" and self._nibble_fn is not None:
+            return hdr, self._nibble_fn(hdr, hdr.scans[0])
         elif self.wire == "sparse" and self._sparse_fn is not None:
             # Native emitter: straight from the run-length decode loop to
             # the sparse wire, no dense AC plane at all.
@@ -242,6 +321,10 @@ class BatchDecoder:
         else:
             pack = pack_blocks(
                 np.asarray(self._decode_scan(hdr, hdr.scans[0])))
+        if self.wire == "nibble":
+            dc16, ac8, esc_idx, esc_val = pack
+            e, ov = nibbleize_ac(ac8)
+            return hdr, (dc16, e, ov, esc_idx, esc_val)
         if self.wire == "sparse":
             dc16, ac8, esc_idx, esc_val = pack
             g, v = sparsify_ac(ac8)
@@ -303,10 +386,22 @@ class BatchDecoder:
             samplings = tuple((hdr0.v_max // c.v, hdr0.h_max // c.h)
                               for c in hdr0.components)
             packs = [host_out[i][1] for i in idxs]
-            sparse = self.wire == "sparse"
+            wire = self.wire
             dc_b = np.stack([p[0] for p in packs])
             n_coef = dc_b.shape[1] * 64
-            if sparse:
+            if wire == "nibble":
+                # Entry and overflow streams are ragged with independent
+                # lengths: pad each to its own bucketed group max
+                # (0x00 entries / 0 values are no-ops).
+                kmax = _bucket(max(len(p[1]) for p in packs))
+                omax = _bucket(max(len(p[2]) for p in packs), min_size=64)
+                e_b = np.zeros((len(packs), kmax), np.uint8)
+                o_b = np.zeros((len(packs), omax), np.int8)
+                for k, p in enumerate(packs):
+                    e_b[k, :len(p[1])] = p[1]
+                    o_b[k, :len(p[2])] = p[2]
+                ac_parts, ei_at, ev_at = (e_b, o_b), 3, 4
+            elif wire == "sparse":
                 # Sparse (gap, val) streams are ragged: pad to the group
                 # max (bucketed) with (0, 0) no-op fillers.
                 kmax = _bucket(max(len(p[1]) for p in packs))
@@ -348,7 +443,9 @@ class BatchDecoder:
                                              qtables_b)]
             if self.device is not None:
                 arrs = [jax.device_put(x, self.device) for x in arrs]
-            fn = _batched_from_sparse if sparse else _batched_from_packed
+            fn = {"nibble": _batched_from_nibble,
+                  "sparse": _batched_from_sparse,
+                  "packed": _batched_from_packed}[wire]
             rgb_b = fn(
                 *arrs, comp_srcs,
                 comp_shapes=tuple(lay.comp_shapes),

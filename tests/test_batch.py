@@ -15,7 +15,7 @@ from conftest import CORPUS, PROGRESSIVE_CORPUS, corpus_path
 
 from jpeg_decoder_tpu import decode
 from jpeg_decoder_tpu.models.batch import (
-    BatchDecoder, pack_blocks, sparsify_ac)
+    BatchDecoder, nibbleize_ac, pack_blocks, sparsify_ac)
 
 
 def _blob(name: str) -> bytes:
@@ -104,11 +104,69 @@ def test_native_sparse_emitter_matches_numpy():
             np.testing.assert_array_equal(ev[o1], ev_p[o2], err_msg=name)
 
 
+def _unnibble(e: np.ndarray, ov: np.ndarray, n_coef: int) -> np.ndarray:
+    """NumPy model of the device nibble reconstruction."""
+    g, vc = e >> 4, e & 15
+    adv = np.where(vc == 0, g.astype(np.int64) * 16, g)
+    idx = np.cumsum(adv) - 1
+    v4 = ((vc.astype(np.int32) + 8) & 15) - 8
+    is_ov = vc == 8
+    rank = np.cumsum(is_ov) - 1
+    vals = np.where(is_ov, ov[np.clip(rank, 0, max(len(ov) - 1, 0))]
+                    if len(ov) else 0, v4)
+    flat = np.zeros(n_coef, np.int32)
+    keep = idx >= 0
+    np.add.at(flat, idx[keep], vals[keep])
+    return flat
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+@pytest.mark.parametrize("density", [0.0, 0.003, 0.05, 0.5])
+def test_nibbleize_roundtrip(seed, density):
+    rng = np.random.default_rng(seed)
+    blocks = np.zeros((53, 64), np.int32)
+    mask = rng.random(blocks.shape) < density
+    mask[:, 0] = False
+    blocks[mask] = rng.integers(-128, 128, mask.sum())
+    blocks[mask & (blocks == 0)] = 1
+    ac8 = blocks.astype(np.int8)
+    e, ov = nibbleize_ac(ac8)
+    out = _unnibble(e, ov, ac8.size)
+    np.testing.assert_array_equal(out, ac8.reshape(-1).astype(np.int32))
+
+
+def test_nibbleize_gap_boundaries():
+    """Exercise every extender regime: <=15, 16..255, 256..495, huge."""
+    ac8 = np.zeros((200, 64), np.int8)
+    flat = ac8.reshape(-1)
+    pos = [0, 10, 25, 26, 280, 290, 800, 6000, 6001, 12799]
+    for p_ in pos:
+        flat[p_] = -9  # also exercises the overflow stream
+    e, ov = nibbleize_ac(ac8)
+    assert len(ov) == len(pos)
+    out = _unnibble(e, ov, flat.size)
+    np.testing.assert_array_equal(out, flat.astype(np.int32))
+
+
+def test_nibbleize_matches_sparse_on_corpus():
+    from jpeg_decoder_tpu.entropy import native
+    from jpeg_decoder_tpu.io import parser
+
+    if not native.available():
+        pytest.skip("native backend unavailable")
+    hdr = parser.parse(_blob("img5.jpg"))
+    _, ac8, _, _ = native.decode_scan_packed(hdr, hdr.scans[0])
+    e, ov = nibbleize_ac(ac8)
+    out = _unnibble(e, ov, ac8.size)
+    np.testing.assert_array_equal(out, ac8.reshape(-1).astype(np.int32))
+    assert len(e) + len(ov) < 2 * np.count_nonzero(ac8) * 1.05
+
+
 # ---------------------------------------------------------------------------
 # BatchDecoder end-to-end vs single-image decode
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("wire", ["sparse", "packed"])
+@pytest.mark.parametrize("wire", ["nibble", "sparse", "packed"])
 def test_batch_matches_single(wire):
     names = ["img.jpg", "img2.jpg", "img4.jpg"]
     blobs = [_blob(n) for n in names]
@@ -122,7 +180,7 @@ def test_batch_matches_single(wire):
             np.asarray(item.rgb), np.asarray(ref), err_msg=name)
 
 
-@pytest.mark.parametrize("wire", ["sparse", "packed"])
+@pytest.mark.parametrize("wire", ["nibble", "sparse", "packed"])
 def test_batch_same_geometry_nonpow2(wire):
     """5 copies of one geometry exercises the pow-2 batch padding."""
     blob = _blob("img6.jpg")
