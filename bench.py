@@ -107,6 +107,16 @@ def measure_reference_mps() -> float | None:
 def main() -> int:
     import jax
 
+    # Persistent compilation cache: warmup compiles through the remote-TPU
+    # tunnel can take minutes in bad windows; cached executables load in
+    # seconds on later runs.  Best-effort (not all platforms serialize).
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".cache", "jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # noqa: BLE001
+        log("compilation cache unavailable:", e)
+
     from jpeg_decoder_tpu.io import parser
     from jpeg_decoder_tpu.models import decoder as dec
     from jpeg_decoder_tpu.ops import pixel as pixel_ops

@@ -57,7 +57,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 6:
+        if lib.jd_abi_version() != 7:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_decode_scan.restype = ctypes.c_int64
         lib.jd_decode_scan.argtypes = [
@@ -111,6 +111,13 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,   # esc_idx, esc_val
             ctypes.c_int64, ctypes.c_void_p,    # esc_cap, esc_count
             ctypes.c_int32,                     # n_threads
+        ]
+        lib.jd_unstuff.restype = ctypes.c_int64
+        lib.jd_unstuff.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,    # data, len
+            ctypes.c_void_p, ctypes.c_void_p,   # out, out_len
+            ctypes.c_void_p, ctypes.c_int64,    # seg_offsets, seg_cap
+            ctypes.c_void_p,                    # n_segs
         ]
         lib.jd_decode_scan_nibble.restype = ctypes.c_int64
         lib.jd_decode_scan_nibble.argtypes = [
@@ -376,6 +383,34 @@ def decode_scan_sparse(hdr: FrameHeader, scan: ScanHeader,
         e = int(esc_count[0])
         return (dc16, gaps[:k].copy(), vals[:k].copy(),
                 esc_idx[:e].copy(), esc_val[:e].copy())
+
+
+def unstuff(data: np.ndarray, start: int):
+    """Native entropy-region unstuffer; same contract as
+    io.parser.unstuff_entropy (clean bytes, clean-stream segment offset
+    table incl. 0 and total length, absolute end offset of the
+    terminating marker FF).  ~10x the NumPy scan's throughput."""
+    lib = _load()
+    region = np.ascontiguousarray(data[start:])
+    n = len(region)
+    if n == 0:
+        raise JPEGError("entropy data: no terminating marker found")
+    out = np.empty(n, np.uint8)
+    out_len = np.zeros(1, np.int64)
+    seg_cap = n // 2 + 2
+    segs = np.empty(seg_cap, np.int64)
+    n_segs = np.zeros(1, np.int64)
+    end = lib.jd_unstuff(region.ctypes.data, n,
+                         out.ctypes.data, out_len.ctypes.data,
+                         segs.ctypes.data, seg_cap, n_segs.ctypes.data)
+    if end == -1:
+        raise JPEGError("entropy data: no terminating marker found")
+    if end < 0:
+        raise JPEGError(f"unstuffer failed (code {end})")
+    clean = out[:int(out_len[0])].copy()
+    seg_offsets = np.unique(np.concatenate(
+        [[0], segs[:int(n_segs[0])], [len(clean)]]).astype(np.int64))
+    return clean, seg_offsets, start + int(end)
 
 
 def decode_scan_nibble(hdr: FrameHeader, scan: ScanHeader,

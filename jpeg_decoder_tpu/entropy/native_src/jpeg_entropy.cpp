@@ -1205,7 +1205,51 @@ int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
   return mcu == n_mcus ? 0 : -4;
 }
 
+// Entropy-region byte unstuffer (reference: JPEGFile::readImageData,
+// file.hpp:59-104).  Single memchr-driven pass over the entropy-coded
+// region:
+//   FF 00    -> keep FF, drop 00 (byte stuffing)
+//   FF FF    -> drop the first FF (fill byte), re-inspect the next
+//   FF D0-D7 -> drop both, record a restart-segment boundary (offset in
+//               the clean stream)
+//   FF other -> terminator (next marker); also a lone FF at region end
+//
+// out must have capacity >= len.  Returns the offset in `data` of the
+// terminating FF; -1 if no terminator exists; -3 if seg_cap is exceeded.
+int64_t jd_unstuff(const uint8_t* data, int64_t len,
+                   uint8_t* out, int64_t* out_len,
+                   int64_t* seg_offsets, int64_t seg_cap, int64_t* n_segs) {
+  int64_t p = 0, o = 0, ns = 0;
+  for (;;) {
+    const void* hit = std::memchr(data + p, 0xFF, size_t(len - p));
+    if (hit == nullptr) return -1;  // no terminating marker
+    const int64_t ff = int64_t(static_cast<const uint8_t*>(hit) - data);
+    std::memcpy(out + o, data + p, size_t(ff - p));
+    o += ff - p;
+    if (ff + 1 >= len) {  // trailing lone FF: treat as terminator
+      *out_len = o;
+      *n_segs = ns;
+      return ff;
+    }
+    const uint8_t nx = data[ff + 1];
+    if (nx == 0x00) {
+      out[o++] = 0xFF;
+      p = ff + 2;
+    } else if (nx == 0xFF) {
+      p = ff + 1;  // drop fill byte, re-inspect
+    } else if (nx >= 0xD0 && nx <= 0xD7) {
+      if (ns >= seg_cap) return -3;
+      seg_offsets[ns++] = o;
+      p = ff + 2;
+    } else {
+      *out_len = o;
+      *n_segs = ns;
+      return ff;
+    }
+  }
+}
+
 // Version/capability probe for the ctypes wrapper.
-int32_t jd_abi_version() { return 6; }
+int32_t jd_abi_version() { return 7; }
 
 }  // extern "C"

@@ -60,6 +60,27 @@ def _be16(buf: np.ndarray, off: int) -> int:
 
 
 def unstuff_entropy(data: np.ndarray, start: int):
+    """Strip byte stuffing from the entropy-coded region starting at
+    ``start``; dispatches to the native C++ single-pass scanner when
+    available (~10x the NumPy path), with identical outputs (asserted in
+    tests/test_parser.py)."""
+    global _native_unstuff
+    if _native_unstuff is None:
+        try:
+            from ..entropy import native
+
+            _native_unstuff = native.unstuff if native.available() else False
+        except Exception:  # noqa: BLE001
+            _native_unstuff = False
+    if _native_unstuff:
+        return _native_unstuff(data, start)
+    return unstuff_entropy_numpy(data, start)
+
+
+_native_unstuff = None
+
+
+def unstuff_entropy_numpy(data: np.ndarray, start: int):
     """Strip byte stuffing from the entropy-coded region starting at ``start``.
 
     Vectorized equivalent of JPEGFile::readImageData (file.hpp:59-104):

@@ -213,3 +213,52 @@ def test_zero_based_component_ids():
     ref = decode(buf.getvalue(), entropy="python", idct="fast").rgb
     got = decode(bytes(data), entropy="python", idct="fast").rgb
     assert np.array_equal(ref, got)
+
+
+# ---------------------------------------------------------------------------
+# Native C++ unstuffer vs NumPy reference
+# ---------------------------------------------------------------------------
+
+def test_native_unstuffer_matches_numpy():
+    import numpy as np
+    import pytest as _pytest
+
+    from jpeg_decoder_tpu.entropy import native
+    from jpeg_decoder_tpu.io import parser as P
+
+    if not native.available():
+        _pytest.skip("native backend unavailable")
+    cases = [
+        b"\x12\x34\xff\x00\x56\xff\xd9",
+        b"\xff\xff\xff\x00\xff\xd0\xab\xff\xd9",
+        b"\xff\xd0\xff\xd1\xff\xd9",           # RST at 0, empty segs
+        b"\x01\x02\xff",                          # trailing lone FF
+        b"\xab\xff\xff\xd9",                     # fill byte then EOI
+        bytes(range(256)) * 3 + b"\xff\xd9",
+    ]
+    rng = np.random.default_rng(7)
+    for _ in range(40):  # randomized streams, FF-rich
+        n = int(rng.integers(1, 400))
+        buf = rng.integers(0, 256, n, dtype=np.uint8)
+        buf[rng.random(n) < 0.3] = 0xFF
+        cases.append(bytes(buf) + b"\xff\xd9")
+    for c in cases:
+        d = np.frombuffer(c, np.uint8)
+        a = native.unstuff(d, 0)
+        b = P.unstuff_entropy_numpy(d, 0)
+        np.testing.assert_array_equal(a[0], b[0], err_msg=repr(c[:20]))
+        np.testing.assert_array_equal(a[1], b[1], err_msg=repr(c[:20]))
+        assert a[2] == b[2], c[:20]
+
+
+def test_native_unstuffer_no_terminator_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from jpeg_decoder_tpu.entropy import native
+    from jpeg_decoder_tpu.types import JPEGError
+
+    if not native.available():
+        _pytest.skip("native backend unavailable")
+    with _pytest.raises(JPEGError):
+        native.unstuff(np.frombuffer(b"\x01\x02\x03", np.uint8), 0)
