@@ -19,7 +19,7 @@ import threading
 
 import numpy as np
 
-from ..huffman import build_lut
+from ..huffman import build_ac_lut32, build_lut
 from ..layout import scan_layout
 from ..types import FrameHeader, JPEGError, ScanHeader
 
@@ -31,6 +31,7 @@ _LIB_PATH = os.path.join(_CACHE, "libjpeg_entropy.so")
 _lib = None
 _lib_lock = threading.Lock()
 _lut16_cache: dict[int, np.ndarray] = {}
+_lut32_cache: dict[int, np.ndarray] = {}
 
 
 def _compile() -> str:
@@ -57,7 +58,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 7:
+        if lib.jd_abi_version() != 8:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_decode_scan.restype = ctypes.c_int64
         lib.jd_decode_scan.argtypes = [
@@ -165,6 +166,16 @@ def _lut16(spec) -> np.ndarray:
     return lut
 
 
+def _lut32ac(spec) -> np.ndarray:
+    """Combined-value int32 AC LUT (huffman.build_ac_lut32), cached."""
+    key = (spec.counts.tobytes(), spec.symbols.tobytes())
+    lut = _lut32_cache.get(key)
+    if lut is None:
+        lut = np.ascontiguousarray(build_ac_lut32(spec))
+        _lut32_cache[key] = lut
+    return lut
+
+
 def available() -> bool:
     try:
         _load()
@@ -196,7 +207,7 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
     h = np.array([c.h for c in comps], np.int32)
     v = np.array([c.v for c in comps], np.int32)
     dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
-    ac_luts = [_lut16(scan.ac_specs[c.ta]) for c in comps]
+    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
     PtrArray = ctypes.c_void_p * len(comps)
     dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
     ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
@@ -233,7 +244,7 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader,
     h = np.array([c.h for c in comps], np.int32)
     v = np.array([c.v for c in comps], np.int32)
     dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
-    ac_luts = [_lut16(scan.ac_specs[c.ta]) for c in comps]
+    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
     PtrArray = ctypes.c_void_p * len(comps)
     dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
     ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
@@ -277,7 +288,7 @@ def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,
     h = np.array([c.h for c in comps], np.int32)
     v = np.array([c.v for c in comps], np.int32)
     dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
-    ac_luts = [_lut16(scan.ac_specs[c.ta]) for c in comps]
+    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
     PtrArray = ctypes.c_void_p * len(comps)
     dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
     ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
@@ -339,7 +350,7 @@ def decode_scan_sparse(hdr: FrameHeader, scan: ScanHeader,
     h = np.array([c.h for c in comps], np.int32)
     v = np.array([c.v for c in comps], np.int32)
     dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
-    ac_luts = [_lut16(scan.ac_specs[c.ta]) for c in comps]
+    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
     PtrArray = ctypes.c_void_p * len(comps)
     dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
     ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
@@ -437,7 +448,7 @@ def decode_scan_nibble(hdr: FrameHeader, scan: ScanHeader,
     h = np.array([c.h for c in comps], np.int32)
     v = np.array([c.v for c in comps], np.int32)
     dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
-    ac_luts = [_lut16(scan.ac_specs[c.ta]) for c in comps]
+    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
     PtrArray = ctypes.c_void_p * len(comps)
     dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
     ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])

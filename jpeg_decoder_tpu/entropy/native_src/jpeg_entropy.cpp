@@ -34,7 +34,7 @@ constexpr int kMaxComps = 4;
 struct CompSpec {
   int h, v;          // sampling factors
   const LutEntry* dc_lut;
-  const LutEntry* ac_lut;
+  const int32_t* ac_lut;  // combined-value LUT (huffman.build_ac_lut32)
 };
 
 // Natural-order index of the i-th zigzag coefficient (T.81 Figure A.6).
@@ -78,8 +78,12 @@ inline int32_t extend(uint32_t value, int size) {
 // Decode one 8x8 block into out[64] (natural order, pre-zeroed).
 // Returns 0 on success, nonzero error code otherwise.
 // Parity: decodeMCUComponent (jpeg.cpp:322-403).
+// AC symbol decode via the combined-value int32 LUT
+// (huffman.build_ac_lut32): one probe yields (value, run, total_bits) with
+// the coefficient already sign-extended from the same 16-bit window.
+// Errors: 3 invalid prefix, 4 run overflow, 5 invalid size.
 inline int decode_block(BitReader& br, const LutEntry* dc_lut,
-                        const LutEntry* ac_lut, int32_t* out,
+                        const int32_t* ac_lut, int32_t* out,
                         int32_t& pred) {
   uint64_t w = br.window();
   LutEntry t = dc_lut[w >> 48];
@@ -96,24 +100,37 @@ inline int decode_block(BitReader& br, const LutEntry* dc_lut,
   int i = 1;
   while (i < 64) {
     w = br.window();
-    t = ac_lut[w >> 48];
-    len = t & 31;
-    if (len == 0) return 3;  // invalid AC code
-    int sym = t >> 5;
-    if (sym == 0x00) {  // EOB
-      br.pos += len;
-      break;
+    int32_t e = ac_lut[w >> 48];
+    if (e == 0) return 3;  // invalid AC prefix
+    if (__builtin_expect(e & 32, 0)) {  // slow: len+size > 16 or size > 10
+      int sym = (e >> 13) & 0xFF;
+      len = e & 31;
+      int run = (sym == 0xF0) ? 16 : (sym >> 4);
+      int csize = sym & 0x0F;
+      if (i + run > 64 || (csize != 0 && i + run >= 64)) return 4;
+      i += run;
+      if (csize) {
+        if (csize > 10) return 5;  // jpeg.cpp:381-384
+        out[kZigzag[i]] =
+            extend(uint32_t((w << len) >> (64 - csize)), csize);
+        ++i;
+      }
+      br.pos += len + csize;
+      continue;
     }
-    int run = (sym == 0xF0) ? 16 : (sym >> 4);
-    int csize = sym & 0x0F;
-    if (i + run > 64 || (csize != 0 && i + run >= 64)) return 4;
+    br.pos += e & 31;
+    const int32_t val = e >> 13;
+    const int run = (e >> 7) & 63;
+    if (val == 0) {
+      if (run == 63) break;  // EOB
+      i += run;              // ZRL
+      if (i > 64) return 4;
+      continue;
+    }
     i += run;
-    if (csize) {
-      if (csize > 10) return 5;  // jpeg.cpp:381-384
-      out[kZigzag[i]] = extend(uint32_t((w << len) >> (64 - csize)), csize);
-      ++i;
-    }
-    br.pos += len + csize;
+    if (i > 63) return 4;
+    out[kZigzag[i]] = val;
+    ++i;
   }
   return 0;
 }
@@ -124,7 +141,7 @@ inline int decode_block(BitReader& br, const LutEntry* dc_lut,
 // so the mask enumerates exactly the sparse-wire entries — the emitter
 // iterates set bits (~9/block on the corpus) instead of scanning all 64.
 inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
-                             const LutEntry* ac_lut, int32_t* out,
+                             const int32_t* ac_lut, int32_t* out,
                              int32_t& pred, uint64_t& mask) {
   uint64_t w = br.window();
   LutEntry t = dc_lut[w >> 48];
@@ -142,26 +159,40 @@ inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
   int i = 1;
   while (i < 64) {
     w = br.window();
-    t = ac_lut[w >> 48];
-    len = t & 31;
-    if (len == 0) return 3;
-    int sym = t >> 5;
-    if (sym == 0x00) {  // EOB
-      br.pos += len;
-      break;
+    int32_t e = ac_lut[w >> 48];
+    if (e == 0) return 3;
+    if (__builtin_expect(e & 32, 0)) {  // slow path, see decode_block
+      int sym = (e >> 13) & 0xFF;
+      len = e & 31;
+      int run = (sym == 0xF0) ? 16 : (sym >> 4);
+      int csize = sym & 0x0F;
+      if (i + run > 64 || (csize != 0 && i + run >= 64)) return 4;
+      i += run;
+      if (csize) {
+        if (csize > 10) return 5;
+        int nat = kZigzag[i];
+        out[nat] = extend(uint32_t((w << len) >> (64 - csize)), csize);
+        mask |= uint64_t(1) << nat;
+        ++i;
+      }
+      br.pos += len + csize;
+      continue;
     }
-    int run = (sym == 0xF0) ? 16 : (sym >> 4);
-    int csize = sym & 0x0F;
-    if (i + run > 64 || (csize != 0 && i + run >= 64)) return 4;
+    br.pos += e & 31;
+    const int32_t val = e >> 13;
+    const int run = (e >> 7) & 63;
+    if (val == 0) {
+      if (run == 63) break;  // EOB
+      i += run;              // ZRL
+      if (i > 64) return 4;
+      continue;
+    }
     i += run;
-    if (csize) {
-      if (csize > 10) return 5;
-      int nat = kZigzag[i];
-      out[nat] = extend(uint32_t((w << len) >> (64 - csize)), csize);
-      mask |= uint64_t(1) << nat;
-      ++i;
-    }
-    br.pos += len + csize;
+    if (i > 63) return 4;
+    const int nat = kZigzag[i];
+    out[nat] = val;
+    mask |= uint64_t(1) << nat;
+    ++i;
   }
   return 0;
 }
@@ -268,7 +299,7 @@ int64_t jd_decode_scan_speculative(const uint8_t* data, int64_t data_len,
                                    int32_t n_comps,
                                    const int32_t* h, const int32_t* v,
                                    const int16_t* const* dc_luts,
-                                   const int16_t* const* ac_luts,
+                                   const int32_t* const* ac_luts,
                                    int64_t n_mcus,
                                    int32_t* out, int32_t n_threads,
                                    int32_t n_chunks) {
@@ -460,7 +491,7 @@ int64_t jd_decode_scan(const uint8_t* data,
                        int32_t n_comps,
                        const int32_t* h, const int32_t* v,
                        const int16_t* const* dc_luts,
-                       const int16_t* const* ac_luts,
+                       const int32_t* const* ac_luts,
                        int64_t n_mcus, int64_t restart_interval,
                        int32_t* out, int32_t n_threads) {
   if (n_comps < 1 || n_comps > kMaxComps) return -1;
@@ -527,7 +558,7 @@ int64_t jd_decode_scan_packed(const uint8_t* data,
                               int32_t n_comps,
                               const int32_t* h, const int32_t* v,
                               const int16_t* const* dc_luts,
-                              const int16_t* const* ac_luts,
+                              const int32_t* const* ac_luts,
                               int64_t n_mcus, int64_t restart_interval,
                               int16_t* dc_out, int8_t* ac_out,
                               int32_t* esc_idx, int16_t* esc_val,
@@ -652,7 +683,7 @@ int64_t jd_decode_scan_sparse(const uint8_t* data,
                               int32_t n_comps,
                               const int32_t* h, const int32_t* v,
                               const int16_t* const* dc_luts,
-                              const int16_t* const* ac_luts,
+                              const int32_t* const* ac_luts,
                               int64_t n_mcus, int64_t restart_interval,
                               int16_t* dc_out,
                               uint8_t* gap_out, int8_t* val_out,
@@ -833,7 +864,7 @@ int64_t jd_decode_scan_nibble(const uint8_t* data,
                               int32_t n_comps,
                               const int32_t* h, const int32_t* v,
                               const int16_t* const* dc_luts,
-                              const int16_t* const* ac_luts,
+                              const int32_t* const* ac_luts,
                               int64_t n_mcus, int64_t restart_interval,
                               int16_t* dc_out,
                               uint8_t* entry_out, int64_t entry_cap,
@@ -1250,6 +1281,6 @@ int64_t jd_unstuff(const uint8_t* data, int64_t len,
 }
 
 // Version/capability probe for the ctypes wrapper.
-int32_t jd_abi_version() { return 7; }
+int32_t jd_abi_version() { return 8; }
 
 }  // extern "C"

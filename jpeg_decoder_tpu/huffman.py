@@ -66,6 +66,44 @@ def build_lut(spec: HuffmanSpec) -> np.ndarray:
     return lut
 
 
+def build_ac_lut32(spec: HuffmanSpec) -> np.ndarray:
+    """Combined-value AC decode LUT: one probe yields the fully decoded
+    coefficient.
+
+    For a 16-bit window ``w``: ``e = lut[w]`` packs
+    ``(value << 13) | (run << 7) | (slow << 5) | total_bits`` where
+    ``value`` is the sign-extended coefficient (the value bits are part of
+    the same 16-bit window whenever ``code_len + size <= 16``, which is
+    the overwhelmingly common case), ``run`` is the zero run (16 for ZRL,
+    63 for EOB so the block loop exits), and ``total_bits`` is
+    ``code_len + size`` — the decoder consumes code and value in one
+    step, with no separate sign-extension.
+
+    Slow entries (``slow`` bit set: ``code_len + size > 16`` or an
+    invalid ``size > 10``) instead pack ``(symbol << 13) | 32 | code_len``
+    and the decoder falls back to the two-step path.  ``e == 0`` marks an
+    invalid prefix.
+    """
+    lut16 = build_lut(spec)
+    lens = (lut16 & 31).astype(np.int64)
+    syms = ((lut16 >> 5) & 0xFF).astype(np.int64)
+    csize = syms & 15
+    run = np.where(syms == 0, 63, np.where(syms == 0xF0, 16, syms >> 4))
+    idx = np.arange(LUT_SIZE, dtype=np.int64)
+    shift = np.maximum(16 - lens - csize, 0)
+    vbits = (idx >> shift) & ((1 << csize) - 1)
+    half = 1 << np.maximum(csize - 1, 0)
+    value = np.where((csize > 0) & (vbits < half),
+                     vbits - ((1 << csize) - 1), vbits)
+    value = np.where(csize == 0, 0, value)
+    total = lens + np.where((syms == 0) | (syms == 0xF0), 0, csize)
+    fast = (lens + csize <= 16) & (csize <= 10)
+    e_fast = (value << 13) | (run << 7) | total
+    e_slow = (syms << 13) | 32 | lens
+    out = np.where(lens == 0, 0, np.where(fast, e_fast, e_slow))
+    return out.astype(np.int32)
+
+
 def lut_symbol(entry: np.ndarray | int):
     """Split a LUT entry into (symbol, length)."""
     return (np.asarray(entry) >> 5) & 0xFF, np.asarray(entry) & 0x1F
