@@ -290,7 +290,7 @@ static int decode_mcu_diff(const ScanJob& job, BitReader& br, int32_t* out) {
 extern "C" {
 
 // Speculative parallel decode of a DRI=0 interleaved baseline scan.
-// data must be padded with >= 4 zero bytes; data_len excludes the padding.
+// data must be padded with >= 256 zero bytes (see BitReader); data_len\n// excludes the padding.
 // out: (n_mcus * bpm, 64) int32, DC already predictor-accumulated.
 // Returns 0 on success, -5 if the splice needed a full-sequential fallback
 // and THAT failed (i.e. the stream is malformed), else error codes as
@@ -475,7 +475,7 @@ int64_t jd_decode_scan_speculative(const uint8_t* data, int64_t data_len,
 
 // Decode a full interleaved baseline scan.
 //
-// data:          unstuffed entropy bytes, padded with >= 4 trailing zeros
+// data:          unstuffed entropy bytes, padded with >= 256 trailing zeros
 // seg_offsets:   (n_segments + 1) byte offsets into data
 // n_comps:       number of frame components (interleaved scan order)
 // h, v:          per-component sampling factors
@@ -714,9 +714,10 @@ int64_t jd_decode_scan_sparse(const uint8_t* data,
     std::unique_ptr<uint8_t[]> gaps;  // uninitialized worst-case buffers
     std::unique_ptr<int8_t[]> vals;
     size_t n = 0;
+    size_t first_chain = 0;  // entries encoding the first nonzero's gap
+    int64_t first_abs = -1, last_abs = -1;
     std::vector<int32_t> eidx;
     std::vector<int16_t> eval;
-    int64_t last_abs = -1;  // absolute flat index of the last nonzero
   };
   std::vector<SegSparse> segs(std::max(1, int(n_segments)));
   std::atomic<int64_t> err{0};
@@ -732,13 +733,29 @@ int64_t jd_decode_scan_sparse(const uint8_t* data,
                        : job.n_mcus;
     const int64_t base = mcu0 * job.blocks_per_mcu * 64;
     int64_t prev = base - 1;
-    // Worst case: 63 values/block + one extender per 255 coefficient span.
+    // Start near the observed density (~9 nonzeros/block) and grow 2x on
+    // demand — the worst case (64 B/block) would be 2x the dense plane
+    // this format exists to avoid shipping.
     const int64_t n_blocks_seg = (mcu1 - mcu0) * job.blocks_per_mcu;
-    const size_t cap = size_t(n_blocks_seg) * 64 + 8;
+    size_t cap = size_t(n_blocks_seg) * 16 + 256;
     out.gaps.reset(new uint8_t[cap]);
     out.vals.reset(new int8_t[cap]);
     uint8_t* gp = out.gaps.get();
     int8_t* vp = out.vals.get();
+    auto ensure = [&](size_t extra) {
+      size_t used = size_t(gp - out.gaps.get());
+      if (used + extra <= cap) return;
+      size_t ncap = std::max(cap * 2, used + extra + 256);
+      uint8_t* ng = new uint8_t[ncap];
+      int8_t* nv = new int8_t[ncap];
+      std::memcpy(ng, out.gaps.get(), used);
+      std::memcpy(nv, out.vals.get(), used);
+      out.gaps.reset(ng);
+      out.vals.reset(nv);
+      gp = ng + used;
+      vp = nv + used;
+      cap = ncap;
+    };
     int32_t tmp[64];
     for (int64_t m = mcu0; m < mcu1; ++m) {
       for (int k = 0; k < job.blocks_per_mcu; ++k) {
@@ -758,6 +775,7 @@ int64_t jd_decode_scan_sparse(const uint8_t* data,
           const int32_t val = tmp[i];
           const int64_t abs_i = babs + i;
           int64_t g = abs_i - prev;
+          ensure(size_t(g / 255) + 2);
           while (g > 255) {
             *gp++ = 255;
             *vp++ = 0;
@@ -770,6 +788,10 @@ int64_t jd_decode_scan_sparse(const uint8_t* data,
             *vp++ = int8_t(val < -128 ? -128 : 127);
           } else {
             *vp++ = int8_t(val);
+          }
+          if (out.first_abs < 0) {
+            out.first_abs = abs_i;
+            out.first_chain = size_t(gp - out.gaps.get());
           }
           prev = abs_i;
         }
@@ -819,10 +841,13 @@ int64_t jd_decode_scan_sparse(const uint8_t* data,
         (job.restart_interval ? job.restart_interval * s : 0) *
         job.blocks_per_mcu * 64;
     if (sg.n != 0) {
-      // Encoded first gap assumed prev = base - 1; correct it.
-      int64_t g0 = int64_t(sg.gaps[0]) + (base - 1 - prev_abs);
+      // Re-encode the whole first-gap chain against the true previous
+      // nonzero (the segment encoded it assuming prev = base - 1, and a
+      // chain with extenders cannot be fixed by adjusting one entry —
+      // the canonical encoding is (g-1)/255 extenders then the residual).
+      int64_t g0 = sg.first_abs - prev_abs;
       size_t n_ext = size_t((g0 - 1) / 255);
-      int64_t n_here = int64_t(n_ext) + int64_t(sg.n);
+      int64_t n_here = int64_t(n_ext) + 1 + int64_t(sg.n - sg.first_chain);
       if (sp + n_here > sparse_cap) return -3;
       for (size_t i = 0; i < n_ext; ++i) {
         gap_out[sp] = 255;
@@ -830,11 +855,13 @@ int64_t jd_decode_scan_sparse(const uint8_t* data,
         ++sp;
       }
       gap_out[sp] = uint8_t(g0 - int64_t(n_ext) * 255);
-      val_out[sp] = sg.vals[0];
+      val_out[sp] = sg.vals[sg.first_chain - 1];
       ++sp;
-      std::memcpy(gap_out + sp, sg.gaps.get() + 1, sg.n - 1);
-      std::memcpy(val_out + sp, sg.vals.get() + 1, sg.n - 1);
-      sp += int64_t(sg.n) - 1;
+      std::memcpy(gap_out + sp, sg.gaps.get() + sg.first_chain,
+                  sg.n - sg.first_chain);
+      std::memcpy(val_out + sp, sg.vals.get() + sg.first_chain,
+                  sg.n - sg.first_chain);
+      sp += int64_t(sg.n - sg.first_chain);
       prev_abs = sg.last_abs;
     }
     if (!sg.eidx.empty()) {
@@ -916,12 +943,21 @@ int64_t jd_decode_scan_nibble(const uint8_t* data,
                        : job.n_mcus;
     const int64_t base = mcu0 * job.blocks_per_mcu * 64;
     int64_t prev = base - 1;
-    // Worst case: per nonzero 1 real + 1 scaled extender; chain extenders
-    // bounded by total span / 240.
+    // Start near the observed density and grow 2x on demand.
     const int64_t n_blocks_seg = (mcu1 - mcu0) * job.blocks_per_mcu;
-    const size_t cap = size_t(n_blocks_seg) * 128 + 16;
+    size_t cap = size_t(n_blocks_seg) * 16 + 256;
     out.entries.reset(new uint8_t[cap]);
     uint8_t* ep = out.entries.get();
+    auto ensure = [&](size_t extra) {
+      size_t used = size_t(ep - out.entries.get());
+      if (used + extra <= cap) return;
+      size_t ncap = std::max(cap * 2, used + extra + 256);
+      uint8_t* ne = new uint8_t[ncap];
+      std::memcpy(ne, out.entries.get(), used);
+      out.entries.reset(ne);
+      ep = ne + used;
+      cap = ncap;
+    };
     int32_t tmp[64];
     bool first = true;
     for (int64_t m = mcu0; m < mcu1; ++m) {
@@ -942,6 +978,7 @@ int64_t jd_decode_scan_nibble(const uint8_t* data,
           const int32_t val = tmp[i];
           const int64_t abs_i = babs + i;
           int64_t g = abs_i - prev;
+          ensure(size_t(g / 240) + 3);
           while (g > 255) {
             *ep++ = 0xF0;  // chain extender: advance 240
             g -= 240;

@@ -104,6 +104,52 @@ def test_native_sparse_emitter_matches_numpy():
             np.testing.assert_array_equal(ev[o1], ev_p[o2], err_msg=name)
 
 
+def test_native_emitters_randomized_restart_sweep():
+    """Native sparse/nibble emitters vs NumPy references on randomized
+    restart-marker images with long zero runs crossing segment
+    boundaries — regression for the splice emitting a non-canonical
+    extender chain when a segment's first nonzero sits far past its
+    base (byte-divergent though value-equivalent)."""
+    from PIL import Image
+
+    from jpeg_decoder_tpu.entropy import native
+    from jpeg_decoder_tpu.io import parser
+
+    if not native.available():
+        pytest.skip("native backend unavailable")
+    rng = np.random.default_rng(0)
+    for _ in range(15):
+        w, h = int(rng.integers(64, 200)), int(rng.integers(64, 200))
+        img = np.full((h, w, 3), int(rng.integers(0, 255)), np.uint8)
+        for _k in range(int(rng.integers(0, 6))):
+            y0, x0 = int(rng.integers(0, h - 8)), int(rng.integers(0, w - 8))
+            img[y0:y0 + 8, x0:x0 + 8] = rng.integers(0, 255, (8, 8, 3))
+        buf = io.BytesIO()
+        try:
+            Image.fromarray(img).save(
+                buf, "JPEG", quality=int(rng.integers(30, 95)),
+                restart_marker_blocks=int(rng.integers(1, 5)),
+                subsampling=int(rng.integers(0, 3)))
+        except TypeError:
+            pytest.skip("PIL lacks restart_marker_blocks")
+        hdr = parser.parse(buf.getvalue())
+        from jpeg_decoder_tpu.models.batch import (
+            nibbleize_ac as _nib, sparsify_ac as _sp)
+
+        _, ac8, _, _ = native.decode_scan_packed(hdr, hdr.scans[0])
+        g_ref, v_ref = _sp(ac8)
+        e_ref, ov_ref = _nib(ac8)
+        for nt in (1, 2):
+            _, g, v, _, _ = native.decode_scan_sparse(
+                hdr, hdr.scans[0], n_threads=nt)
+            np.testing.assert_array_equal(g, g_ref)
+            np.testing.assert_array_equal(v, v_ref)
+            _, e, ov, _, _ = native.decode_scan_nibble(
+                hdr, hdr.scans[0], n_threads=nt)
+            np.testing.assert_array_equal(e, e_ref)
+            np.testing.assert_array_equal(ov, ov_ref)
+
+
 def _unnibble(e: np.ndarray, ov: np.ndarray, n_coef: int) -> np.ndarray:
     """NumPy model of the device nibble reconstruction."""
     g, vc = e >> 4, e & 15
