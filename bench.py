@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 CORPUS_GLOB = "/root/reference/images/img*.jpg"
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "48"))
 WAVE = int(os.environ.get("BENCH_WAVE", "48"))
-TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
+TRIALS = int(os.environ.get("BENCH_TRIALS", "6"))
 
 
 def log(*a):
@@ -145,7 +145,7 @@ def main() -> int:
     wire = os.environ.get("BENCH_WIRE", "nibble")
     log(f"wire format: {wire}")
     bd = BatchDecoder(entropy="auto", idct="fast", upsample="fancy",
-                      device=dev, host_threads=2, wire=wire)
+                      device=dev, host_threads=3, wire=wire)
 
     # Workload: ROUNDS copies of the corpus, decoded in batched groups.
     # Decoded RGB stays DEVICE-RESIDENT (the TPU decode product feeds
@@ -197,7 +197,9 @@ def main() -> int:
     # uses has multi-second hiccups; the best pass reflects the decoder,
     # the spread reflects the tunnel) ----
     value, dts = 0.0, []
-    for _ in range(TRIALS):
+    for k in range(TRIALS):
+        if k:
+            time.sleep(8)  # sample a different tunnel-bandwidth window
         t0 = time.perf_counter()
         items = bd.decode(workload, wave=WAVE)
         sync(items)
