@@ -19,6 +19,8 @@ import threading
 
 import numpy as np
 
+_NCPU = os.cpu_count() or 1
+
 from ..huffman import build_ac_lut32, build_lut
 from ..layout import scan_layout
 from ..types import FrameHeader, JPEGError, ScanHeader
@@ -184,6 +186,21 @@ def available() -> bool:
         return False
 
 
+def _padded(scan) -> np.ndarray:
+    """Entropy bytes with the 256-byte zero tail the decoders require.
+
+    Uses the parser-provided pre-padded buffer only when it still aliases
+    ``scan.data`` (callers may replace ``data`` — e.g. tests corrupting
+    streams — without updating ``data_padded``)."""
+    d = scan.data
+    dp = getattr(scan, "data_padded", None)
+    if (dp is not None and len(dp) == len(d) + 256
+            and dp.__array_interface__["data"][0]
+            == d.__array_interface__["data"][0]):
+        return dp
+    return np.concatenate([d, np.zeros(256, np.uint8)])
+
+
 def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
                          n_threads: int | None = None) -> np.ndarray:
     """Decode a full baseline interleaved scan (native backend).
@@ -195,7 +212,7 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
     lay = scan_layout(hdr)
     comps = hdr.components
 
-    data = np.concatenate([scan.data, np.zeros(256, np.uint8)])
+    data = _padded(scan)
     seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
     n_segments = len(seg_offsets) - 1
     ri = scan.restart_interval
@@ -214,7 +231,7 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
 
     out = np.zeros((lay.total_blocks, 64), dtype=np.int32)
     if n_threads is None:
-        n_threads = min(os.cpu_count() or 1, max(1, n_segments))
+        n_threads = min(_NCPU, max(1, n_segments))
 
     rc = lib.jd_decode_scan(
         data.ctypes.data, seg_offsets.ctypes.data, n_segments,
@@ -240,7 +257,7 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader,
     comps = hdr.components
     if len(scan.seg_offsets) != 2:
         raise JPEGError("speculative decode requires a single-segment scan")
-    data = np.concatenate([scan.data, np.zeros(256, np.uint8)])
+    data = _padded(scan)
     h = np.array([c.h for c in comps], np.int32)
     v = np.array([c.v for c in comps], np.int32)
     dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
@@ -250,7 +267,7 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader,
     ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
     out = np.zeros((lay.total_blocks, 64), dtype=np.int32)
     if n_threads is None:
-        n_threads = os.cpu_count() or 1
+        n_threads = _NCPU
     if n_chunks is None:
         n_chunks = max(1, n_threads * 4)
     rc = lib.jd_decode_scan_speculative(
@@ -276,7 +293,7 @@ def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,
     lay = scan_layout(hdr)
     comps = hdr.components
 
-    data = np.concatenate([scan.data, np.zeros(256, np.uint8)])
+    data = _padded(scan)
     seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
     n_segments = len(seg_offsets) - 1
     ri = scan.restart_interval
@@ -297,7 +314,7 @@ def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,
     dc16 = np.empty((n_blocks,), np.int16)
     ac8 = np.empty((n_blocks, 64), np.int8)
     if n_threads is None:
-        n_threads = min(os.cpu_count() or 1, max(1, n_segments))
+        n_threads = min(_NCPU, max(1, n_segments))
 
     esc_cap = max(4096, n_blocks // 2)
     while True:
@@ -338,7 +355,7 @@ def decode_scan_sparse(hdr: FrameHeader, scan: ScanHeader,
     lay = scan_layout(hdr)
     comps = hdr.components
 
-    data = np.concatenate([scan.data, np.zeros(256, np.uint8)])
+    data = _padded(scan)
     seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
     n_segments = len(seg_offsets) - 1
     ri = scan.restart_interval
@@ -358,7 +375,7 @@ def decode_scan_sparse(hdr: FrameHeader, scan: ScanHeader,
     n_blocks = lay.total_blocks
     dc16 = np.empty((n_blocks,), np.int16)
     if n_threads is None:
-        n_threads = min(os.cpu_count() or 1, max(1, n_segments))
+        n_threads = min(_NCPU, max(1, n_segments))
 
     # Average corpus density is ~9 nonzeros/block; start at 16/block and
     # grow geometrically (hard upper bound: 64/block incl. extenders).
@@ -406,7 +423,7 @@ def unstuff(data: np.ndarray, start: int):
     n = len(region)
     if n == 0:
         raise JPEGError("entropy data: no terminating marker found")
-    out = np.empty(n, np.uint8)
+    out = np.empty(n + 256, np.uint8)
     out_len = np.zeros(1, np.int64)
     seg_cap = n // 2 + 2
     segs = np.empty(seg_cap, np.int64)
@@ -418,7 +435,9 @@ def unstuff(data: np.ndarray, start: int):
         raise JPEGError("entropy data: no terminating marker found")
     if end < 0:
         raise JPEGError(f"unstuffer failed (code {end})")
-    clean = out[:int(out_len[0])].copy()
+    k = int(out_len[0])
+    out[k:k + 256] = 0  # native decoder padding contract, paid once here
+    clean = out[:k]
     seg_offsets = np.unique(np.concatenate(
         [[0], segs[:int(n_segs[0])], [len(clean)]]).astype(np.int64))
     return clean, seg_offsets, start + int(end)
@@ -436,7 +455,7 @@ def decode_scan_nibble(hdr: FrameHeader, scan: ScanHeader,
     lay = scan_layout(hdr)
     comps = hdr.components
 
-    data = np.concatenate([scan.data, np.zeros(256, np.uint8)])
+    data = _padded(scan)
     seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
     n_segments = len(seg_offsets) - 1
     ri = scan.restart_interval
@@ -456,7 +475,7 @@ def decode_scan_nibble(hdr: FrameHeader, scan: ScanHeader,
     n_blocks = lay.total_blocks
     dc16 = np.empty((n_blocks,), np.int16)
     if n_threads is None:
-        n_threads = min(os.cpu_count() or 1, max(1, n_segments))
+        n_threads = min(_NCPU, max(1, n_segments))
 
     entry_cap = max(4096, n_blocks * 12)
     ov_cap = max(1024, n_blocks * 3)
@@ -509,7 +528,7 @@ def decode_progressive(hdr: FrameHeader) -> list:
         planes.append(np.zeros((rows, cols, 64), np.int32))
 
     for scan in hdr.scans:
-        data = np.concatenate([scan.data, np.zeros(256, np.uint8)])
+        data = _padded(scan)
         seg_offsets = np.ascontiguousarray(scan.seg_offsets, np.int64)
         n_segments = len(seg_offsets) - 1
         ri = scan.restart_interval

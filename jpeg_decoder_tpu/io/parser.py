@@ -231,6 +231,15 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
             scan.restart_interval = restart_interval
             clean, seg_offsets, end = unstuff_entropy(data, pos)
             scan.data = clean
+            # The native unstuffer returns a zero-offset view into a
+            # buffer it already zero-padded by 256 bytes — expose it so
+            # the native decoders skip a per-call copy-to-pad.
+            base = clean.base
+            if (base is not None and base.dtype == np.uint8
+                    and base.nbytes >= clean.nbytes + 256
+                    and base.__array_interface__["data"][0]
+                    == clean.__array_interface__["data"][0]):
+                scan.data_padded = base[:clean.nbytes + 256]
             scan.seg_offsets = seg_offsets
             scans.append(scan)
             pos = end  # points at the FF of the next marker

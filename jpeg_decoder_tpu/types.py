@@ -136,6 +136,9 @@ class ScanHeader:
     al: int  # successive approximation low
     # Entropy-coded data for this scan, after byte-unstuffing, RST removal.
     data: Optional[np.ndarray] = None  # (n,) uint8 clean bytes
+    # Same bytes with >= 256 zero bytes of tail padding (the native
+    # decoder's 64-bit window contract) — avoids a per-decode copy.
+    data_padded: Optional[np.ndarray] = None
     # Byte offsets (into `data`) where each restart segment begins. Always
     # starts with 0.  Segment k spans [seg_offsets[k], seg_offsets[k+1]).
     seg_offsets: Optional[np.ndarray] = None  # (n_segments+1,) int64
