@@ -306,16 +306,20 @@ def _parse_sof(seg: np.ndarray):
     zero_based = 0 in ids
     if len(set(ids)) != ncomp:
         raise JPEGError("SOF: duplicate component ids")
-    if ncomp == 3:
-        # Reference constraint set (jpeg.cpp:110-136): luma in {1,2}^2,
-        # chroma 1x1.  We additionally allow 4:2:2 / 4:4:0 naturally since
-        # they satisfy the same bounds.
-        c0, c1, c2 = comps
-        if c0.h not in (1, 2) or c0.v not in (1, 2):
-            raise JPEGError("SOF: luma sampling factors must be 1 or 2")
-        for c in (c1, c2):
-            if c.h != 1 or c.v != 1:
-                raise JPEGError("SOF: chroma sampling factors must be 1x1")
+    # General T.81 sampling support — a superset of the reference's
+    # "luma in {1,2}^2, chroma 1x1" constraint (jpeg.cpp:110-136): any
+    # h, v in 1..4 with <= 10 blocks/MCU (T.81 B.2.2) and integer
+    # upsampling ratios (h_max % h == 0), which covers every sampling
+    # libjpeg handles (4:4:4, 4:2:2, 4:2:0, 4:4:0, 4:1:1, ...).
+    if sum(c.h * c.v for c in comps) > 10:
+        raise JPEGError("SOF: more than 10 blocks per MCU (T.81 B.2.2)")
+    h_max = max(c.h for c in comps)
+    v_max = max(c.v for c in comps)
+    for c in comps:
+        if h_max % c.h or v_max % c.v:
+            raise JPEGError(
+                f"SOF: non-integer sampling ratio {c.h}x{c.v} vs "
+                f"{h_max}x{v_max} max is not supported")
     return precision, height, width, comps, zero_based
 
 
