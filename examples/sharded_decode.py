@@ -15,10 +15,16 @@ import sys
 sys.path.insert(0, ".")
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+import re  # noqa: E402
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "--xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + f" --xla_force_host_platform_device_count={N}")
+want = f"--xla_force_host_platform_device_count={N}"
+if "--xla_force_host_platform_device_count" in flags:
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                   want, flags)
+else:
+    flags = f"{flags} {want}"
+os.environ["XLA_FLAGS"] = flags
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
