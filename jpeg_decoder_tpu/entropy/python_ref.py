@@ -166,3 +166,73 @@ def scan_to_comp_planes(hdr: FrameHeader, scan_coefs: np.ndarray):
         rows, cols = layout.comp_shapes[ci]
         planes.append(scan_coefs[layout.comp_src[ci]].reshape(rows, cols, 64))
     return planes
+
+
+def decode_scan_sequential_into(hdr: FrameHeader, scan: ScanHeader,
+                                planes: list) -> None:
+    """Decode one sequential (full-spectrum) scan over a component subset
+    into caller-owned padded per-component planes (T.81 A.2: a scan with
+    several components interleaves their MCUs over the frame grid; a
+    single-component scan traverses that component's unpadded block grid
+    non-interleaved).  Beyond the reference, which accepts only the single
+    fully-interleaved scan (jpeg.cpp:858-862)."""
+    from ..layout import comp_dims_unpadded
+
+    comps = hdr.components
+    sc = scan.comp_indices
+    dc_luts = {tid: build_lut(spec).tolist()
+               for tid, spec in scan.dc_specs.items()}
+    ac_luts = {tid: build_lut(spec).tolist()
+               for tid, spec in scan.ac_specs.items()}
+    data_bytes = scan.data.tobytes()
+    seg_offsets = scan.seg_offsets
+    n_segments = len(seg_offsets) - 1
+    ri = scan.restart_interval
+
+    interleaved = len(sc) > 1
+    if interleaved:
+        n_units = hdr.mcus_x * hdr.mcus_y
+        per_mcu = []
+        for k, ci in enumerate(sc):
+            c = comps[ci]
+            for bv in range(c.v):
+                for bh in range(c.h):
+                    per_mcu.append((k, ci, bv, bh,
+                                    dc_luts[scan.dc_table_ids[k]],
+                                    ac_luts[scan.ac_table_ids[k]]))
+    else:
+        ci0 = sc[0]
+        rows_u, cols_u = comp_dims_unpadded(hdr, ci0)
+        n_units = rows_u * cols_u
+        dc_lut0 = dc_luts[scan.dc_table_ids[0]]
+        ac_lut0 = ac_luts[scan.ac_table_ids[0]]
+
+    expected = -(-n_units // ri) if ri else 1
+    if n_segments != expected:
+        raise JPEGError(
+            f"restart-segment count {n_segments} does not match DRI {ri}")
+
+    unit = 0
+    for s in range(n_segments):
+        reader = BitReader(data_bytes, int(seg_offsets[s]),
+                           int(seg_offsets[s + 1]))
+        preds = [0] * len(sc)
+        seg_units = min(ri, n_units - unit) if ri else n_units
+        for _ in range(seg_units):
+            if interleaved:
+                my, mx = divmod(unit, hdr.mcus_x)
+                for k, ci, bv, bh, dc_lut, ac_lut in per_mcu:
+                    c = comps[ci]
+                    row = planes[ci][my * c.v + bv, mx * c.h + bh]
+                    row[:] = 0
+                    preds[k] = decode_block(reader, dc_lut, ac_lut, row,
+                                            preds[k])
+            else:
+                r, c_ = divmod(unit, cols_u)
+                row = planes[ci0][r, c_]
+                row[:] = 0
+                preds[0] = decode_block(reader, dc_lut0, ac_lut0, row,
+                                        preds[0])
+            unit += 1
+    if unit != n_units:
+        raise JPEGError("scan ended before all blocks decoded")

@@ -79,6 +79,25 @@ def _entropy_backend(name: str):
     raise ValueError(f"unknown entropy backend {name!r}")
 
 
+def needs_scan_loop(hdr: FrameHeader) -> bool:
+    """True when the frame cannot use the fast single-interleaved-scan
+    path: multiple scans, a partial-component scan, or a single-component
+    frame with sampling factors > 1 — T.81 A.2.2 makes ANY
+    single-component scan non-interleaved (one data unit per MCU over the
+    component's unpadded block grid), which changes both block order and
+    restart-interval accounting whenever h*v > 1."""
+    if len(hdr.scans) != 1:
+        return True
+    s0 = hdr.scans[0]
+    if len(s0.comp_indices) != len(hdr.components):
+        return True
+    if len(hdr.components) == 1:
+        c = hdr.components[0]
+        if (c.h, c.v) != (1, 1):
+            return True
+    return False
+
+
 def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
     """Run entropy decode for all scans, returning per-component quantized
     coefficient planes (rows, cols, 64) int32."""
@@ -93,13 +112,29 @@ def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
                 pass
         from ..entropy import progressive
         return progressive.decode_progressive(hdr)
-    if len(hdr.scans) != 1 or (len(hdr.scans[0].comp_indices)
-                               != len(hdr.components)):
-        # T.81 allows sequential non-interleaved multi-scan frames; rare in
-        # practice and unsupported here (the reference supports only the
-        # single interleaved scan too, jpeg.cpp:858-862).
-        raise JPEGError(
-            "unsupported: sequential frame with multiple/partial scans")
+    if needs_scan_loop(hdr):
+        # T.81 sequential multi-scan / partial-scan frames (one scan per
+        # component subset, non-interleaved when single-component) — legal
+        # but rare; the reference accepts only the single interleaved scan
+        # (jpeg.cpp:858-862).  Decoded via the oracle-grade Python path.
+        from ..entropy import python_ref
+
+        lay = layout_mod.scan_layout(hdr)
+        planes = [np.zeros((*lay.comp_shapes[ci], 64), np.int32)
+                  for ci in range(len(hdr.components))]
+        seen: set[int] = set()
+        for scan in hdr.scans:
+            dup = seen.intersection(scan.comp_indices)
+            if dup:
+                raise JPEGError(
+                    f"sequential frame codes components {sorted(dup)} twice")
+            python_ref.decode_scan_sequential_into(hdr, scan, planes)
+            seen.update(scan.comp_indices)
+        missing = set(range(len(hdr.components))) - seen
+        if missing:
+            raise JPEGError(
+                f"sequential frame never codes components {sorted(missing)}")
+        return planes
     scan = hdr.scans[0]
     decode_scan = _entropy_backend(entropy)
     scan_coefs = decode_scan(hdr, scan)
@@ -149,7 +184,7 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
     )
 
     planes = None
-    if hdr.progressive or keep_planes or strict:
+    if hdr.progressive or needs_scan_loop(hdr) or keep_planes or strict:
         # Conformance / multi-scan path: assemble planes on host.
         planes = decode_to_planes(hdr, entropy=entropy)
         jplanes = tuple(jnp.asarray(p) for p in planes)

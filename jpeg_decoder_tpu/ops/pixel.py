@@ -280,7 +280,15 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
             deq = dequantize(plane, q)
             blocks = idct_fn(deq.reshape(*deq.shape[:-1], 8, 8))
             img = blocks_to_plane(blocks.reshape(rows, cols, 64))
-        pix.append(img if (vy, vx) == (1, 1) else up_fn(img, vy, vx))
+        if (vy, vx) != (1, 1):
+            # Upsample from the component's UNPADDED sample grid (T.81
+            # A.1.1: ceil(dim / factor)), like libjpeg: the padded MCU
+            # region beyond it is never meaningful — non-interleaved
+            # scans do not even code those blocks — and the fancy
+            # filter's edge replication must happen at the true edge.
+            img = img[: -(-height // vy), : -(-width // vx)]
+            img = up_fn(img, vy, vx)
+        pix.append(img)
     if len(pix) == 1:
         rgb = gray_to_rgb(pix[0])
     else:

@@ -92,20 +92,59 @@ def test_pixels_match_libjpeg(samps):
 
 
 def test_grayscale_and_zero_based_ids():
-    from jpeg_decoder_tpu.entropy import python_ref
+    from jpeg_decoder_tpu.models.decoder import decode_to_planes
 
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, (41, 57), dtype=np.uint8)
+    # Default samplings leave the sole component at 2x2 — legal, and per
+    # T.81 A.2.2 the single-component scan is then NON-interleaved (the
+    # MCU grid would be 16x16 otherwise; libjpeg agrees).
     blob, planes = encode(img, grayscale=True, restart_interval=2,
                           zero_based_ids=True, quality=70)
     hdr = parser.parse(blob)
     assert len(hdr.components) == 1
-    lay = layout_mod.scan_layout(hdr)
-    blocks = np.asarray(python_ref.decode_scan_baseline(hdr, hdr.scans[0]))
-    got = blocks[lay.comp_src[0]].reshape(planes[0].shape)
-    np.testing.assert_array_equal(got, planes[0])
+    got = decode_to_planes(hdr)
+    np.testing.assert_array_equal(np.asarray(got[0]), planes[0])
     res = decode(blob)
     assert res.rgb.shape == (41, 57, 3)
+    # 1x1-sampled grayscale takes the fast interleaved path (identical
+    # semantics when h = v = 1).
+    blob2, planes2 = encode(img, samplings=((1, 1),), grayscale=True,
+                            restart_interval=3, quality=70)
+    hdr2 = parser.parse(blob2)
+    got2 = decode_to_planes(hdr2)
+    np.testing.assert_array_equal(np.asarray(got2[0]), planes2[0])
+
+
+def test_sequential_multiscan_roundtrip():
+    """T.81 sequential multi-scan frames: per-component non-interleaved
+    scans and partial interleaved groups — legal streams the reference
+    rejects outright and PIL cannot produce."""
+    from jpeg_decoder_tpu.models.decoder import decode_to_planes
+
+    rng = np.random.default_rng(11)
+    for samps, scans, dri in [
+        (((2, 2), (1, 1), (1, 1)), [(0,), (1,), (2,)], 0),
+        (((2, 2), (1, 1), (1, 1)), [(0,), (1, 2)], 3),
+        (((1, 1), (1, 1), (1, 1)), [(0, 1), (2,)], 2),
+        (((2, 1), (1, 1), (1, 1)), [(0,), (1,), (2,)], 5),
+    ]:
+        H, W = int(rng.integers(21, 100)), int(rng.integers(21, 100))
+        img = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+        blob, planes = encode(img, samplings=samps, scans=scans,
+                              restart_interval=dri, quality=80)
+        hdr = parser.parse(blob)
+        assert len(hdr.scans) == len(scans)
+        got = decode_to_planes(hdr)
+        for ci, p in enumerate(planes):
+            np.testing.assert_array_equal(np.asarray(got[ci]), p,
+                                          err_msg=f"{scans} c{ci}")
+        # PIL/libjpeg decodes the same streams: pixel sanity.
+        from PIL import Image
+
+        res = decode(blob, idct="exact", upsample="fancy")
+        pil = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        assert np.abs(res.rgb.astype(int) - pil.astype(int)).max() <= 20
 
 
 def test_exotic_sampling_through_batch_decoder():

@@ -153,14 +153,20 @@ def _encode_block(bw: _BitWriter, coef64: np.ndarray, pred: int,
 
 def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
            quality: int = 85, restart_interval: int = 0,
-           grayscale: bool = False, zero_based_ids: bool = False):
+           grayscale: bool = False, zero_based_ids: bool = False,
+           scans=None):
     """Encode an (H, W, 3) uint8 RGB array (or (H, W) when grayscale).
 
     samplings: per-component (h, v), h/v in 1..4, sum(h*v) <= 10.
+    scans: None for the usual single interleaved scan, or a partition of
+      component indices into scan groups, e.g. ``[(0,), (1, 2)]`` —
+      single-component groups are coded non-interleaved over the
+      component's unpadded block grid (T.81 A.2).
 
     Returns (jpeg_bytes, planes) where planes[i] is the (rows_i, cols_i, 64)
     int32 quantized coefficient array actually entropy-coded (padded to the
-    MCU grid) — the exact round-trip expectation for the decoder.
+    MCU grid; cells a non-interleaved scan never codes are zeroed) — the
+    exact round-trip expectation for the decoder.
     """
     if grayscale:
         samplings = samplings[:1]
@@ -211,7 +217,7 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
         qt = qt_luma if ci == 0 else qt_chroma
         planes.append(_fdct_quantize(sub, qt))
 
-    # ---- entropy-code the interleaved scan ----
+    # ---- entropy-code the scan(s) ----
     specs = []
     for ci in range(ncomp):
         if ci == 0:
@@ -219,26 +225,53 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
         else:
             specs.append((_huff_maps(STD_DC_CHROMA),
                           _huff_maps(STD_AC_CHROMA)))
-    bw = _BitWriter()
-    preds = [0] * ncomp
     n_mcus = mcus_x * mcus_y
-    rst = 0
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.align()
-            bw.raw(bytes([0xFF, 0xD0 + rst]))
-            rst = (rst + 1) % 8
-            preds = [0] * ncomp
-        my, mx = divmod(m, mcus_x)
-        for ci in range(ncomp):
-            h, v = hs[ci], vs[ci]
-            dc_map, ac_map = specs[ci]
-            for bv in range(v):
-                for bh in range(h):
-                    blk = planes[ci][my * v + bv, mx * h + bh]
-                    preds[ci] = _encode_block(bw, blk, preds[ci],
-                                              dc_map, ac_map)
-    bw.align()
+
+    def encode_scan_group(group):
+        """Returns the entropy bytes (with RSTn markers) for one scan."""
+        bw = _BitWriter()
+        rst = 0
+        preds = [0] * len(group)
+        if len(group) > 1:
+            units = n_mcus
+        else:
+            ci = group[0]
+            cw = -(-W * hs[ci] // h_max)
+            ch = -(-H * vs[ci] // v_max)
+            rows_u, cols_u = -(-ch // 8), -(-cw // 8)
+            units = rows_u * cols_u
+            # zero never-coded padded cells so planes == decode output
+            p = planes[ci]
+            p[rows_u:, :] = 0
+            p[:, cols_u:] = 0
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.align()
+                bw.raw(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                preds = [0] * len(group)
+            if len(group) > 1:
+                my, mx = divmod(m, mcus_x)
+                for k, ci in enumerate(group):
+                    h, v = hs[ci], vs[ci]
+                    dc_map, ac_map = specs[ci]
+                    for bv in range(v):
+                        for bh in range(h):
+                            blk = planes[ci][my * v + bv, mx * h + bh]
+                            preds[k] = _encode_block(bw, blk, preds[k],
+                                                     dc_map, ac_map)
+            else:
+                ci = group[0]
+                dc_map, ac_map = specs[ci]
+                r, c_ = divmod(m, cols_u)
+                blk = planes[ci][r, c_]
+                preds[0] = _encode_block(bw, blk, preds[0], dc_map, ac_map)
+        bw.align()
+        return bytes(bw.out)
+
+    scan_groups = [tuple(range(ncomp))] if scans is None \
+        else [tuple(g) for g in scans]
+    scan_payloads = [encode_scan_group(g) for g in scan_groups]
 
     # ---- markers ----
     out = io.BytesIO()
@@ -278,13 +311,14 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
     if restart_interval:
         out.write(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
 
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        cid = ci if zero_based_ids else ci + 1
-        t = 0 if ci == 0 else 0x11
-        sos += bytes([cid, t])
-    sos += bytes([0, 63, 0])
-    out.write(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
-    out.write(bytes(bw.out))
+    for group, payload in zip(scan_groups, scan_payloads):
+        sos = bytes([len(group)])
+        for ci in group:
+            cid = ci if zero_based_ids else ci + 1
+            t = 0 if ci == 0 else 0x11
+            sos += bytes([cid, t])
+        sos += bytes([0, 63, 0])
+        out.write(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+        out.write(payload)
     out.write(b"\xff\xd9")  # EOI
     return out.getvalue(), planes
