@@ -341,6 +341,67 @@ def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,
         return dc16, ac8, esc_idx[:e].copy(), esc_val[:e].copy()
 
 
+def decode_scan_subset(hdr: FrameHeader, scan: ScanHeader,
+                       n_threads: int | None = None) -> np.ndarray:
+    """Sequential subset scan (T.81 A.2): interleaved over the frame MCU
+    grid when the scan lists several components, non-interleaved over the
+    single component's unpadded block grid otherwise.
+
+    Returns (n_units * blocks_per_unit, 64) int32 scan-order blocks;
+    identical to python_ref.decode_scan_sequential_into's traversal order
+    (asserted in tests/test_encoder_roundtrip.py)."""
+    from ..layout import comp_dims_unpadded
+
+    lib = _load()
+    sc = scan.comp_indices
+    comps = [hdr.components[ci] for ci in sc]
+
+    data = _padded(scan)
+    seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
+    n_segments = len(seg_offsets) - 1
+    ri = scan.restart_interval
+
+    if len(sc) == 1:
+        # Non-interleaved: one data unit per MCU over the unpadded grid.
+        rows_u, cols_u = comp_dims_unpadded(hdr, sc[0])
+        n_units = rows_u * cols_u
+        h = np.array([1], np.int32)
+        v = np.array([1], np.int32)
+        bpu = 1
+    else:
+        n_units = hdr.mcus_x * hdr.mcus_y
+        h = np.array([c.h for c in comps], np.int32)
+        v = np.array([c.v for c in comps], np.int32)
+        bpu = int(sum(c.h * c.v for c in comps))
+    expected = -(-n_units // ri) if ri else 1
+    if n_segments != expected:
+        raise JPEGError(
+            f"restart-segment count {n_segments} does not match DRI {ri}")
+
+    dc_luts = [_lut16(scan.dc_specs[scan.dc_table_ids[k]])
+               for k in range(len(sc))]
+    ac_luts = [_lut32ac(scan.ac_specs[scan.ac_table_ids[k]])
+               for k in range(len(sc))]
+    PtrArray = ctypes.c_void_p * len(sc)
+    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
+    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+
+    out = np.zeros((n_units * bpu, 64), dtype=np.int32)
+    if n_threads is None:
+        n_threads = min(_NCPU, max(1, n_segments))
+    rc = lib.jd_decode_scan(
+        data.ctypes.data, seg_offsets.ctypes.data, n_segments,
+        len(sc), h.ctypes.data, v.ctypes.data,
+        dc_ptrs, ac_ptrs,
+        n_units, ri, out.ctypes.data, n_threads,
+    )
+    if rc != 0:
+        raise JPEGError(
+            f"native subset-scan decode failed: segment {rc >> 8}, "
+            f"error code {rc & 0xFF}")
+    return out
+
+
 def decode_scan_sparse(hdr: FrameHeader, scan: ScanHeader,
                        n_threads: int | None = None):
     """Decode straight to the sparse wire format (int16 DC plane + (gap

@@ -394,6 +394,8 @@ def _parse_sos(seg: np.ndarray, components: list[Component],
         comp_indices.append(ci)
         dc_ids.append(td)
         ac_ids.append(ta)
+    if len(set(comp_indices)) != ncomp:
+        raise JPEGError("SOS: duplicate component selector (T.81 B.2.3)")
     ss = int(seg[1 + 2 * ncomp])
     se = int(seg[2 + 2 * ncomp])
     a = int(seg[3 + 2 * ncomp])

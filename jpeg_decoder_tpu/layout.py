@@ -42,34 +42,45 @@ class ScanLayout:
 _LAYOUT_CACHE: dict[tuple, ScanLayout] = {}
 
 
-def scan_layout(hdr: FrameHeader) -> ScanLayout:
-    """Build the layout for the frame's interleaved scan geometry.
+def scan_layout(hdr: FrameHeader,
+                comp_indices: tuple | None = None) -> ScanLayout:
+    """Build the layout for an interleaved scan's geometry.
+
+    ``comp_indices=None`` means the canonical full-frame scan; a tuple
+    selects the component subset of a partial interleaved scan (T.81
+    A.2.3 — MCUs still traverse the frame grid, blocks cycle through the
+    subset only).  ``comp_of_block``/``comp_src`` then index the SUBSET
+    positions, and ``comp_shapes`` are the subset components' padded
+    grids.
 
     Cached per geometry: the index-map construction is O(total blocks) on
     host and identical for every image with the same dims/sampling."""
-    key = (hdr.mcus_x, hdr.mcus_y,
+    key = (hdr.mcus_x, hdr.mcus_y, comp_indices,
            tuple((c.h, c.v) for c in hdr.components))
     cached = _LAYOUT_CACHE.get(key)
     if cached is not None:
         return cached
-    out = _build_scan_layout(hdr)
+    out = _build_scan_layout(hdr, comp_indices)
     if len(_LAYOUT_CACHE) > 256:  # bound memory on pathological workloads
         _LAYOUT_CACHE.clear()
     _LAYOUT_CACHE[key] = out
     return out
 
 
-def _build_scan_layout(hdr: FrameHeader) -> ScanLayout:
-    comps = hdr.components
+def _build_scan_layout(hdr: FrameHeader,
+                       comp_indices: tuple | None = None) -> ScanLayout:
+    if comp_indices is None:
+        comp_indices = tuple(range(len(hdr.components)))
+    comps = [hdr.components[ci] for ci in comp_indices]
     mcus_x, mcus_y = hdr.mcus_x, hdr.mcus_y
     n_mcus = mcus_x * mcus_y
 
-    # Within-MCU block descriptors in scan order: (comp, v, h).
+    # Within-MCU block descriptors in scan order: (subset pos, v, h).
     per_mcu: list[tuple[int, int, int]] = []
-    for ci, c in enumerate(comps):
+    for k_c, c in enumerate(comps):
         for v in range(c.v):
             for h in range(c.h):
-                per_mcu.append((ci, v, h))
+                per_mcu.append((k_c, v, h))
     bpm = len(per_mcu)
 
     my = np.repeat(np.arange(mcus_y, dtype=np.int64), mcus_x)  # (n_mcus,)
@@ -77,19 +88,19 @@ def _build_scan_layout(hdr: FrameHeader) -> ScanLayout:
 
     comp_of_block = np.empty(n_mcus * bpm, dtype=np.int32)
     dest_in_comp = np.empty(n_mcus * bpm, dtype=np.int32)
-    for k, (ci, v, h) in enumerate(per_mcu):
-        c = comps[ci]
+    for k, (k_c, v, h) in enumerate(per_mcu):
+        c = comps[k_c]
         cols = mcus_x * c.h
         flat = (my * c.v + v) * cols + (mx * c.h + h)
-        comp_of_block[k::bpm] = ci
+        comp_of_block[k::bpm] = k_c
         dest_in_comp[k::bpm] = flat
 
     comp_src = []
     comp_shapes = []
-    for ci, c in enumerate(comps):
+    for k_c, ci in enumerate(comp_indices):
         rows, cols = hdr.comp_block_grid(ci)
         inv = np.empty(rows * cols, dtype=np.int32)
-        mask = comp_of_block == ci
+        mask = comp_of_block == k_c
         inv[dest_in_comp[mask]] = np.flatnonzero(mask).astype(np.int32)
         comp_src.append(inv)
         comp_shapes.append((rows, cols))

@@ -117,6 +117,14 @@ def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
         # component subset, non-interleaved when single-component) — legal
         # but rare; the reference accepts only the single interleaved scan
         # (jpeg.cpp:858-862).  Decoded via the oracle-grade Python path.
+        use_native = False
+        if entropy in ("auto", "native", "speculative"):
+            try:
+                from ..entropy import native
+
+                use_native = native.available()
+            except Exception:  # noqa: BLE001
+                use_native = False
         from ..entropy import python_ref
 
         lay = layout_mod.scan_layout(hdr)
@@ -128,7 +136,25 @@ def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
             if dup:
                 raise JPEGError(
                     f"sequential frame codes components {sorted(dup)} twice")
-            python_ref.decode_scan_sequential_into(hdr, scan, planes)
+            if use_native:
+                from ..entropy import native
+
+                sc = scan.comp_indices
+                blocks = native.decode_scan_subset(hdr, scan)
+                if len(sc) == 1:
+                    rows_u, cols_u = layout_mod.comp_dims_unpadded(
+                        hdr, sc[0])
+                    planes[sc[0]][:rows_u, :cols_u] = blocks.reshape(
+                        rows_u, cols_u, 64)
+                else:
+                    slay = layout_mod.scan_layout(
+                        hdr, comp_indices=tuple(sc))
+                    for k_c, ci in enumerate(sc):
+                        rows, cols = slay.comp_shapes[k_c]
+                        planes[ci][:] = blocks[slay.comp_src[k_c]].reshape(
+                            rows, cols, 64)
+            else:
+                python_ref.decode_scan_sequential_into(hdr, scan, planes)
             seen.update(scan.comp_indices)
         missing = set(range(len(hdr.components))) - seen
         if missing:

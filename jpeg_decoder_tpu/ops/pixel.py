@@ -184,19 +184,13 @@ def upsample_fancy(plane: jnp.ndarray, vy: int, vx: int) -> jnp.ndarray:
     jpeg.cpp:517-520); enables tight conformance vs PIL/libjpeg output.
     """
     x = plane.astype(jnp.int32)
-    # libjpeg's fancy path exists only for factor-2 axes (h2v1/h2v2,
-    # jdsample.c); other integer ratios use plain replication
-    # (int_upsample).  Match that: replicate non-2 axes first, then apply
-    # the triangular filter to any factor-2 axes.
+    # libjpeg's fancy path exists only for the (2,1)/(1,2)/(2,2) ratios
+    # (jdsample.c); ANY other ratio — including mixed ones like (2,4) —
+    # falls back to plain replication on both axes (int_upsample).
+    # Verified against PIL: filtering one axis of a mixed ratio deviates
+    # from libjpeg by ~2x the factor-2 tolerance.
     if vy not in (1, 2) or vx not in (1, 2):
-        if vy not in (1, 2):
-            x = jnp.repeat(x, vy, axis=0)
-            vy = 1
-        if vx not in (1, 2):
-            x = jnp.repeat(x, vx, axis=1)
-            vx = 1
-    if vy == 1 and vx == 1:
-        return x
+        return upsample_nn(plane, vy, vx).astype(jnp.int32)
     if vy == 2 and vx == 2:
         up = jnp.concatenate([x[:1], x[:-1]], axis=0)
         down = jnp.concatenate([x[1:], x[-1:]], axis=0)

@@ -136,9 +136,12 @@ def test_sequential_multiscan_roundtrip():
         hdr = parser.parse(blob)
         assert len(hdr.scans) == len(scans)
         got = decode_to_planes(hdr)
+        got_py = decode_to_planes(hdr, entropy="python")
         for ci, p in enumerate(planes):
             np.testing.assert_array_equal(np.asarray(got[ci]), p,
                                           err_msg=f"{scans} c{ci}")
+            np.testing.assert_array_equal(np.asarray(got_py[ci]), p,
+                                          err_msg=f"py {scans} c{ci}")
         # PIL/libjpeg decodes the same streams: pixel sanity.
         from PIL import Image
 

@@ -94,6 +94,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # Drop emitted high bits or acc grows into an ever-larger bigint
+        # and encoding goes quadratic in the stream length.
+        self.acc &= (1 << self.nbits) - 1
 
     def align(self):
         """Pad to byte boundary with 1-bits (T.81 F.1.2.3)."""
