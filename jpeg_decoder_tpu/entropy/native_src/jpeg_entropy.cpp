@@ -85,7 +85,12 @@ inline int32_t extend(uint32_t value, int size) {
 inline int decode_block(BitReader& br, const LutEntry* dc_lut,
                         const int32_t* ac_lut, int32_t* out,
                         int32_t& pred) {
+  // The 64-bit window is kept in a register and shifted as bits are
+  // consumed; it is reloaded only when fewer than 27 valid bits remain
+  // (the max one symbol consumes: 16-bit code + 11 value bits), so a
+  // typical block does ~2 loads instead of one per symbol.
   uint64_t w = br.window();
+  int avail = 64 - int(br.pos & 7);
   LutEntry t = dc_lut[w >> 48];
   int len = t & 31;
   if (len == 0) return 1;  // invalid DC code
@@ -94,12 +99,17 @@ inline int decode_block(BitReader& br, const LutEntry* dc_lut,
   int32_t diff =
       size ? extend(uint32_t((w << len) >> (64 - size)), size) : 0;
   br.pos += len + size;
+  w <<= len + size;
+  avail -= len + size;
   pred += diff;
   out[0] = pred;
 
   int i = 1;
   while (i < 64) {
-    w = br.window();
+    if (avail < 27) {
+      w = br.window();
+      avail = 64 - int(br.pos & 7);
+    }
     int32_t e = ac_lut[w >> 48];
     if (e == 0) return 3;  // invalid AC prefix
     if (__builtin_expect(e & 32, 0)) {  // slow: len+size > 16 or size > 10
@@ -116,9 +126,14 @@ inline int decode_block(BitReader& br, const LutEntry* dc_lut,
         ++i;
       }
       br.pos += len + csize;
+      w <<= len + csize;
+      avail -= len + csize;
       continue;
     }
-    br.pos += e & 31;
+    const int bits = e & 31;
+    br.pos += bits;
+    w <<= bits;
+    avail -= bits;
     const int32_t val = e >> 13;
     const int run = (e >> 7) & 63;
     if (val == 0) {
@@ -144,6 +159,7 @@ inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
                              const int32_t* ac_lut, int32_t* out,
                              int32_t& pred, uint64_t& mask) {
   uint64_t w = br.window();
+  int avail = 64 - int(br.pos & 7);
   LutEntry t = dc_lut[w >> 48];
   int len = t & 31;
   if (len == 0) return 1;
@@ -152,13 +168,18 @@ inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
   int32_t diff =
       size ? extend(uint32_t((w << len) >> (64 - size)), size) : 0;
   br.pos += len + size;
+  w <<= len + size;
+  avail -= len + size;
   pred += diff;
   out[0] = pred;
   mask = 0;
 
   int i = 1;
   while (i < 64) {
-    w = br.window();
+    if (avail < 27) {
+      w = br.window();
+      avail = 64 - int(br.pos & 7);
+    }
     int32_t e = ac_lut[w >> 48];
     if (e == 0) return 3;
     if (__builtin_expect(e & 32, 0)) {  // slow path, see decode_block
@@ -176,9 +197,14 @@ inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
         ++i;
       }
       br.pos += len + csize;
+      w <<= len + csize;
+      avail -= len + csize;
       continue;
     }
-    br.pos += e & 31;
+    const int bits = e & 31;
+    br.pos += bits;
+    w <<= bits;
+    avail -= bits;
     const int32_t val = e >> 13;
     const int run = (e >> 7) & 63;
     if (val == 0) {
