@@ -80,7 +80,12 @@ def main(argv=None) -> int:
     from . import decode
     from .io import writers
     from .utils import logging as jd_logging
+    from .utils.config import DecodeConfig
     from .utils.profiling import StageTimer
+
+    cfg = DecodeConfig(entropy=args.entropy, idct=args.idct,
+                       upsample=args.upsample,
+                       strict=args.strict).validate()
 
     timer = StageTimer()
     profile_cm = None
@@ -97,7 +102,11 @@ def main(argv=None) -> int:
         os.makedirs(outdir, exist_ok=True)
 
     if args.batch:
-        return _run_batch(args, timer, profile_cm)
+        try:
+            return _run_batch(args, timer, outdir, cfg)
+        finally:
+            if profile_cm is not None:
+                profile_cm.__exit__(None, None, None)
 
     rc = 0
     total_mp = 0.0
@@ -116,9 +125,9 @@ def main(argv=None) -> int:
                 continue
             t0 = time.perf_counter()
             with timer.stage("decode"):
-                res = decode(path, entropy=args.entropy, idct=args.idct,
-                             upsample=args.upsample, strict=args.strict,
-                             keep_planes=args.dump_coeffs is not None)
+                res = decode(path,
+                             keep_planes=args.dump_coeffs is not None,
+                             **cfg.decode_kwargs())
             if args.verbose:
                 jd_logging.log_header(res.header)
             total_mp += res.rgb.shape[0] * res.rgb.shape[1] / 1e6
@@ -152,30 +161,59 @@ def main(argv=None) -> int:
     return rc
 
 
-def _run_batch(args, timer, profile_cm) -> int:
-    """Batched decode path: all inputs through BatchDecoder."""
+def _run_batch(args, timer, outdir, cfg) -> int:
+    """Batched decode path: all inputs through BatchDecoder.
+
+    Output naming matches the single-image path: -o names a FILE for a
+    single input and a directory otherwise; per-input failures (unreadable
+    file, malformed stream) are isolated.  --resume skips inputs whose
+    output exists.  Flags the batch pipeline cannot honor are rejected
+    rather than silently ignored.
+    """
     import numpy as np
 
     from .io import writers
     from .models.batch import BatchDecoder
 
+    for flag, name in ((args.strict, "--strict"),
+                       (args.dump_coeffs, "--dump-coeffs")):
+        if flag:
+            print(f"{name} is not supported with --batch (use the "
+                  f"per-image path)", file=sys.stderr)
+            return 2
+
+    def out_path(name: str) -> str:
+        if outdir:
+            return os.path.join(outdir, f"{name}.{args.format}")
+        if args.output and len(args.inputs) == 1:
+            return args.output
+        return f"{name}.{args.format}"
+
+    rc = 0
     blobs, names = [], []
     for path in args.inputs:
-        with open(path, "rb") as f:
-            blobs.append(f.read())
-        names.append(os.path.splitext(os.path.basename(path))[0])
+        name = os.path.splitext(os.path.basename(path))[0]
+        if args.resume and os.path.exists(out_path(name)):
+            print(f"{path}: exists, skipped ({out_path(name)})")
+            continue
+        try:
+            with open(path, "rb") as f:
+                blobs.append(f.read())
+            names.append(name)
+        except OSError as e:
+            print(f"{path}: ERROR: {e}", file=sys.stderr)
+            rc = 1
 
-    outdir = args.output or "."
-    os.makedirs(outdir, exist_ok=True)
-
-    bd = BatchDecoder(entropy=args.entropy, idct=args.idct,
-                      upsample=args.upsample)
+    if not blobs:
+        return rc
+    kw = cfg.batch_kwargs()
+    kw.pop("strict", None)
+    bd = BatchDecoder(**kw)
     t0 = time.perf_counter()
     with timer.stage("batch decode"):
         items = bd.decode(blobs)
     dt = time.perf_counter() - t0
 
-    rc = 0
     total_mp = 0.0
     for name, item in zip(names, items):
         if not item.ok:
@@ -184,14 +222,16 @@ def _run_batch(args, timer, profile_cm) -> int:
             continue
         rgb = np.asarray(item.rgb)
         total_mp += rgb.shape[0] * rgb.shape[1] / 1e6
-        out = os.path.join(outdir, f"{name}.{args.format}")
+        out = out_path(name)
         writers.write_image(out, rgb)
         print(f"{name}: {rgb.shape[1]}x{rgb.shape[0]} -> {out}")
+        if args.show:
+            from PIL import Image as _PILImage
+
+            _PILImage.fromarray(rgb).show(title=name)
     if args.time:
         print(f"batch: {len(blobs)} images, {total_mp:.2f} MP in "
               f"{dt*1e3:.0f} ms -> {total_mp/dt:.1f} MP/s", file=sys.stderr)
-    if profile_cm is not None:
-        profile_cm.__exit__(None, None, None)
     return rc
 
 

@@ -225,7 +225,7 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
         elif marker == M_SOS:
             if width is None:
                 raise JPEGError("SOS before SOF")
-            scan = _parse_sos(seg, components, zero_based)
+            scan = _parse_sos(seg, components)
             scan.dc_specs = dict(dc_tables)
             scan.ac_specs = dict(ac_tables)
             scan.restart_interval = restart_interval
@@ -371,8 +371,8 @@ def _parse_dht(seg: np.ndarray, dc: dict, ac: dict):
         (ac if is_ac else dc)[tid] = spec
 
 
-def _parse_sos(seg: np.ndarray, components: list[Component],
-               zero_based: bool) -> ScanHeader:
+def _parse_sos(seg: np.ndarray,
+               components: list[Component]) -> ScanHeader:
     """Parity: read_sos (jpeg.cpp:233-287), generalized to arbitrary
     (Ss, Se, Ah, Al) and component subsets for progressive scans."""
     if len(seg) < 1:

@@ -48,10 +48,13 @@ def write_ppm(path, rgb: np.ndarray) -> None:
 
 
 def write_png(path, rgb: np.ndarray) -> None:
-    """Write PNG via PIL (available in this environment)."""
+    """Write PNG via PIL (format forced: PIL would otherwise infer a
+    LOSSY format from extensions like .jpg, silently degrading the
+    decoder's output)."""
     from PIL import Image
 
-    Image.fromarray(np.asarray(rgb, dtype=np.uint8), "RGB").save(path)
+    Image.fromarray(np.asarray(rgb, dtype=np.uint8), "RGB").save(
+        path, format="PNG")
 
 
 def write_image(path, rgb: np.ndarray) -> None:

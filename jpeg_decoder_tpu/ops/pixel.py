@@ -255,6 +255,11 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
 
     Returns (height, width, 3) uint8 RGB.
     """
+    if idct == "pallas":
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            idct = "kron"  # Pallas IDCT is TPU-only; same arithmetic
     up_fn = upsample_nn if upsample == "nn" else upsample_fancy
     pix = []
     for plane, q, (vy, vx) in zip(planes, qtables, samplings):

@@ -51,7 +51,7 @@ def global_mesh(seg_per_host: int | None = None):
     return Mesh(arr, ("data", "seg"))
 
 
-def local_data_rows(mesh, batch: int) -> range:
+def local_data_rows(mesh, batch: int) -> list[int]:
     """The rows of a 'data'-sharded batch owned by this process (assuming
     hosts-major mesh construction as in :func:`global_mesh`)."""
     n_data = mesh.shape["data"]

@@ -112,25 +112,26 @@ def decode_scan_sharded(hdr: FrameHeader, scan: ScanHeader,
         words_j, nm_j, dc_j, ac_j,
         block_comp=block_comp, n_comps=len(hdr.components),
         max_mcus=max_mcus, mesh_holder=_MeshHolder(mesh))
-    err = np.asarray(err)[:n_segments]
-    if err.any():
+    # One scalar crosses back for the happy path; the per-segment error
+    # array is fetched only for diagnostics (D2H is expensive on
+    # tunnel-attached devices — see CLAUDE.md).
+    if int(np.asarray(global_errs)) != 0:
+        err = np.asarray(err)[:n_segments]
         raise JPEGError(
             f"sharded entropy decode failed in segments "
             f"{np.flatnonzero(err)[:8]}")
     bpm = len(block_comp)
-    blocks = np.asarray(out).reshape(-1, 64)
-    # Strip per-segment padding: segment s contributed max_mcus*bpm rows but
-    # only its real MCUs are valid; they are contiguous at the row start.
-    ri = scan.restart_interval
-    if ri and n_segments > 1:
-        rows = []
-        nm_cum = 0
-        for s in range(n_segments):
-            take = int(nm[s]) * bpm
-            rows.append(blocks[s * max_mcus * bpm: s * max_mcus * bpm + take])
-            nm_cum += take
-        blocks = np.concatenate(rows)
-    return blocks[: lay.n_mcus * bpm]
+    # Strip per-segment padding ON DEVICE with one gather (each segment
+    # contributed max_mcus*bpm rows; only the first nm[s]*bpm are valid),
+    # so the single D2H fetch carries no padding.
+    take = nm.astype(np.int64) * bpm
+    total = int(take.sum())
+    seg_of = np.repeat(np.arange(n_segments, dtype=np.int64), take)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(take) - take, take)
+    idx = seg_of * (max_mcus * bpm) + within
+    valid = jnp.take(out.reshape(-1, 64), jnp.asarray(idx), axis=0)
+    return np.asarray(valid)[: lay.n_mcus * bpm]
 
 
 def decode_planes_sharded(hdr: FrameHeader, mesh: Mesh):

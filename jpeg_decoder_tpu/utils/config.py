@@ -14,10 +14,11 @@ import dataclasses
 class DecodeConfig:
     """Knobs for a decode pipeline instance."""
 
-    entropy: str = "auto"      # auto | python | native | jax | pallas
+    entropy: str = "auto"   # auto | python | native | speculative | jax | pallas
     idct: str = "fast"         # exact | fast | kron | pallas
     upsample: str = "fancy"    # nn | fancy
     strict: bool = False       # eager pixel pipeline (bit-exact vs reference)
+    wire: str = "nibble"       # batch coefficient wire: nibble|sparse|packed
     host_threads: int | None = None
     # Mesh geometry for sharded decode: (data, seg) axis sizes; None = no
     # sharding (single device).
@@ -31,8 +32,17 @@ class DecodeConfig:
             raise ValueError(f"bad idct mode {self.idct!r}")
         if self.upsample not in ("nn", "fancy"):
             raise ValueError(f"bad upsample mode {self.upsample!r}")
+        if self.wire not in ("nibble", "sparse", "packed"):
+            raise ValueError(f"bad wire format {self.wire!r}")
         return self
 
     def decode_kwargs(self) -> dict:
+        """Keyword arguments for models.decoder.decode()."""
         return dict(entropy=self.entropy, idct=self.idct,
                     upsample=self.upsample, strict=self.strict)
+
+    def batch_kwargs(self) -> dict:
+        """Keyword arguments for models.batch.BatchDecoder()."""
+        return dict(entropy=self.entropy, idct=self.idct,
+                    upsample=self.upsample, wire=self.wire,
+                    host_threads=self.host_threads)
