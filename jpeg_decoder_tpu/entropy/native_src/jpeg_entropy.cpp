@@ -1209,6 +1209,25 @@ int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
   int64_t mcu = 0;
   for (int s = 0; s < n_segments; ++s) {
     BitReader br{data, seg_offsets[s] * 8, seg_offsets[s + 1] * 8};
+    // Register-resident bit window (see decode_block): refill when fewer
+    // than 31 valid bits remain (max per step: 16-bit code + 14 EOB-run
+    // or value bits).  Refinement correction bits come from the same
+    // window one bit at a time.
+    uint64_t w = br.window();
+    int avail = 64 - int(br.pos & 7);
+    auto need = [&](int n) {
+      if (avail < n) {
+        w = br.window();
+        avail = 64 - int(br.pos & 7);
+      }
+    };
+    auto take = [&](int n) -> uint32_t {
+      uint32_t v = uint32_t(w >> (64 - n));
+      w <<= n;
+      avail -= n;
+      br.pos += n;
+      return v;
+    };
     int64_t eobrun = 0;
     int64_t seg_mcus = restart_interval
                            ? std::min<int64_t>(restart_interval, n_mcus - mcu)
@@ -1223,23 +1242,28 @@ int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
         }
         int k = ss;
         while (k <= se) {
-          LutEntry e = ac_lut[br.peek16()];
+          need(31);
+          LutEntry e = ac_lut[w >> 48];
           int len = e & 31;
           if (!len) return 3;
-          br.pos += len;
           int sym = e >> 5;
           int r = sym >> 4, sz = sym & 0x0F;
           if (sz == 0) {
             if (r < 15) {
+              take(len);
               eobrun = (int64_t(1) << r) - 1;
-              if (r) eobrun += br.getbits(r);
+              if (r) eobrun += take(r);
               break;
             }
+            take(len);
             k += 16;  // ZRL
           } else {
             k += r;
             if (k > se) return 4;
-            blk[kZigzag[k]] = extend(br.getbits(sz), sz) << al;
+            uint64_t wv = w << len;
+            blk[kZigzag[k]] =
+                extend(uint32_t(wv >> (64 - sz)), sz) << al;
+            take(len + sz);
             ++k;
           }
         }
@@ -1248,28 +1272,31 @@ int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
         int k = ss;
         if (eobrun == 0) {
           while (k <= se) {
-            LutEntry e = ac_lut[br.peek16()];
+            need(31);
+            LutEntry e = ac_lut[w >> 48];
             int len = e & 31;
             if (!len) return 3;
-            br.pos += len;
+            take(len);
             int sym = e >> 5;
             int r = sym >> 4, sz = sym & 0x0F;
             int32_t newval = 0;
             if (sz == 0) {
               if (r < 15) {
                 eobrun = int64_t(1) << r;
-                if (r) eobrun += br.getbits(r);
+                if (r) eobrun += take(r);
                 break;
               }
               // r == 15: ZRL — skip 16 zero-history coefficients
             } else {
               if (sz != 1) return 5;
-              newval = br.getbits(1) ? p1 : -p1;
+              need(1);
+              newval = take(1) ? p1 : -p1;
             }
             while (k <= se) {
               int32_t& nz = blk[kZigzag[k]];
               if (nz != 0) {
-                if (br.getbits(1) && (nz & p1) == 0)
+                need(1);
+                if (take(1) && (nz & p1) == 0)
                   nz += (nz > 0) ? p1 : -p1;
               } else {
                 if (r == 0) break;
@@ -1285,7 +1312,8 @@ int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
           while (k <= se) {
             int32_t& nz = blk[kZigzag[k]];
             if (nz != 0) {
-              if (br.getbits(1) && (nz & p1) == 0)
+              need(1);
+              if (take(1) && (nz & p1) == 0)
                 nz += (nz > 0) ? p1 : -p1;
             }
             ++k;
