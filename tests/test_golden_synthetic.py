@@ -27,7 +27,13 @@ _CASES = [
 
 
 def _encode(name, kw, size=(134, 101)):
-    rng = np.random.default_rng(hash(name) % 2**31)
+    # Stable seed: Python's str hash is randomized per process, which made
+    # the encoded bytes differ between pytest sessions — and whether the
+    # reference decoder survives its 4:2:0+DRI restart desync (see below)
+    # depends on the exact stream, so the test flaked.
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     base = rng.integers(0, 255, size=(7, 9, 3)).astype(np.uint8)
     rgb = np.asarray(Image.fromarray(base).resize(size))
     buf = io.BytesIO()
