@@ -60,7 +60,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 8:
+        if lib.jd_abi_version() != 9:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_decode_scan.restype = ctypes.c_int64
         lib.jd_decode_scan.argtypes = [
@@ -135,6 +135,23 @@ def _load():
             ctypes.c_void_p,                    # entry_count
             ctypes.c_void_p, ctypes.c_int64,    # ov_out, ov_cap
             ctypes.c_void_p,                    # ov_count
+            ctypes.c_void_p, ctypes.c_void_p,   # esc_idx, esc_val
+            ctypes.c_int64, ctypes.c_void_p,    # esc_cap, esc_count
+            ctypes.c_int32,                     # n_threads
+        ]
+        lib.jd_decode_scan_slots.restype = ctypes.c_int64
+        lib.jd_decode_scan_slots.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p,                    # dc_out
+            ctypes.c_void_p, ctypes.c_void_p,   # pos_out, val_out
+            ctypes.c_int32,                     # cap
+            ctypes.c_void_p, ctypes.c_void_p,   # ov_idx, ov_val
+            ctypes.c_int64, ctypes.c_void_p,    # ov_cap, ov_count
             ctypes.c_void_p, ctypes.c_void_p,   # esc_idx, esc_val
             ctypes.c_int64, ctypes.c_void_p,    # esc_cap, esc_count
             ctypes.c_int32,                     # n_threads
@@ -569,6 +586,75 @@ def decode_scan_nibble(hdr: FrameHeader, scan: ScanHeader,
                 f"error code {rc & 0xFF}")
         k, o, e = (int(x) for x in counts)
         return (dc16, entries[:k].copy(), ov[:o].copy(),
+                esc_idx[:e].copy(), esc_val[:e].copy())
+
+
+def decode_scan_slots(hdr: FrameHeader, scan: ScanHeader, cap: int = 16,
+                      n_threads: int | None = None):
+    """Decode straight to the slot wire format (int16 DC plane + (N, cap)
+    position/value slot arrays + overflow and escape lists); see
+    models.batch.slotify_ac for the format.
+
+    Returns (dc16 (N,), pos (N, cap) uint8, val (N, cap) int8,
+    ov_idx (O,) int32, ov_val (O,) int16, esc_idx (E,), esc_val (E,))."""
+    lib = _load()
+    lay = scan_layout(hdr)
+    comps = hdr.components
+
+    data = _padded(scan)
+    seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
+    n_segments = len(seg_offsets) - 1
+    ri = scan.restart_interval
+    expected = -(-lay.n_mcus // ri) if ri else 1
+    if n_segments != expected:
+        raise JPEGError(
+            f"restart-segment count {n_segments} does not match DRI {ri}")
+
+    h = np.array([c.h for c in comps], np.int32)
+    v = np.array([c.v for c in comps], np.int32)
+    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
+    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
+    PtrArray = ctypes.c_void_p * len(comps)
+    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
+    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+
+    n_blocks = lay.total_blocks
+    dc16 = np.empty((n_blocks,), np.int16)
+    pos = np.zeros((n_blocks, cap), np.uint8)
+    val = np.zeros((n_blocks, cap), np.int8)
+    if n_threads is None:
+        n_threads = min(_NCPU, max(1, n_segments))
+
+    ov_cap = max(4096, n_blocks * 8)
+    esc_cap = max(4096, n_blocks // 2)
+    while True:
+        ov_idx = np.empty((ov_cap,), np.int32)
+        ov_val = np.empty((ov_cap,), np.int16)
+        esc_idx = np.empty((esc_cap,), np.int32)
+        esc_val = np.empty((esc_cap,), np.int16)
+        counts = np.zeros((2,), np.int64)
+        rc = lib.jd_decode_scan_slots(
+            data.ctypes.data, seg_offsets.ctypes.data, n_segments,
+            len(comps), h.ctypes.data, v.ctypes.data,
+            dc_ptrs, ac_ptrs,
+            lay.n_mcus, ri,
+            dc16.ctypes.data,
+            pos.ctypes.data, val.ctypes.data, cap,
+            ov_idx.ctypes.data, ov_val.ctypes.data,
+            ov_cap, counts[0:].ctypes.data,
+            esc_idx.ctypes.data, esc_val.ctypes.data,
+            esc_cap, counts[1:].ctypes.data, n_threads,
+        )
+        if rc == -3:
+            ov_cap *= 4
+            esc_cap *= 4
+            continue
+        if rc != 0:
+            raise JPEGError(
+                f"native slots entropy decode failed: segment {rc >> 8}, "
+                f"error code {rc & 0xFF}")
+        o, e = (int(x) for x in counts)
+        return (dc16, pos, val, ov_idx[:o].copy(), ov_val[:o].copy(),
                 esc_idx[:e].copy(), esc_val[:e].copy())
 
 

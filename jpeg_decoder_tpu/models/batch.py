@@ -131,6 +131,80 @@ def nibbleize_ac(ac8: np.ndarray):
     return e, ov
 
 
+def slotify_ac(ac8: np.ndarray, cap: int):
+    """Per-block slot wire encoding: (N, C) position/value slot arrays.
+
+    The first ``cap`` nonzeros of each block fill its slots (position =
+    natural-order index 1..63; 0 marks an empty slot — the DC slot is
+    never an AC position); the tail spills to an overflow list of (flat
+    index, value) pairs.  Reconstruction needs NO large scatter: a
+    per-block one-hot compare-and-sum rebuilds dense blocks on the VPU,
+    ~10-15x faster than the scatter-add the gap-coded wires require —
+    the trade is more wire bytes (2*C per block), so this format wins
+    when H2D bandwidth is plentiful and the device is the bottleneck.
+
+    Returns (pos (N, C) uint8, val (N, C) int8, ov_idx (O,) int32,
+    ov_val (O,) int16).
+    """
+    n = ac8.shape[0]
+    rows, cols0 = np.nonzero(ac8[:, 1:])
+    cols = cols0 + 1
+    counts = np.bincount(rows, minlength=n)
+    first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(rows)) - first[rows]
+    in_slot = rank < cap
+    pos = np.zeros((n, cap), np.uint8)
+    val = np.zeros((n, cap), np.int8)
+    pos[rows[in_slot], rank[in_slot]] = cols[in_slot]
+    val[rows[in_slot], rank[in_slot]] = ac8[rows[in_slot], cols[in_slot]]
+    ov_rows, ov_cols = rows[~in_slot], cols[~in_slot]
+    ov_idx = (ov_rows.astype(np.int64) * 64 + ov_cols).astype(np.int32)
+    ov_val = ac8[ov_rows, ov_cols].astype(np.int16)
+    return pos, val, ov_idx, ov_val
+
+
+#: Fixed slot capacity: covers ~p90 of corpus blocks; the tail goes to
+#: the overflow scatter (30x fewer updates than a full scatter wire).
+_SLOT_CAP = 16
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample"))
+def _batched_from_slots(dc16_b, pos_b, val_b, ov_idx_b, ov_val_b,
+                        esc_idx_b, esc_val_b, qtables_b, comp_srcs, *,
+                        comp_shapes, height, width, samplings, idct,
+                        upsample):
+    """Slot-wire batch: one-hot compare-and-sum per block, no big scatter.
+
+    Padding: empty slots are (0, 0) — position 0 never matches an AC
+    lane; overflow/escape pads use out-of-range indices (dropped)."""
+
+    lane = jnp.arange(1, 64, dtype=jnp.int32)  # AC lanes only
+
+    def one(dc16, pos, val, ov_idx, ov_val, esc_idx, esc_val, qt):
+        n = dc16.shape[0]
+        p = pos.astype(jnp.int32)
+        v = val.astype(jnp.int32)
+        ac = (v[:, :, None]
+              * (p[:, :, None] == lane[None, None, :])).sum(axis=1)
+        blocks = jnp.concatenate(
+            [dc16.astype(jnp.int32)[:, None], ac], axis=1)
+        flat = blocks.reshape(-1)
+        flat = flat.at[ov_idx].set(ov_val.astype(jnp.int32), mode="drop")
+        flat = flat.at[esc_idx].set(esc_val.astype(jnp.int32), mode="drop")
+        blocks = flat.reshape(n, 64)
+        planes = tuple(
+            jnp.take(blocks, src, axis=0).reshape(rows, cols, 64)
+            for src, (rows, cols) in zip(comp_srcs, comp_shapes))
+        qts = tuple(qt[i] for i in range(len(comp_shapes)))
+        return pixel_ops.pixel_pipeline_impl(
+            planes, qts, height=height, width=width,
+            samplings=samplings, idct=idct, upsample=upsample)
+
+    return jax.vmap(one)(dc16_b, pos_b, val_b, ov_idx_b, ov_val_b,
+                         esc_idx_b, esc_val_b, qtables_b)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "comp_shapes", "height", "width", "samplings", "idct", "upsample"))
 def _batched_from_nibble(dc16_b, e_b, ov_b, esc_idx_b, esc_val_b,
@@ -228,13 +302,14 @@ def _batched_from_packed(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b,
 
 
 def _bucket(n: int, min_size: int = 256) -> int:
-    """Round up keeping 3 significant bits (max 12.5% padding waste).
+    """Round up keeping 4 significant bits (max 6.25% padding waste).
 
     Pure pow-2 bucketing wastes up to 2x wire bytes on the padded sparse
     streams — material when H2D transfer is the bottleneck.  Finer buckets
-    trade a few more compiled programs for tight transfers."""
+    trade a few more compiled programs for tight transfers (the
+    persistent compilation cache absorbs the compile cost)."""
     n = max(n, min_size)
-    step = 1 << max((n - 1).bit_length() - 3, 0)
+    step = 1 << max((n - 1).bit_length() - 4, 0)
     return -(-n // step) * step
 
 
@@ -265,7 +340,7 @@ class BatchDecoder:
     def __init__(self, *, entropy: str = "auto", idct: str = "fast",
                  upsample: str = "fancy", device=None,
                  host_threads: int | None = None, wire: str = "nibble"):
-        if wire not in ("nibble", "sparse", "packed"):
+        if wire not in ("nibble", "sparse", "packed", "slots"):
             raise ValueError(f"unknown wire format {wire!r}")
         self.entropy = entropy
         self.idct = idct
@@ -279,6 +354,7 @@ class BatchDecoder:
         self._packed_fn = None
         self._sparse_fn = None
         self._nibble_fn = None
+        self._slots_fn = None
         if entropy in ("auto", "native"):
             try:
                 from ..entropy import native
@@ -288,6 +364,8 @@ class BatchDecoder:
                     self._sparse_fn = native.decode_scan_sparse
                     self._nibble_fn = getattr(
                         native, "decode_scan_nibble", None)
+                    self._slots_fn = getattr(
+                        native, "decode_scan_slots", None)
             except Exception:
                 pass
 
@@ -310,6 +388,8 @@ class BatchDecoder:
             for ci, p in enumerate(planes):
                 blocks[lay.comp_src[ci]] = p.reshape(-1, 64)
             pack = pack_blocks(blocks)
+        elif self.wire == "slots" and self._slots_fn is not None:
+            return hdr, self._slots_fn(hdr, hdr.scans[0], _SLOT_CAP)
         elif self.wire == "nibble" and self._nibble_fn is not None:
             return hdr, self._nibble_fn(hdr, hdr.scans[0])
         elif self.wire == "sparse" and self._sparse_fn is not None:
@@ -321,6 +401,10 @@ class BatchDecoder:
         else:
             pack = pack_blocks(
                 np.asarray(self._decode_scan(hdr, hdr.scans[0])))
+        if self.wire == "slots":
+            dc16, ac8, esc_idx, esc_val = pack
+            pos, val, ov_idx, ov_val = slotify_ac(ac8, _SLOT_CAP)
+            return hdr, (dc16, pos, val, ov_idx, ov_val, esc_idx, esc_val)
         if self.wire == "nibble":
             dc16, ac8, esc_idx, esc_val = pack
             e, ov = nibbleize_ac(ac8)
@@ -389,7 +473,25 @@ class BatchDecoder:
             wire = self.wire
             dc_b = np.stack([p[0] for p in packs])
             n_coef = dc_b.shape[1] * 64
-            if wire == "nibble":
+            if wire == "slots":
+                # Slot arrays are (N, C) with per-image C: pad slots to
+                # the group max capacity with (0, 0) empties; overflow
+                # lists pad with out-of-range indices (dropped).
+                cmax = max(p[1].shape[1] for p in packs)
+                b = len(packs)
+                n_blk = dc_b.shape[1]
+                pos_b = np.zeros((b, n_blk, cmax), np.uint8)
+                valp_b = np.zeros((b, n_blk, cmax), np.int8)
+                omax = _bucket(max(len(p[3]) for p in packs), min_size=64)
+                ovi_b = np.full((b, omax), n_coef, np.int32)
+                ovv_b = np.zeros((b, omax), np.int16)
+                for k, p in enumerate(packs):
+                    pos_b[k, :, :p[1].shape[1]] = p[1]
+                    valp_b[k, :, :p[2].shape[1]] = p[2]
+                    ovi_b[k, :len(p[3])] = p[3]
+                    ovv_b[k, :len(p[4])] = p[4]
+                ac_parts, ei_at, ev_at = (pos_b, valp_b, ovi_b, ovv_b), 5, 6
+            elif wire == "nibble":
                 # Entry and overflow streams are ragged with independent
                 # lengths: pad each to its own bucketed group max
                 # (0x00 entries / 0 values are no-ops).
@@ -443,7 +545,8 @@ class BatchDecoder:
                                              qtables_b)]
             if self.device is not None:
                 arrs = [jax.device_put(x, self.device) for x in arrs]
-            fn = {"nibble": _batched_from_nibble,
+            fn = {"slots": _batched_from_slots,
+                  "nibble": _batched_from_nibble,
                   "sparse": _batched_from_sparse,
                   "packed": _batched_from_packed}[wire]
             rgb_b = fn(

@@ -18,7 +18,7 @@ class DecodeConfig:
     idct: str = "fast"         # exact | fast | kron | pallas
     upsample: str = "fancy"    # nn | fancy
     strict: bool = False       # eager pixel pipeline (bit-exact vs reference)
-    wire: str = "nibble"       # batch coefficient wire: nibble|sparse|packed
+    wire: str = "nibble"   # batch wire: nibble|sparse|packed|slots
     host_threads: int | None = None
     # Mesh geometry for sharded decode: (data, seg) axis sizes; None = no
     # sharding (single device).
@@ -32,7 +32,7 @@ class DecodeConfig:
             raise ValueError(f"bad idct mode {self.idct!r}")
         if self.upsample not in ("nn", "fancy"):
             raise ValueError(f"bad upsample mode {self.upsample!r}")
-        if self.wire not in ("nibble", "sparse", "packed"):
+        if self.wire not in ("nibble", "sparse", "packed", "slots"):
             raise ValueError(f"bad wire format {self.wire!r}")
         return self
 

@@ -150,6 +150,30 @@ def test_native_emitters_randomized_restart_sweep():
             np.testing.assert_array_equal(ov, ov_ref)
 
 
+def test_native_slots_emitter_matches_numpy():
+    """C++ slot emitter == numpy slotify_ac, including the threaded path
+    and the overflow list (order-insensitive)."""
+    from jpeg_decoder_tpu.entropy import native
+    from jpeg_decoder_tpu.io import parser
+    from jpeg_decoder_tpu.models.batch import slotify_ac
+
+    if not native.available():
+        pytest.skip("native backend unavailable")
+    for name in ("img3.jpg", "img4.jpg"):
+        hdr = parser.parse(_blob(name))
+        _, ac8, _, _ = native.decode_scan_packed(hdr, hdr.scans[0])
+        pos_r, val_r, ovi_r, ovv_r = slotify_ac(ac8, 16)
+        for nt in (1, 2):
+            dc, pos, val, ovi, ovv, ei, ev = native.decode_scan_slots(
+                hdr, hdr.scans[0], 16, n_threads=nt)
+            np.testing.assert_array_equal(pos, pos_r, err_msg=name)
+            np.testing.assert_array_equal(val, val_r, err_msg=name)
+            o1, o2 = np.argsort(ovi, kind="stable"), np.argsort(
+                ovi_r, kind="stable")
+            np.testing.assert_array_equal(ovi[o1], ovi_r[o2])
+            np.testing.assert_array_equal(ovv[o1], ovv_r[o2])
+
+
 def _unnibble(e: np.ndarray, ov: np.ndarray, n_coef: int) -> np.ndarray:
     """NumPy model of the device nibble reconstruction."""
     g, vc = e >> 4, e & 15
@@ -212,7 +236,7 @@ def test_nibbleize_matches_sparse_on_corpus():
 # BatchDecoder end-to-end vs single-image decode
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("wire", ["nibble", "sparse", "packed"])
+@pytest.mark.parametrize("wire", ["nibble", "sparse", "packed", "slots"])
 def test_batch_matches_single(wire):
     names = ["img.jpg", "img2.jpg", "img4.jpg"]
     blobs = [_blob(n) for n in names]
@@ -226,7 +250,7 @@ def test_batch_matches_single(wire):
             np.asarray(item.rgb), np.asarray(ref), err_msg=name)
 
 
-@pytest.mark.parametrize("wire", ["nibble", "sparse", "packed"])
+@pytest.mark.parametrize("wire", ["nibble", "sparse", "packed", "slots"])
 def test_batch_same_geometry_nonpow2(wire):
     """5 copies of one geometry exercises the pow-2 batch padding."""
     blob = _blob("img6.jpg")
