@@ -1,0 +1,15 @@
+"""Smoke tests for the bundled runnable examples."""
+
+
+def test_examples_run():
+    """Smoke test: the bundled examples execute end to end (CPU)."""
+    import subprocess
+    import sys
+
+    for cmd in (
+        [sys.executable, "examples/serving_pipeline.py", "--platform", "cpu"],
+        [sys.executable, "examples/sharded_decode.py", "4"],
+    ):
+        r = subprocess.run(cmd, cwd="/root/repo", capture_output=True,
+                           text=True, timeout=240)
+        assert r.returncode == 0, (cmd, r.stdout[-800:], r.stderr[-800:])
