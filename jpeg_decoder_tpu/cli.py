@@ -182,53 +182,53 @@ def _run_batch(args, timer, outdir, cfg) -> int:
                   f"per-image path)", file=sys.stderr)
             return 2
 
-    def out_path(name: str) -> str:
+    def out_path(path: str) -> str:
+        name = os.path.splitext(os.path.basename(path))[0]
         if outdir:
             return os.path.join(outdir, f"{name}.{args.format}")
         if args.output and len(args.inputs) == 1:
             return args.output
-        return f"{name}.{args.format}"
+        # Default: alongside the input, matching the single-image path.
+        return os.path.join(os.path.dirname(path) or ".",
+                            f"{name}.{args.format}")
 
     rc = 0
     blobs, names = [], []
     for path in args.inputs:
-        name = os.path.splitext(os.path.basename(path))[0]
-        if args.resume and os.path.exists(out_path(name)):
-            print(f"{path}: exists, skipped ({out_path(name)})")
+        if args.resume and os.path.exists(out_path(path)):
+            print(f"{path}: exists, skipped ({out_path(path)})")
             continue
         try:
             with open(path, "rb") as f:
                 blobs.append(f.read())
-            names.append(name)
+            names.append(path)
         except OSError as e:
             print(f"{path}: ERROR: {e}", file=sys.stderr)
             rc = 1
 
     if not blobs:
         return rc
-    kw = cfg.batch_kwargs()
-    kw.pop("strict", None)
-    bd = BatchDecoder(**kw)
+    bd = BatchDecoder(**cfg.batch_kwargs())
     t0 = time.perf_counter()
     with timer.stage("batch decode"):
         items = bd.decode(blobs)
     dt = time.perf_counter() - t0
 
     total_mp = 0.0
-    for name, item in zip(names, items):
+    for path, item in zip(names, items):
         if not item.ok:
-            print(f"{name}: ERROR: {item.error}", file=sys.stderr)
+            print(f"{path}: ERROR: {item.error}", file=sys.stderr)
             rc = 1
             continue
         rgb = np.asarray(item.rgb)
         total_mp += rgb.shape[0] * rgb.shape[1] / 1e6
-        out = out_path(name)
+        out = out_path(path)
         writers.write_image(out, rgb)
-        print(f"{name}: {rgb.shape[1]}x{rgb.shape[0]} -> {out}")
+        print(f"{path}: {rgb.shape[1]}x{rgb.shape[0]} -> {out}")
         if args.show:
             from PIL import Image as _PILImage
 
-            _PILImage.fromarray(rgb).show(title=name)
+            _PILImage.fromarray(rgb).show(title=os.path.basename(path))
     if args.time:
         print(f"batch: {len(blobs)} images, {total_mp:.2f} MP in "
               f"{dt*1e3:.0f} ms -> {total_mp/dt:.1f} MP/s", file=sys.stderr)

@@ -218,6 +218,48 @@ def _padded(scan) -> np.ndarray:
     return np.concatenate([d, np.zeros(256, np.uint8)])
 
 
+class _ScanCall:
+    """Shared native-call setup for full-frame scan wrappers: padded data,
+    validated segment table, sampling arrays, and LUT pointer arrays (the
+    LUT ndarrays are kept alive on the instance for the ctypes call)."""
+
+    def __init__(self, hdr: FrameHeader, scan: ScanHeader):
+        self.lay = scan_layout(hdr)
+        comps = hdr.components
+        self.data = _padded(scan)
+        self.seg_offsets = np.ascontiguousarray(scan.seg_offsets,
+                                                dtype=np.int64)
+        self.n_segments = len(self.seg_offsets) - 1
+        self.ri = scan.restart_interval
+        expected = -(-self.lay.n_mcus // self.ri) if self.ri else 1
+        if self.n_segments != expected:
+            raise JPEGError(
+                f"restart-segment count {self.n_segments} does not match "
+                f"DRI {self.ri}")
+        self.h = np.array([c.h for c in comps], np.int32)
+        self.v = np.array([c.v for c in comps], np.int32)
+        self.dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
+        self.ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
+        PtrArray = ctypes.c_void_p * len(comps)
+        self.dc_ptrs = PtrArray(*[a.ctypes.data for a in self.dc_luts])
+        self.ac_ptrs = PtrArray(*[a.ctypes.data for a in self.ac_luts])
+        self.n_comps = len(comps)
+
+    def threads(self, n_threads):
+        if n_threads is not None:
+            return n_threads
+        return min(_NCPU, max(1, self.n_segments))
+
+    def head_args(self):
+        """The common leading argument tuple of the jd_decode_scan_*
+        C functions."""
+        return (self.data.ctypes.data, self.seg_offsets.ctypes.data,
+                self.n_segments, self.n_comps,
+                self.h.ctypes.data, self.v.ctypes.data,
+                self.dc_ptrs, self.ac_ptrs,
+                self.lay.n_mcus, self.ri)
+
+
 def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
                          n_threads: int | None = None) -> np.ndarray:
     """Decode a full baseline interleaved scan (native backend).
@@ -226,35 +268,12 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
     identical to the python_ref backend (asserted by tests/test_entropy.py).
     """
     lib = _load()
-    lay = scan_layout(hdr)
-    comps = hdr.components
-
-    data = _padded(scan)
-    seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
-    n_segments = len(seg_offsets) - 1
-    ri = scan.restart_interval
-    expected = -(-lay.n_mcus // ri) if ri else 1
-    if n_segments != expected:
-        raise JPEGError(
-            f"restart-segment count {n_segments} does not match DRI {ri}")
-
-    h = np.array([c.h for c in comps], np.int32)
-    v = np.array([c.v for c in comps], np.int32)
-    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
-    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
-    PtrArray = ctypes.c_void_p * len(comps)
-    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
-    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+    st = _ScanCall(hdr, scan)
+    lay = st.lay
 
     out = np.zeros((lay.total_blocks, 64), dtype=np.int32)
-    if n_threads is None:
-        n_threads = min(_NCPU, max(1, n_segments))
-
     rc = lib.jd_decode_scan(
-        data.ctypes.data, seg_offsets.ctypes.data, n_segments,
-        len(comps), h.ctypes.data, v.ctypes.data,
-        dc_ptrs, ac_ptrs,
-        lay.n_mcus, ri, out.ctypes.data, n_threads,
+        *st.head_args(), out.ctypes.data, st.threads(n_threads),
     )
     if rc != 0:
         raise JPEGError(
@@ -307,31 +326,13 @@ def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,
     models.batch.pack_blocks(decode_scan_baseline(...)).
     """
     lib = _load()
-    lay = scan_layout(hdr)
-    comps = hdr.components
-
-    data = _padded(scan)
-    seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
-    n_segments = len(seg_offsets) - 1
-    ri = scan.restart_interval
-    expected = -(-lay.n_mcus // ri) if ri else 1
-    if n_segments != expected:
-        raise JPEGError(
-            f"restart-segment count {n_segments} does not match DRI {ri}")
-
-    h = np.array([c.h for c in comps], np.int32)
-    v = np.array([c.v for c in comps], np.int32)
-    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
-    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
-    PtrArray = ctypes.c_void_p * len(comps)
-    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
-    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+    st = _ScanCall(hdr, scan)
+    lay = st.lay
 
     n_blocks = lay.total_blocks
     dc16 = np.empty((n_blocks,), np.int16)
     ac8 = np.empty((n_blocks, 64), np.int8)
-    if n_threads is None:
-        n_threads = min(_NCPU, max(1, n_segments))
+    n_threads = st.threads(n_threads)
 
     esc_cap = max(4096, n_blocks // 2)
     while True:
@@ -339,10 +340,7 @@ def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,
         esc_val = np.empty((esc_cap,), np.int16)
         esc_count = np.zeros((1,), np.int64)
         rc = lib.jd_decode_scan_packed(
-            data.ctypes.data, seg_offsets.ctypes.data, n_segments,
-            len(comps), h.ctypes.data, v.ctypes.data,
-            dc_ptrs, ac_ptrs,
-            lay.n_mcus, ri,
+            *st.head_args(),
             dc16.ctypes.data, ac8.ctypes.data,
             esc_idx.ctypes.data, esc_val.ctypes.data,
             esc_cap, esc_count.ctypes.data, n_threads,
@@ -430,30 +428,12 @@ def decode_scan_sparse(hdr: FrameHeader, scan: ScanHeader,
     models.batch.sparsify_ac over the packed format (asserted in tests).
     """
     lib = _load()
-    lay = scan_layout(hdr)
-    comps = hdr.components
-
-    data = _padded(scan)
-    seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
-    n_segments = len(seg_offsets) - 1
-    ri = scan.restart_interval
-    expected = -(-lay.n_mcus // ri) if ri else 1
-    if n_segments != expected:
-        raise JPEGError(
-            f"restart-segment count {n_segments} does not match DRI {ri}")
-
-    h = np.array([c.h for c in comps], np.int32)
-    v = np.array([c.v for c in comps], np.int32)
-    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
-    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
-    PtrArray = ctypes.c_void_p * len(comps)
-    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
-    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+    st = _ScanCall(hdr, scan)
+    lay = st.lay
 
     n_blocks = lay.total_blocks
     dc16 = np.empty((n_blocks,), np.int16)
-    if n_threads is None:
-        n_threads = min(_NCPU, max(1, n_segments))
+    n_threads = st.threads(n_threads)
 
     # Average corpus density is ~9 nonzeros/block; start at 16/block and
     # grow geometrically (hard upper bound: 64/block incl. extenders).
@@ -467,10 +447,7 @@ def decode_scan_sparse(hdr: FrameHeader, scan: ScanHeader,
         esc_val = np.empty((esc_cap,), np.int16)
         esc_count = np.zeros((1,), np.int64)
         rc = lib.jd_decode_scan_sparse(
-            data.ctypes.data, seg_offsets.ctypes.data, n_segments,
-            len(comps), h.ctypes.data, v.ctypes.data,
-            dc_ptrs, ac_ptrs,
-            lay.n_mcus, ri,
+            *st.head_args(),
             dc16.ctypes.data,
             gaps.ctypes.data, vals.ctypes.data,
             sparse_cap, sparse_count.ctypes.data,
@@ -530,30 +507,12 @@ def decode_scan_nibble(hdr: FrameHeader, scan: ScanHeader,
     Returns (dc16 (N,), entries (K,) uint8, ov (O,) int8,
     esc_idx (E,) int32, esc_val (E,) int16)."""
     lib = _load()
-    lay = scan_layout(hdr)
-    comps = hdr.components
-
-    data = _padded(scan)
-    seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
-    n_segments = len(seg_offsets) - 1
-    ri = scan.restart_interval
-    expected = -(-lay.n_mcus // ri) if ri else 1
-    if n_segments != expected:
-        raise JPEGError(
-            f"restart-segment count {n_segments} does not match DRI {ri}")
-
-    h = np.array([c.h for c in comps], np.int32)
-    v = np.array([c.v for c in comps], np.int32)
-    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
-    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
-    PtrArray = ctypes.c_void_p * len(comps)
-    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
-    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+    st = _ScanCall(hdr, scan)
+    lay = st.lay
 
     n_blocks = lay.total_blocks
     dc16 = np.empty((n_blocks,), np.int16)
-    if n_threads is None:
-        n_threads = min(_NCPU, max(1, n_segments))
+    n_threads = st.threads(n_threads)
 
     entry_cap = max(4096, n_blocks * 12)
     ov_cap = max(1024, n_blocks * 3)
@@ -565,10 +524,7 @@ def decode_scan_nibble(hdr: FrameHeader, scan: ScanHeader,
         esc_val = np.empty((esc_cap,), np.int16)
         counts = np.zeros((3,), np.int64)
         rc = lib.jd_decode_scan_nibble(
-            data.ctypes.data, seg_offsets.ctypes.data, n_segments,
-            len(comps), h.ctypes.data, v.ctypes.data,
-            dc_ptrs, ac_ptrs,
-            lay.n_mcus, ri,
+            *st.head_args(),
             dc16.ctypes.data,
             entries.ctypes.data, entry_cap, counts[0:].ctypes.data,
             ov.ctypes.data, ov_cap, counts[1:].ctypes.data,
@@ -598,32 +554,14 @@ def decode_scan_slots(hdr: FrameHeader, scan: ScanHeader, cap: int = 16,
     Returns (dc16 (N,), pos (N, cap) uint8, val (N, cap) int8,
     ov_idx (O,) int32, ov_val (O,) int16, esc_idx (E,), esc_val (E,))."""
     lib = _load()
-    lay = scan_layout(hdr)
-    comps = hdr.components
-
-    data = _padded(scan)
-    seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
-    n_segments = len(seg_offsets) - 1
-    ri = scan.restart_interval
-    expected = -(-lay.n_mcus // ri) if ri else 1
-    if n_segments != expected:
-        raise JPEGError(
-            f"restart-segment count {n_segments} does not match DRI {ri}")
-
-    h = np.array([c.h for c in comps], np.int32)
-    v = np.array([c.v for c in comps], np.int32)
-    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
-    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
-    PtrArray = ctypes.c_void_p * len(comps)
-    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
-    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+    st = _ScanCall(hdr, scan)
+    lay = st.lay
 
     n_blocks = lay.total_blocks
     dc16 = np.empty((n_blocks,), np.int16)
     pos = np.zeros((n_blocks, cap), np.uint8)
     val = np.zeros((n_blocks, cap), np.int8)
-    if n_threads is None:
-        n_threads = min(_NCPU, max(1, n_segments))
+    n_threads = st.threads(n_threads)
 
     ov_cap = max(4096, n_blocks * 8)
     esc_cap = max(4096, n_blocks // 2)
@@ -634,10 +572,7 @@ def decode_scan_slots(hdr: FrameHeader, scan: ScanHeader, cap: int = 16,
         esc_val = np.empty((esc_cap,), np.int16)
         counts = np.zeros((2,), np.int64)
         rc = lib.jd_decode_scan_slots(
-            data.ctypes.data, seg_offsets.ctypes.data, n_segments,
-            len(comps), h.ctypes.data, v.ctypes.data,
-            dc_ptrs, ac_ptrs,
-            lay.n_mcus, ri,
+            *st.head_args(),
             dc16.ctypes.data,
             pos.ctypes.data, val.ctypes.data, cap,
             ov_idx.ctypes.data, ov_val.ctypes.data,

@@ -199,9 +199,6 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
     else:
         hdr = parser.parse_file(source)
 
-    if idct == "pallas" and jax.default_backend() != "tpu":
-        idct = "kron"  # Pallas kernel is TPU-only; same arithmetic
-
     qtables = tuple(
         jnp.asarray(hdr.quant_tables[c.tq].values) for c in hdr.components
     )
