@@ -173,6 +173,8 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
     restart_interval = 0
     scans: list[ScanHeader] = []
     zero_based = False
+    adobe_transform = None
+    saw_jfif = False
 
     while pos < n:
         if data[pos] != 0xFF:
@@ -202,7 +204,15 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
 
         if M_APP0 <= marker <= M_APP15 or marker == M_COM:
             # APP0/JFIF validation is lenient (warn-not-exit), unlike
-            # jpeg.cpp:37-61.  Contents are informational only.
+            # jpeg.cpp:37-61.  APP14 "Adobe" carries the color-transform
+            # flag (0 = as-is RGB/CMYK, 1 = YCbCr, 2 = YCCK) that decides
+            # the color stage for 3- and 4-component frames.
+            if (marker == M_APP0 + 14 and len(seg) >= 12
+                    and bytes(seg[:5]) == b"Adobe"):
+                adobe_transform = int(seg[11])
+            elif (marker == M_APP0 and len(seg) >= 5
+                    and bytes(seg[:5]) == b"JFIF\x00"):
+                saw_jfif = True
             continue
         elif marker == M_DQT:
             _parse_dqt(seg, quant_tables)
@@ -260,7 +270,8 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
         progressive=progressive, components=components,
         quant_tables=quant_tables, dc_tables=dc_tables, ac_tables=ac_tables,
         restart_interval=restart_interval, scans=scans,
-        zero_based_ids=zero_based,
+        zero_based_ids=zero_based, adobe_transform=adobe_transform,
+        saw_jfif=saw_jfif,
     )
     _validate(hdr)
     return hdr
@@ -283,8 +294,9 @@ def _parse_sof(seg: np.ndarray):
     if height == 0 or width == 0:
         raise JPEGError("SOF: zero image dimension")
     ncomp = int(seg[5])
-    if ncomp not in (1, 3):
-        # Reference supports exactly 3 (jpeg.cpp:83-87); we add grayscale.
+    if ncomp not in (1, 3, 4):
+        # Reference supports exactly 3 (jpeg.cpp:83-87); we add grayscale
+        # (1) and Adobe CMYK / YCCK (4).
         raise JPEGError(f"SOF: unsupported component count {ncomp}")
     if len(seg) != 6 + 3 * ncomp:
         raise JPEGError("SOF: bad length")

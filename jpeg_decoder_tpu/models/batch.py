@@ -29,9 +29,9 @@ from . import decoder as decoder_mod
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample"))
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample", "color"))
 def _batched_from_scan(blocks_b, qtables_b, comp_srcs, *, comp_shapes,
-                       height, width, samplings, idct, upsample):
+                       height, width, samplings, idct, upsample, color="auto"):
     """(B, N, 64) scan blocks + (B, ncomp, 64) qtables -> (B, H, W, 3)."""
 
     def one(blocks, qt):
@@ -42,7 +42,8 @@ def _batched_from_scan(blocks_b, qtables_b, comp_srcs, *, comp_shapes,
         qts = tuple(qt[i] for i in range(len(comp_shapes)))
         return pixel_ops.pixel_pipeline_impl(
             planes, qts, height=height, width=width,
-            samplings=samplings, idct=idct, upsample=upsample)
+            samplings=samplings, idct=idct, upsample=upsample,
+            color=color)
 
     return jax.vmap(one)(blocks_b, qtables_b)
 
@@ -169,11 +170,11 @@ _SLOT_CAP = 16
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample"))
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample", "color"))
 def _batched_from_slots(dc16_b, pos_b, val_b, ov_idx_b, ov_val_b,
                         esc_idx_b, esc_val_b, qtables_b, comp_srcs, *,
                         comp_shapes, height, width, samplings, idct,
-                        upsample):
+                        upsample, color="auto"):
     """Slot-wire batch: one-hot compare-and-sum per block, no big scatter.
 
     Padding: empty slots are (0, 0) — position 0 never matches an AC
@@ -199,17 +200,18 @@ def _batched_from_slots(dc16_b, pos_b, val_b, ov_idx_b, ov_val_b,
         qts = tuple(qt[i] for i in range(len(comp_shapes)))
         return pixel_ops.pixel_pipeline_impl(
             planes, qts, height=height, width=width,
-            samplings=samplings, idct=idct, upsample=upsample)
+            samplings=samplings, idct=idct, upsample=upsample,
+            color=color)
 
     return jax.vmap(one)(dc16_b, pos_b, val_b, ov_idx_b, ov_val_b,
                          esc_idx_b, esc_val_b, qtables_b)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample"))
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample", "color"))
 def _batched_from_nibble(dc16_b, e_b, ov_b, esc_idx_b, esc_val_b,
                          qtables_b, comp_srcs, *, comp_shapes, height,
-                         width, samplings, idct, upsample):
+                         width, samplings, idct, upsample, color="auto"):
     """Nibble-wire batch: decode entry bytes, cumsum advances, scatter-add.
 
     Padding: 0x00 filler entries advance 0 and write 0; all-filler rows
@@ -236,17 +238,18 @@ def _batched_from_nibble(dc16_b, e_b, ov_b, esc_idx_b, esc_val_b,
         qts = tuple(qt[i] for i in range(len(comp_shapes)))
         return pixel_ops.pixel_pipeline_impl(
             planes, qts, height=height, width=width,
-            samplings=samplings, idct=idct, upsample=upsample)
+            samplings=samplings, idct=idct, upsample=upsample,
+            color=color)
 
     return jax.vmap(one)(dc16_b, e_b, ov_b, esc_idx_b, esc_val_b,
                          qtables_b)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample"))
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample", "color"))
 def _batched_from_sparse(dc16_b, gaps_b, vals_b, esc_idx_b, esc_val_b,
                          qtables_b, comp_srcs, *, comp_shapes, height,
-                         width, samplings, idct, upsample):
+                         width, samplings, idct, upsample, color="auto"):
     """Sparse-wire batch: cumsum the gaps, scatter-add the values.
 
     Padding conventions (all dropped/no-op on device): gap=0,val=0 fillers
@@ -268,17 +271,18 @@ def _batched_from_sparse(dc16_b, gaps_b, vals_b, esc_idx_b, esc_val_b,
         qts = tuple(qt[i] for i in range(len(comp_shapes)))
         return pixel_ops.pixel_pipeline_impl(
             planes, qts, height=height, width=width,
-            samplings=samplings, idct=idct, upsample=upsample)
+            samplings=samplings, idct=idct, upsample=upsample,
+            color=color)
 
     return jax.vmap(one)(dc16_b, gaps_b, vals_b, esc_idx_b, esc_val_b,
                          qtables_b)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample"))
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample", "color"))
 def _batched_from_packed(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b,
                          comp_srcs, *, comp_shapes, height, width,
-                         samplings, idct, upsample):
+                         samplings, idct, upsample, color="auto"):
     """Packed-wire-format batch: unpack on device, then the usual pipeline.
 
     esc_idx_b is padded with out-of-range indices (dropped by the scatter).
@@ -296,7 +300,8 @@ def _batched_from_packed(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b,
         qts = tuple(qt[i] for i in range(len(comp_shapes)))
         return pixel_ops.pixel_pipeline_impl(
             planes, qts, height=height, width=width,
-            samplings=samplings, idct=idct, upsample=upsample)
+            samplings=samplings, idct=idct, upsample=upsample,
+            color=color)
 
     return jax.vmap(one)(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b)
 
@@ -459,7 +464,8 @@ class BatchDecoder:
                     batch_index=-1, error=hdr)
                 continue
             key = (hdr.width, hdr.height,
-                   tuple((c.h, c.v) for c in hdr.components))
+                   tuple((c.h, c.v) for c in hdr.components),
+                   hdr.colorspace)
             groups.setdefault(key, []).append(i)
 
         def run_group(key_idxs):
@@ -553,7 +559,8 @@ class BatchDecoder:
                 *arrs, comp_srcs,
                 comp_shapes=tuple(lay.comp_shapes),
                 height=hdr0.height, width=hdr0.width,
-                samplings=samplings, idct=self.idct, upsample=self.upsample)
+                samplings=samplings, idct=self.idct, upsample=self.upsample,
+                color=hdr0.colorspace)
             for k, i in enumerate(idxs):
                 results[base + i] = BatchItem(
                     index=base + i, header=host_out[i][0],

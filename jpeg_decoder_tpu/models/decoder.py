@@ -175,7 +175,7 @@ def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
 
 def decode(source, *, entropy: str = "auto", idct: str = "exact",
            upsample: str = "nn", keep_planes: bool = False, device=None,
-           strict: bool = False) -> DecodeResult:
+           strict: bool = False, colorspace: str = "rgb") -> DecodeResult:
     """Decode a JPEG from a path or bytes to RGB.
 
     Args:
@@ -193,6 +193,9 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
         rounds individually — byte-perfect parity with the reference C++.
         Jitted mode may differ by at most 1 count on rare truncation
         boundaries (FMA contraction inside fusions).
+      colorspace: "rgb" (default; CMYK/YCCK sources are converted with
+        Pillow's exact cmyk2rgb arithmetic) or "cmyk" (4-component sources
+        only: return the (H, W, 4) CMYK plane, PIL-inverted convention).
     """
     if isinstance(source, (bytes, bytearray, np.ndarray)):
         hdr = parser.parse(source)
@@ -205,6 +208,11 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
     samplings = tuple(
         (hdr.v_max // c.v, hdr.h_max // c.h) for c in hdr.components
     )
+    color = hdr.colorspace
+    out_cmyk = colorspace == "cmyk"
+    if out_cmyk and color not in ("ycck", "cmyk"):
+        raise JPEGError(
+            f"colorspace='cmyk' requires a 4-component source, got {color}")
 
     planes = None
     if hdr.progressive or needs_scan_loop(hdr) or keep_planes or strict:
@@ -220,6 +228,7 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
             jplanes, qtables,
             height=hdr.height, width=hdr.width,
             samplings=samplings, idct=idct, upsample=upsample,
+            color=color, out_cmyk=out_cmyk,
         )
     else:
         # Production path: ship scan-order blocks verbatim; plane assembly
@@ -235,6 +244,7 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
             comp_shapes=tuple(lay.comp_shapes),
             height=hdr.height, width=hdr.width,
             samplings=samplings, idct=idct, upsample=upsample,
+            color=color, out_cmyk=out_cmyk,
         )
 
     result = DecodeResult(header=hdr, rgb=np.asarray(rgb))

@@ -218,10 +218,9 @@ def upsample_fancy(plane: jnp.ndarray, vy: int, vx: int) -> jnp.ndarray:
     return out
 
 
-def ycbcr_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
-    """Color conversion with reference f32 op order and truncating int
-    conversion (jpeg.cpp:521-535).  Inputs are int32 pixel planes (pre level
-    shift); output uint8 (H, W, 3)."""
+def _ycbcr_channels(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray):
+    """YCbCr -> clamped int32 (r, g, b) planes with reference f32 op order
+    and truncating int conversion (jpeg.cpp:521-535)."""
     yf = y.astype(jnp.float32)
     cbf = cb.astype(jnp.float32)
     crf = cr.astype(jnp.float32)
@@ -230,8 +229,12 @@ def ycbcr_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarra
     b = yf + jnp.float32(1.772) * cbf + jnp.float32(128.0)
     rgb = jnp.stack([r, g, b], axis=-1)
     # C++ float->int conversion truncates toward zero; clamp [0, 255] after.
-    rgb = jnp.clip(rgb.astype(jnp.int32), 0, 255)
-    return rgb.astype(jnp.uint8)
+    return jnp.clip(rgb.astype(jnp.int32), 0, 255)
+
+
+def ycbcr_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
+    """Color conversion (jpeg.cpp:521-535); output uint8 (H, W, 3)."""
+    return _ycbcr_channels(y, cb, cr).astype(jnp.uint8)
 
 
 def gray_to_rgb(y: jnp.ndarray) -> jnp.ndarray:
@@ -239,9 +242,47 @@ def gray_to_rgb(y: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([v, v, v], axis=-1)
 
 
+def _level_shift_u8(p: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(p + 128, 0, 255)
+
+
+def cmyk_to_rgb(cmyk: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 4) int32 CMYK (PIL convention: 0 = no ink) -> uint8 RGB.
+
+    Bit-exact reimplementation of Pillow's ``cmyk2rgb`` (libImaging/
+    Convert.c): ``out = nk - MULDIV255(in, nk)`` with ``nk = 255 - K`` and
+    the ``(t + (t >> 8)) >> 8`` rounding of MULDIV255, so our RGB view of
+    a CMYK JPEG matches ``PIL.Image.open(...).convert("RGB")`` exactly
+    given identical CMYK samples."""
+    nk = 255 - cmyk[..., 3:4]
+    t = cmyk[..., :3] * nk + 128
+    scaled = (t + (t >> 8)) >> 8
+    return jnp.clip(nk - scaled, 0, 255).astype(jnp.uint8)
+
+
+def decoded_to_cmyk(pix: list, color: str) -> jnp.ndarray:
+    """Per-component decoded sample planes -> (H, W, 4) int32 CMYK in the
+    PIL/Adobe-inverted convention (0 = no ink), i.e. exactly what
+    ``np.array(PIL.Image.open(f))`` yields for the same JPEG.
+
+    * ``ycck`` (Adobe transform 2): libjpeg's ycck_cmyk_convert computes
+      C = 255 - R(y,cb,cr), M = 255 - G, Y = 255 - B, K as stored; PIL
+      then inverts all four channels (rawmode ``CMYK;I``) — the
+      composition is (R, G, B, 255 - K_stored).
+    * ``cmyk`` (transform 0 / no Adobe marker): samples stored as-is;
+      PIL's inversion gives 255 - stored."""
+    if color == "ycck":
+        rgbish = _ycbcr_channels(pix[0], pix[1], pix[2])
+        k = 255 - _level_shift_u8(pix[3])
+        return jnp.concatenate([rgbish, k[..., None]], axis=-1)
+    return jnp.stack([255 - _level_shift_u8(p) for p in pix], axis=-1)
+
+
 def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
                         samplings: tuple, idct: str = "exact",
-                        upsample: str = "nn") -> jnp.ndarray:
+                        upsample: str = "nn",
+                        color: str = "auto",
+                        out_cmyk: bool = False) -> jnp.ndarray:
     """Full pixel pipeline on per-component coefficient planes.
 
     Args:
@@ -252,8 +293,12 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
       samplings: tuple of (v_repeat, h_repeat) per component — the
         upsampling factors h_max//h_c, v_max//v_c.
       idct: "exact" (bit-exact vs reference) or "fast" (MXU matmul).
+      color: source colorspace — "auto" (by component count), "gray",
+        "ycbcr", "rgb" (stored as-is), "ycck", or "cmyk".
+      out_cmyk: for 4-component sources, return the (H, W, 4) CMYK plane
+        (PIL-inverted convention) instead of converting to RGB.
 
-    Returns (height, width, 3) uint8 RGB.
+    Returns (height, width, 3) uint8 RGB (or (H, W, 4) CMYK).
     """
     if idct == "pallas":
         import jax as _jax
@@ -288,12 +333,24 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
             img = img[: -(-height // vy), : -(-width // vx)]
             img = up_fn(img, vy, vx)
         pix.append(img)
+    if color == "auto":
+        color = {1: "gray", 3: "ycbcr", 4: "cmyk"}.get(len(pix), "ycbcr")
     if len(pix) == 1:
         rgb = gray_to_rgb(pix[0])
     else:
         h = min(p.shape[0] for p in pix)
         w = min(p.shape[1] for p in pix)
-        rgb = ycbcr_to_rgb(pix[0][:h, :w], pix[1][:h, :w], pix[2][:h, :w])
+        pix = [p[:h, :w] for p in pix]
+        if color == "rgb":
+            rgb = jnp.stack(
+                [_level_shift_u8(p) for p in pix], axis=-1).astype(jnp.uint8)
+        elif color in ("ycck", "cmyk"):
+            cmyk = decoded_to_cmyk(pix, color)
+            if out_cmyk:
+                return cmyk[:height, :width].astype(jnp.uint8)
+            rgb = cmyk_to_rgb(cmyk)
+        else:
+            rgb = ycbcr_to_rgb(pix[0], pix[1], pix[2])
     return rgb[:height, :width]
 
 
@@ -304,15 +361,19 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
 #: every f32 op rounds individually, matching the reference C++ exactly.
 pixel_pipeline = jax.jit(
     pixel_pipeline_impl,
-    static_argnames=("height", "width", "samplings", "idct", "upsample"))
+    static_argnames=("height", "width", "samplings", "idct", "upsample",
+                     "color", "out_cmyk"))
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample"))
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample",
+    "color", "out_cmyk"))
 def pixel_pipeline_from_scan(blocks, qtables, comp_srcs, *,
                              comp_shapes: tuple, height: int, width: int,
                              samplings: tuple, idct: str = "fast",
-                             upsample: str = "fancy") -> jnp.ndarray:
+                             upsample: str = "fancy",
+                             color: str = "auto",
+                             out_cmyk: bool = False) -> jnp.ndarray:
     """Pixel pipeline taking raw scan-order blocks (N, 64) int32 plus
     per-component gather maps — plane assembly happens ON DEVICE (one gather
     per component), so the host ships the entropy decoder's output buffer
@@ -322,4 +383,5 @@ def pixel_pipeline_from_scan(blocks, qtables, comp_srcs, *,
         for src, (rows, cols) in zip(comp_srcs, comp_shapes))
     return pixel_pipeline_impl(
         planes, qtables, height=height, width=width,
-        samplings=samplings, idct=idct, upsample=upsample)
+        samplings=samplings, idct=idct, upsample=upsample,
+        color=color, out_cmyk=out_cmyk)

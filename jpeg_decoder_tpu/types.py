@@ -167,6 +167,34 @@ class FrameHeader:
     restart_interval: int
     scans: list[ScanHeader]
     zero_based_ids: bool = False  # reference quirk jpeg.cpp:91-104
+    # APP14 "Adobe" color-transform flag: 0 = stored as-is (RGB / CMYK),
+    # 1 = YCbCr, 2 = YCCK; None when no Adobe marker is present.
+    adobe_transform: int | None = None
+    saw_jfif: bool = False
+
+    @property
+    def colorspace(self) -> str:
+        """Source colorspace ('gray' | 'ycbcr' | 'rgb' | 'ycck' | 'cmyk'),
+        matching libjpeg's jdapimin default_decompress_parms heuristics:
+        for 3 components a JFIF marker forces YCbCr, else the Adobe
+        transform flag decides, else component IDs ('R','G','B' means
+        stored RGB); for 4 components the Adobe flag decides (2 = YCCK),
+        defaulting to CMYK."""
+        n = len(self.components)
+        if n == 1:
+            return "gray"
+        if n == 3:
+            if self.saw_jfif:
+                return "ycbcr"
+            if self.adobe_transform == 0:
+                return "rgb"
+            if self.adobe_transform is None and [
+                    c.comp_id for c in self.components] == [82, 71, 66]:
+                return "rgb"
+            return "ycbcr"
+        if self.adobe_transform == 2:
+            return "ycck"
+        return "cmyk"
 
     # ---- Derived geometry (parity: jpeg.cpp:77-80, 118-125) ----
     @property

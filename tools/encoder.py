@@ -157,7 +157,7 @@ def _encode_block(bw: _BitWriter, coef64: np.ndarray, pred: int,
 def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
            quality: int = 85, restart_interval: int = 0,
            grayscale: bool = False, zero_based_ids: bool = False,
-           scans=None):
+           scans=None, raw_planes=None, app14_transform=None):
     """Encode an (H, W, 3) uint8 RGB array (or (H, W) when grayscale).
 
     samplings: per-component (h, v), h/v in 1..4, sum(h*v) <= 10.
@@ -165,13 +165,21 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
       component indices into scan groups, e.g. ``[(0,), (1, 2)]`` —
       single-component groups are coded non-interleaved over the
       component's unpadded block grid (T.81 A.2).
+    raw_planes: list of full-resolution (H, W) float sample planes coded
+      verbatim (pre level-shift-removal, 0..255) instead of RGB->YCbCr —
+      enables 4-component (CMYK / YCCK) streams.
+    app14_transform: when not None, emit an Adobe APP14 marker with this
+      color-transform flag (0 = as-is, 1 = YCbCr, 2 = YCCK).
 
     Returns (jpeg_bytes, planes) where planes[i] is the (rows_i, cols_i, 64)
     int32 quantized coefficient array actually entropy-coded (padded to the
     MCU grid; cells a non-interleaved scan never codes are zeroed) — the
     exact round-trip expectation for the decoder.
     """
-    if grayscale:
+    if raw_planes is not None:
+        ycc = [np.asarray(p, np.float64) for p in raw_planes]
+        samplings = samplings[:len(ycc)]
+    elif grayscale:
         samplings = samplings[:1]
         ycc = [np.asarray(rgb, np.float64)]
     else:
@@ -279,9 +287,15 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
     # ---- markers ----
     out = io.BytesIO()
     out.write(b"\xff\xd8")  # SOI
-    out.write(b"\xff\xe0" + struct.pack(">H", 16)
-              + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
-              + b"\x00\x00")
+    if app14_transform is not None:
+        # Adobe streams carry APP14, not JFIF (JFIF would force the
+        # 3-component case back to YCbCr in libjpeg's heuristics).
+        out.write(b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+                  + struct.pack(">HHHB", 100, 0, 0, app14_transform))
+    else:
+        out.write(b"\xff\xe0" + struct.pack(">H", 16)
+                  + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
+                  + b"\x00\x00")
 
     def dqt(tid, nat):
         # wire order is zigzag: raw[i] = nat[ZIGZAG[i]]
