@@ -39,6 +39,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--upsample", default="nn", choices=["nn", "fancy"],
                    help="chroma upsampling: 'nn' matches the reference; "
                         "'fancy' is libjpeg-style triangular (higher quality)")
+    p.add_argument("--orientation", default="ignore",
+                   choices=["ignore", "respect"],
+                   help="EXIF orientation: 'respect' auto-rotates like "
+                        "PIL.ImageOps.exif_transpose")
     p.add_argument("--strict", action="store_true",
                    help="eager pixel pipeline for byte-perfect reference "
                         "parity (slow)")
@@ -84,8 +88,8 @@ def main(argv=None) -> int:
     from .utils.profiling import StageTimer
 
     cfg = DecodeConfig(entropy=args.entropy, idct=args.idct,
-                       upsample=args.upsample,
-                       strict=args.strict).validate()
+                       upsample=args.upsample, strict=args.strict,
+                       orientation=args.orientation).validate()
 
     timer = StageTimer()
     profile_cm = None

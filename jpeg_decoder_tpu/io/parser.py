@@ -175,6 +175,8 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
     zero_based = False
     adobe_transform = None
     saw_jfif = False
+    exif_orientation = None
+    icc_chunks: list[tuple[int, bytes]] = []
 
     while pos < n:
         if data[pos] != 0xFF:
@@ -213,6 +215,13 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
             elif (marker == M_APP0 and len(seg) >= 5
                     and bytes(seg[:5]) == b"JFIF\x00"):
                 saw_jfif = True
+            elif (marker == M_APP0 + 1 and len(seg) >= 6
+                    and bytes(seg[:6]) == b"Exif\x00\x00"):
+                exif_orientation = _parse_exif_orientation(seg[6:])
+            elif (marker == M_APP0 + 2 and len(seg) >= 14
+                    and bytes(seg[:12]) == b"ICC_PROFILE\x00"):
+                # Multi-chunk profile: (seq_no 1-based, total) then data.
+                icc_chunks.append((int(seg[12]), bytes(seg[14:])))
             continue
         elif marker == M_DQT:
             _parse_dqt(seg, quant_tables)
@@ -271,10 +280,54 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
         quant_tables=quant_tables, dc_tables=dc_tables, ac_tables=ac_tables,
         restart_interval=restart_interval, scans=scans,
         zero_based_ids=zero_based, adobe_transform=adobe_transform,
-        saw_jfif=saw_jfif,
+        saw_jfif=saw_jfif, exif_orientation=exif_orientation,
+        icc_profile=(b"".join(c for _, c in sorted(icc_chunks))
+                     if icc_chunks else None),
     )
     _validate(hdr)
     return hdr
+
+
+def _parse_exif_orientation(tiff: np.ndarray) -> int | None:
+    """Minimal TIFF IFD0 walk for the orientation tag (0x0112).
+
+    Lenient: any malformed structure returns None (metadata never fails a
+    decode).  Handles both byte orders; only the first IFD is scanned —
+    orientation lives in IFD0 per EXIF 2.3 §4.6.4."""
+    try:
+        if len(tiff) < 14:
+            return None
+        order = bytes(tiff[:2])
+        if order == b"MM":
+            def rd(off, n):
+                v = 0
+                for k in range(n):
+                    v = (v << 8) | int(tiff[off + k])
+                return v
+        elif order == b"II":
+            def rd(off, n):
+                v = 0
+                for k in reversed(range(n)):
+                    v = (v << 8) | int(tiff[off + k])
+                return v
+        else:
+            return None
+        if rd(2, 2) != 42:
+            return None
+        ifd = rd(4, 4)
+        if ifd + 2 > len(tiff):
+            return None
+        n_entries = rd(ifd, 2)
+        for k in range(n_entries):
+            e = ifd + 2 + 12 * k
+            if e + 12 > len(tiff):
+                return None
+            if rd(e, 2) == 0x0112 and rd(e + 2, 2) == 3:  # SHORT
+                val = rd(e + 8, 2)
+                return val if 1 <= val <= 8 else None
+        return None
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def parse_file(path) -> FrameHeader:

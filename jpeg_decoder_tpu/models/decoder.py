@@ -173,9 +173,32 @@ def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
     return planes
 
 
+def apply_exif_orientation(arr: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Apply an EXIF orientation (1-8) to an (H, W, C) array, matching
+    ``PIL.ImageOps.exif_transpose`` (validated in tests/test_metadata.py)."""
+    if orientation is None or orientation == 1:
+        return arr
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1]
+    if orientation == 5:
+        return arr.transpose(1, 0, 2)
+    if orientation == 6:
+        return np.rot90(arr, k=3)
+    if orientation == 7:
+        return arr.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return np.rot90(arr, k=1)
+    return arr
+
+
 def decode(source, *, entropy: str = "auto", idct: str = "exact",
            upsample: str = "nn", keep_planes: bool = False, device=None,
-           strict: bool = False, colorspace: str = "rgb") -> DecodeResult:
+           strict: bool = False, colorspace: str = "rgb",
+           orientation: str = "ignore") -> DecodeResult:
     """Decode a JPEG from a path or bytes to RGB.
 
     Args:
@@ -196,6 +219,9 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
       colorspace: "rgb" (default; CMYK/YCCK sources are converted with
         Pillow's exact cmyk2rgb arithmetic) or "cmyk" (4-component sources
         only: return the (H, W, 4) CMYK plane, PIL-inverted convention).
+      orientation: "ignore" (default — return sensor-order pixels, like
+        libjpeg) or "respect" (apply the EXIF orientation tag, like
+        PIL.ImageOps.exif_transpose).
     """
     if isinstance(source, (bytes, bytearray, np.ndarray)):
         hdr = parser.parse(source)
@@ -247,7 +273,11 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
             color=color, out_cmyk=out_cmyk,
         )
 
-    result = DecodeResult(header=hdr, rgb=np.asarray(rgb))
+    rgb_np = np.asarray(rgb)
+    if orientation == "respect":
+        rgb_np = np.ascontiguousarray(
+            apply_exif_orientation(rgb_np, hdr.exif_orientation))
+    result = DecodeResult(header=hdr, rgb=rgb_np)
     if keep_planes:
         result.quantized_planes = [np.asarray(p) for p in planes]
         result.dequantized_planes = [

@@ -171,6 +171,10 @@ class FrameHeader:
     # 1 = YCbCr, 2 = YCCK; None when no Adobe marker is present.
     adobe_transform: int | None = None
     saw_jfif: bool = False
+    # EXIF orientation tag (1-8; APP1 IFD0 tag 0x0112) — None when absent.
+    exif_orientation: int | None = None
+    # Embedded ICC profile (APP2 "ICC_PROFILE" chunks, reassembled).
+    icc_profile: bytes | None = None
 
     @property
     def colorspace(self) -> str:

@@ -18,6 +18,7 @@ class DecodeConfig:
     idct: str = "fast"         # exact | fast | kron | pallas
     upsample: str = "fancy"    # nn | fancy
     strict: bool = False       # eager pixel pipeline (bit-exact vs reference)
+    orientation: str = "ignore"  # ignore | respect (EXIF auto-rotate)
     wire: str = "nibble"   # batch wire: nibble|sparse|packed|slots
     host_threads: int | None = None
     # Mesh geometry for sharded decode: (data, seg) axis sizes; None = no
@@ -34,12 +35,15 @@ class DecodeConfig:
             raise ValueError(f"bad upsample mode {self.upsample!r}")
         if self.wire not in ("nibble", "sparse", "packed", "slots"):
             raise ValueError(f"bad wire format {self.wire!r}")
+        if self.orientation not in ("ignore", "respect"):
+            raise ValueError(f"bad orientation mode {self.orientation!r}")
         return self
 
     def decode_kwargs(self) -> dict:
         """Keyword arguments for models.decoder.decode()."""
         return dict(entropy=self.entropy, idct=self.idct,
-                    upsample=self.upsample, strict=self.strict)
+                    upsample=self.upsample, strict=self.strict,
+                    orientation=self.orientation)
 
     def batch_kwargs(self) -> dict:
         """Keyword arguments for models.batch.BatchDecoder()."""
