@@ -39,18 +39,24 @@ from ..types import (
     M_EOI,
     M_RST0,
     M_RST7,
+    M_DAC,
     M_SOF0,
     M_SOF1,
     M_SOF2,
+    M_SOF9,
+    M_SOF10,
     M_SOI,
     M_SOS,
     M_TEM,
 )
 
-# SOF markers we accept.  The reference accepts only 0xC0 and hard-exits on
-# 0xC2 (jpeg.cpp:69-73); the TPU build decodes progressive too.
-_SOF_SUPPORTED = {M_SOF0: False, M_SOF1: False, M_SOF2: True}
-# SOF markers that exist but we do not support (arithmetic/lossless/etc.)
+# SOF markers we accept -> (progressive, arithmetic).  The reference
+# accepts only 0xC0 and hard-exits on 0xC2 (jpeg.cpp:69-73); the TPU build
+# decodes progressive and arithmetic-coded (SOF9/SOF10) frames too.
+_SOF_SUPPORTED = {M_SOF0: (False, False), M_SOF1: (False, False),
+                  M_SOF2: (True, False), M_SOF9: (False, True),
+                  M_SOF10: (True, True)}
+# SOF markers that exist but we do not support (lossless/hierarchical).
 _SOF_ALL = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
@@ -177,6 +183,9 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
     saw_jfif = False
     exif_orientation = None
     icc_chunks: list[tuple[int, bytes]] = []
+    arithmetic = False
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
 
     while pos < n:
         if data[pos] != 0xFF:
@@ -232,13 +241,15 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
             if len(seg) != 2:
                 raise JPEGError("DRI: invalid length")
             restart_interval = _be16(seg, 0)
+        elif marker == M_DAC:
+            _parse_dac(seg, dc_cond, ac_cond)
         elif marker in _SOF_ALL:
             if marker not in _SOF_SUPPORTED:
                 raise JPEGError(f"unsupported SOF marker 0xff{marker:02x} "
-                                "(arithmetic/lossless/hierarchical)")
+                                "(lossless/hierarchical)")
             if width is not None:
                 raise JPEGError("multiple SOF markers")
-            progressive = marker == M_SOF2
+            progressive, arithmetic = _SOF_SUPPORTED[marker]
             (precision, height, width,
              components, zero_based) = _parse_sof(seg)
         elif marker == M_SOS:
@@ -247,6 +258,8 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
             scan = _parse_sos(seg, components)
             scan.dc_specs = dict(dc_tables)
             scan.ac_specs = dict(ac_tables)
+            scan.dc_cond = dict(dc_cond)
+            scan.ac_cond = dict(ac_cond)
             scan.restart_interval = restart_interval
             clean, seg_offsets, end = unstuff_entropy(data, pos)
             scan.data = clean
@@ -279,13 +292,37 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
         progressive=progressive, components=components,
         quant_tables=quant_tables, dc_tables=dc_tables, ac_tables=ac_tables,
         restart_interval=restart_interval, scans=scans,
-        zero_based_ids=zero_based, adobe_transform=adobe_transform,
+        zero_based_ids=zero_based, arithmetic=arithmetic,
+        adobe_transform=adobe_transform,
         saw_jfif=saw_jfif, exif_orientation=exif_orientation,
         icc_profile=(b"".join(c for _, c in sorted(icc_chunks))
                      if icc_chunks else None),
     )
     _validate(hdr)
     return hdr
+
+
+def _parse_dac(seg: np.ndarray, dc: dict, ac: dict):
+    """DAC arithmetic-conditioning segment (T.81 B.2.4.3): pairs of
+    (class/id byte, conditioning value).  DC value packs (U << 4) | L
+    with 0 <= L <= U <= 15; AC value is Kx in 1..63."""
+    if len(seg) % 2:
+        raise JPEGError("DAC: invalid length")
+    for off in range(0, len(seg), 2):
+        info = int(seg[off])
+        val = int(seg[off + 1])
+        tid = info & 0x0F
+        if tid > 3 or (info >> 4) > 1:
+            raise JPEGError("DAC: invalid table id")
+        if info >> 4:
+            if not 1 <= val <= 63:
+                raise JPEGError(f"DAC: invalid Kx {val}")
+            ac[tid] = val
+        else:
+            l_param, u_param = val & 0x0F, val >> 4
+            if l_param > u_param:
+                raise JPEGError(f"DAC: L {l_param} > U {u_param}")
+            dc[tid] = (l_param, u_param)
 
 
 def _parse_exif_orientation(tiff: np.ndarray) -> int | None:
@@ -481,6 +518,8 @@ def _validate(hdr: FrameHeader):
             c = hdr.components[ci]
             if c.tq not in hdr.quant_tables:
                 raise JPEGError(f"missing quantization table {c.tq}")
+            if hdr.arithmetic:
+                continue  # conditioning tables have spec defaults
             if needs_dc and not (hdr.progressive and scan.ah > 0):
                 if scan.dc_table_ids[k] not in scan.dc_specs:
                     raise JPEGError(

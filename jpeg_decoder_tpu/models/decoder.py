@@ -101,6 +101,12 @@ def needs_scan_loop(hdr: FrameHeader) -> bool:
 def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
     """Run entropy decode for all scans, returning per-component quantized
     coefficient planes (rows, cols, 64) int32."""
+    if hdr.arithmetic:
+        # SOF9/SOF10 (T.81 Annex D/F arithmetic coding) — capability
+        # beyond both the reference and PIL's encoder; same coefficient-
+        # plane boundary as every other backend.
+        from ..entropy import arith
+        return arith.decode_to_planes(hdr)
     if hdr.progressive:
         if entropy in ("auto", "native"):
             try:
@@ -241,7 +247,8 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
             f"colorspace='cmyk' requires a 4-component source, got {color}")
 
     planes = None
-    if hdr.progressive or needs_scan_loop(hdr) or keep_planes or strict:
+    if (hdr.progressive or hdr.arithmetic or needs_scan_loop(hdr)
+            or keep_planes or strict):
         # Conformance / multi-scan path: assemble planes on host.
         planes = decode_to_planes(hdr, entropy=entropy)
         jplanes = tuple(jnp.asarray(p) for p in planes)

@@ -57,6 +57,9 @@ M_DHT = 0xC4
 M_SOF0 = 0xC0  # baseline sequential
 M_SOF1 = 0xC1  # extended sequential
 M_SOF2 = 0xC2  # progressive (reference rejects, jpeg.cpp:69-73; we support it)
+M_SOF9 = 0xC9  # extended sequential, arithmetic coding
+M_SOF10 = 0xCA  # progressive, arithmetic coding
+M_DAC = 0xCC  # arithmetic conditioning (L/U for DC, Kx for AC)
 M_APP0 = 0xE0
 M_APP15 = 0xEF
 M_COM = 0xFE
@@ -147,6 +150,11 @@ class ScanHeader:
     # reference is single-scan and keeps globals, jpeg.cpp:24-25).
     dc_specs: Optional[dict] = None  # {table_id: HuffmanSpec}
     ac_specs: Optional[dict] = None
+    # Arithmetic conditioning snapshots (DAC, T.81 B.2.4.3): DC tables map
+    # id -> (L, U), AC tables map id -> Kx.  Defaults (0, 1) / 5 apply to
+    # any table never named in a DAC segment (F.1.4.4.1.4).
+    dc_cond: Optional[dict] = None
+    ac_cond: Optional[dict] = None
     # DRI snapshot at SOS time (DRI may change between scans).
     restart_interval: int = 0
 
@@ -167,6 +175,8 @@ class FrameHeader:
     restart_interval: int
     scans: list[ScanHeader]
     zero_based_ids: bool = False  # reference quirk jpeg.cpp:91-104
+    # True for SOF9/SOF10 frames (T.81 arithmetic entropy coding).
+    arithmetic: bool = False
     # APP14 "Adobe" color-transform flag: 0 = stored as-is (RGB / CMYK),
     # 1 = YCbCr, 2 = YCCK; None when no Adobe marker is present.
     adobe_transform: int | None = None

@@ -157,7 +157,8 @@ def _encode_block(bw: _BitWriter, coef64: np.ndarray, pred: int,
 def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
            quality: int = 85, restart_interval: int = 0,
            grayscale: bool = False, zero_based_ids: bool = False,
-           scans=None, raw_planes=None, app14_transform=None):
+           scans=None, raw_planes=None, app14_transform=None,
+           arithmetic=False, dac=None):
     """Encode an (H, W, 3) uint8 RGB array (or (H, W) when grayscale).
 
     samplings: per-component (h, v), h/v in 1..4, sum(h*v) <= 10.
@@ -170,6 +171,10 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
       enables 4-component (CMYK / YCCK) streams.
     app14_transform: when not None, emit an Adobe APP14 marker with this
       color-transform flag (0 = as-is, 1 = YCbCr, 2 = YCCK).
+    arithmetic: emit a SOF9 frame entropy-coded with the T.81 Annex D QM
+      arithmetic coder (no DHT segments) instead of baseline Huffman.
+    dac: optional non-default arithmetic conditioning, a dict like
+      ``{"dc": {0: (L, U)}, "ac": {0: Kx}}`` — emitted as a DAC segment.
 
     Returns (jpeg_bytes, planes) where planes[i] is the (rows_i, cols_i, 64)
     int32 quantized coefficient array actually entropy-coded (padded to the
