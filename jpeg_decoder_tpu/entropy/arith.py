@@ -19,9 +19,12 @@ Huffman path — ``decode_scan_baseline`` emits the same scan-order
 ``(total_blocks, 64)`` int32 natural-order coefficient array as every
 other entropy backend (the framework's conformance boundary).
 
-A matching QM *encoder* lives here too (used by tools/encoder.py to
-build test fixtures, cross-validated against PIL/libjpeg-turbo's
-independent arithmetic decoder).
+A matching QM *encoder* lives here too, used by tools/encoder.py to
+build test fixtures.  tests/test_arith.py cross-validates it against
+PIL/libjpeg-turbo's independent arithmetic decoder (identical
+coefficients emitted as Huffman and as QM decode to identical RGB
+through libjpeg) and round-trips SOF9/SOF10 bit-exactly through this
+decoder across samplings, restart intervals and DAC conditioning.
 """
 
 from __future__ import annotations
@@ -328,24 +331,22 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
     lay = layout_mod.scan_layout(hdr)
     lu, kx = _cond_params(scan, hdr)
     n_comps = len(hdr.components)
-    bpm = len(lay.block_comp)
+    bpm = lay.blocks_per_mcu
     n_mcus = lay.n_mcus
-    data = scan.data
-    offs = scan.seg_offsets
-    ri = scan.restart_interval or n_mcus
+    # Per within-MCU block: (scan position k, component index ci).  T.81
+    # B.2.3 requires scan components in frame-header order, so the layout's
+    # scan order and scan.comp_indices agree; .index maps ci -> k.
+    per_mcu = [(scan.comp_indices.index(int(ci)), int(ci))
+               for ci in lay.comp_of_block[:bpm]]
     out = np.zeros((n_mcus * bpm, 64), np.int32)
 
     mcu = 0
-    for s in range(len(offs) - 1):
-        if mcu >= n_mcus:
-            break
-        dec = QMDecoder(data, int(offs[s]), int(offs[s + 1]))
+    for dec, seg_mcus in _iter_segments(scan, n_mcus):
         st8 = _ScanState(n_comps=n_comps)
-        for _ in range(min(ri, n_mcus - mcu)):
+        for _ in range(seg_mcus):
             base = mcu * bpm
-            for b, ci in enumerate(lay.block_comp):
+            for b, (k, ci) in enumerate(per_mcu):
                 blk = out[base + b]
-                k = scan.comp_indices.index(ci)
                 blk[0] = _decode_dc(dec, st8, scan.dc_table_ids[k], ci,
                                     *lu[k])
                 _decode_ac_block(dec, st8, scan.ac_table_ids[k], kx[k], blk)
@@ -356,24 +357,92 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
     return out
 
 
+def decode_scan_sequential_into(hdr: FrameHeader, scan: ScanHeader,
+                                planes: list) -> None:
+    """Decode one sequential arithmetic scan over a component subset into
+    caller-owned padded per-component planes (mirror of
+    python_ref.decode_scan_sequential_into: multi-component scans
+    interleave MCUs over the frame grid, single-component scans traverse
+    the component's unpadded block grid non-interleaved, T.81 A.2)."""
+    lu, kx = _cond_params(scan, hdr)
+    comps = hdr.components
+    sc = scan.comp_indices
+    interleaved = len(sc) > 1
+    if interleaved:
+        n_units = hdr.mcus_x * hdr.mcus_y
+        per_mcu = []
+        for k, ci in enumerate(sc):
+            c = comps[ci]
+            for bv in range(c.v):
+                for bh in range(c.h):
+                    per_mcu.append((k, ci, bv, bh))
+    else:
+        ci0 = sc[0]
+        rows_u, cols_u = layout_mod.comp_dims_unpadded(hdr, ci0)
+        n_units = rows_u * cols_u
+    unit = 0
+    for dec, seg_units in _iter_segments(scan, n_units):
+        st8 = _ScanState(n_comps=len(comps))
+        for _ in range(seg_units):
+            if interleaved:
+                my, mx = divmod(unit, hdr.mcus_x)
+                for k, ci, bv, bh in per_mcu:
+                    c = comps[ci]
+                    blk = planes[ci][my * c.v + bv, mx * c.h + bh]
+                    blk[:] = 0
+                    blk[0] = _decode_dc(dec, st8, scan.dc_table_ids[k], ci,
+                                        *lu[k])
+                    _decode_ac_block(dec, st8, scan.ac_table_ids[k], kx[k],
+                                     blk)
+            else:
+                r, c_ = divmod(unit, cols_u)
+                blk = planes[ci0][r, c_]
+                blk[:] = 0
+                blk[0] = _decode_dc(dec, st8, scan.dc_table_ids[0], ci0,
+                                    *lu[0])
+                _decode_ac_block(dec, st8, scan.ac_table_ids[0], kx[0], blk)
+            unit += 1
+    if unit != n_units:
+        raise JPEGError("arith: scan ended before all blocks decoded")
+
+
 def decode_to_planes(hdr: FrameHeader):
     """Entropy-decode an arithmetic-coded frame (SOF9/SOF10) into
     per-component quantized coefficient planes (rows, cols, 64) int32."""
     if hdr.progressive:
         return _decode_progressive(hdr)
-    if len(hdr.scans) != 1 or (
-            len(hdr.scans[0].comp_indices) != len(hdr.components)):
-        raise JPEGError("arith: sequential multi-scan frames not supported")
-    if len(hdr.components) == 1 and (
-            hdr.components[0].h, hdr.components[0].v) != (1, 1):
-        raise JPEGError("arith: single-component sampling >1 not supported")
-    scan = hdr.scans[0]
-    blocks = decode_scan_baseline(hdr, scan)
     lay = layout_mod.scan_layout(hdr)
-    planes = []
-    for ci in range(len(hdr.components)):
-        rows, cols = lay.comp_shapes[ci]
-        planes.append(blocks[lay.comp_src[ci]].reshape(rows, cols, 64))
+    single_full = (
+        len(hdr.scans) == 1
+        and len(hdr.scans[0].comp_indices) == len(hdr.components)
+        and not (len(hdr.components) == 1
+                 and (hdr.components[0].h, hdr.components[0].v) != (1, 1)))
+    if single_full:
+        blocks = decode_scan_baseline(hdr, hdr.scans[0])
+        planes = []
+        for ci in range(len(hdr.components)):
+            rows, cols = lay.comp_shapes[ci]
+            planes.append(blocks[lay.comp_src[ci]].reshape(rows, cols, 64))
+        return planes
+    # General sequential case: multiple scans over component subsets and/or
+    # a non-interleaved subsampled single-component frame (T.81 A.2) —
+    # legal streams the Huffman path already accepts; keep parity here.
+    planes = [np.zeros((*lay.comp_shapes[ci], 64), np.int32)
+              for ci in range(len(hdr.components))]
+    seen: set[int] = set()
+    for scan in hdr.scans:
+        dup = seen.intersection(scan.comp_indices)
+        if dup:
+            raise JPEGError(
+                f"arith: sequential frame codes components {sorted(dup)} "
+                "twice")
+        decode_scan_sequential_into(hdr, scan, planes)
+        seen.update(scan.comp_indices)
+    missing = set(range(len(hdr.components))) - seen
+    if missing:
+        raise JPEGError(
+            f"arith: sequential frame never codes components "
+            f"{sorted(missing)}")
     return planes
 
 
@@ -554,6 +623,14 @@ def _ac_refine_scan_arith(hdr, scan, plane):
 # ---------------------------------------------------------------------------
 
 
+def _pt(v: int, al: int) -> int:
+    """AC point transform (T.81 A.4): magnitude shift, sign preserved."""
+    if al == 0:
+        return v
+    a = (-v if v < 0 else v) >> al
+    return -a if v < 0 else a
+
+
 def _encode_dc(enc: QMEncoder, st8: _ScanState, tbl: int, ci: int,
                l_param: int, u_param: int, dc: int):
     """Encode one DC value (diff vs predictor), mirror of _decode_dc."""
@@ -600,11 +677,10 @@ def _encode_ac_block(enc: QMEncoder, st8: _ScanState, tbl: int, kx: int,
                      block: np.ndarray, ss: int = 1, se: int = 63,
                      al: int = 0):
     """Encode AC coefficients (natural-order block), mirror of
-    _decode_ac_block.  Values are divided by 2^al (progressive first
-    scans pass the already-shifted target values)."""
+    _decode_ac_block.  The AC point transform (T.81 A.4) divides by 2^al
+    truncating toward zero — i.e. shift the magnitude, keep the sign."""
     stats = st8.ac_stats[tbl]
-    vals = [int(block[_ZZ[k]]) >> al if al else int(block[_ZZ[k]])
-            for k in range(64)]
+    vals = [_pt(int(block[_ZZ[k]]), al) for k in range(64)]
     ke = 0
     for k in range(ss, se + 1):
         if vals[k]:
@@ -653,3 +729,44 @@ def _encode_ac_block(enc: QMEncoder, st8: _ScanState, tbl: int, kx: int,
         k += 1
     # ke == se: band ends exactly at the last index — no EOB decision
     # (the decoder's loop exits at k > se).
+
+
+def _encode_ac_refine_block(enc: QMEncoder, st8: _ScanState, tbl: int,
+                            target: np.ndarray, ss: int, se: int, al: int):
+    """Encoder mirror of the AC refinement decode loop (G.3.4).
+
+    The approximation the decoder holds before this scan is derivable
+    from the target alone — every previous scan coded exactly the bits
+    above ``al``, so approx(k) = pt(v, al+1) << (al+1); no cross-scan
+    state threading is needed."""
+    stats = st8.ac_stats[tbl]
+    t = [_pt(int(target[_ZZ[k]]), al) for k in range(64)]
+    prev = [_pt(int(target[_ZZ[k]]), al + 1) for k in range(64)]
+    kex = se
+    while kex > 0 and prev[kex] == 0:
+        kex -= 1
+    kend = 0
+    for k in range(ss, se + 1):
+        if t[k]:
+            kend = k
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if k > kend:
+                enc.encode(1, stats, st)   # EOB
+                return
+            enc.encode(0, stats, st)
+        while True:
+            if prev[k]:
+                enc.encode(abs(t[k]) & 1, stats, st + 2)
+                break
+            if t[k]:
+                enc.encode(1, stats, st + 1)
+                enc.encode(1 if t[k] < 0 else 0, st8.fixed, 0)
+                break
+            enc.encode(0, stats, st + 1)
+            st += 3
+            k += 1
+        k += 1
+    # Band ends exactly at se — no EOB decision (decoder exits at k > se).

@@ -385,7 +385,7 @@ class BatchDecoder:
 
     def _host_one_inner(self, blob):
         hdr = parser.parse(blob)
-        if hdr.progressive or decoder_mod.needs_scan_loop(hdr):
+        if hdr.progressive or hdr.arithmetic or decoder_mod.needs_scan_loop(hdr):
             planes = decoder_mod.decode_to_planes(hdr, entropy=self.entropy)
             # Flatten planes back to scan order so batching is uniform.
             lay = layout_mod.scan_layout(hdr)

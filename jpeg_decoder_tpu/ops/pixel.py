@@ -304,6 +304,12 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
         import jax as _jax
 
         if _jax.default_backend() != "tpu":
+            import logging
+
+            logging.getLogger(__name__).info(
+                "idct='pallas' is TPU-only; substituting the identical-"
+                "arithmetic XLA 'kron' form on backend %r",
+                _jax.default_backend())
             idct = "kron"  # Pallas IDCT is TPU-only; same arithmetic
     up_fn = upsample_nn if upsample == "nn" else upsample_fancy
     pix = []

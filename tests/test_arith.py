@@ -1,0 +1,239 @@
+"""Arithmetic-coded entropy decode (entropy/arith.py): SOF9 + SOF10.
+
+Two independent validation axes (VERDICT r1 item 2):
+
+1. Exact coefficient round trips through the module's own QM encoder
+   (tools/encoder.py ``arithmetic=True``) across samplings, restart
+   intervals, DAC conditioning, multi-scan and progressive scripts.
+2. An oracle *independent of QM_TABLE*: PIL/libjpeg-turbo's arithmetic
+   decoder.  The same quantized coefficients are emitted twice — once
+   Huffman baseline, once QM arithmetic — and PIL must decode both
+   streams to byte-identical RGB (same coefficients through the same
+   libjpeg pixel pipeline), which validates our encoder against
+   libjpeg's arithmetic decoder; the exact decode round trip then ties
+   our decoder to our encoder.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from jpeg_decoder_tpu import decode
+from jpeg_decoder_tpu.io import parser
+from jpeg_decoder_tpu.models import decoder as decoder_mod
+from jpeg_decoder_tpu.models.batch import BatchDecoder
+from jpeg_decoder_tpu.types import JPEGError
+
+from tools.encoder import encode
+
+
+def _rgb(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    # Low-frequency content plus noise: exercises EOB runs, magnitude
+    # chains and sign statistics without being pathological.
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 80 * np.sin(yy / 7.0) * np.cos(xx / 9.0))[..., None]
+    noise = rng.normal(0, 24, (h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def _planes_equal(got, expected):
+    for g, p in zip(got, expected):
+        if not np.array_equal(np.asarray(g).reshape(p.shape), p):
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# SOF9 sequential round trips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("samplings,dri", [
+    (((1, 1), (1, 1), (1, 1)), 0),
+    (((2, 2), (1, 1), (1, 1)), 0),
+    (((2, 2), (1, 1), (1, 1)), 3),
+    (((2, 1), (1, 2), (1, 1)), 2),
+    (((4, 1), (1, 1), (1, 1)), 5),
+])
+def test_sof9_roundtrip(samplings, dri):
+    blob, planes = encode(_rgb(0), samplings=samplings,
+                          restart_interval=dri, arithmetic=True)
+    hdr = parser.parse(blob)
+    assert hdr.arithmetic and not hdr.progressive
+    got = decoder_mod.decode_to_planes(hdr)
+    assert _planes_equal(got, planes)
+
+
+@pytest.mark.parametrize("dac", [
+    {"dc": {0: (0, 2), 1: (1, 3)}},
+    {"ac": {0: 12, 1: 1}},
+    {"dc": {0: (2, 4)}, "ac": {0: 63}},
+])
+def test_sof9_dac_conditioning(dac):
+    """Non-default (L, U, Kx) conditioning round-trips via a DAC segment."""
+    blob, planes = encode(_rgb(1), samplings=((2, 2), (1, 1), (1, 1)),
+                          arithmetic=True, dac=dac, restart_interval=4)
+    hdr = parser.parse(blob)
+    scan = hdr.scans[0]
+    for tid, lu in dac.get("dc", {}).items():
+        assert scan.dc_cond[tid] == lu
+    for tid, kx in dac.get("ac", {}).items():
+        assert scan.ac_cond[tid] == kx
+    got = decoder_mod.decode_to_planes(hdr)
+    assert _planes_equal(got, planes)
+
+
+def test_sof9_grayscale_and_subsampled_single_component():
+    gray = _rgb(2)[..., 0]
+    for samplings in [((1, 1),), ((2, 2),)]:
+        blob, planes = encode(gray, grayscale=True, samplings=samplings,
+                              arithmetic=True)
+        got = decoder_mod.decode_to_planes(parser.parse(blob))
+        assert _planes_equal(got, planes)
+
+
+def test_sof9_multiscan_sequential():
+    """Per-component-subset sequential scans (T.81 A.2) decode correctly."""
+    blob, planes = encode(_rgb(3), samplings=((2, 2), (1, 1), (1, 1)),
+                          scans=[(0,), (1, 2)], arithmetic=True,
+                          restart_interval=3)
+    got = decoder_mod.decode_to_planes(parser.parse(blob))
+    assert _planes_equal(got, planes)
+
+
+def test_sof9_zero_based_ids():
+    blob, planes = encode(_rgb(4), arithmetic=True, zero_based_ids=True)
+    got = decoder_mod.decode_to_planes(parser.parse(blob))
+    assert _planes_equal(got, planes)
+
+
+# ---------------------------------------------------------------------------
+# SOF10 progressive round trips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("samplings,dri", [
+    (((1, 1), (1, 1), (1, 1)), 0),
+    (((2, 2), (1, 1), (1, 1)), 0),
+    (((2, 2), (1, 1), (1, 1)), 4),
+    (((2, 1), (1, 2), (1, 1)), 3),
+])
+def test_sof10_progressive_roundtrip(samplings, dri):
+    """DC first/refine + AC first/refine scans reconstruct exactly."""
+    blob, planes = encode(_rgb(5), samplings=samplings,
+                          restart_interval=dri, arithmetic=True,
+                          progressive=True)
+    hdr = parser.parse(blob)
+    assert hdr.arithmetic and hdr.progressive
+    got = decoder_mod.decode_to_planes(hdr)
+    assert _planes_equal(got, planes)
+
+
+def test_sof10_grayscale():
+    blob, planes = encode(_rgb(6)[..., 0], grayscale=True,
+                          samplings=((1, 1),), arithmetic=True,
+                          progressive=True)
+    got = decoder_mod.decode_to_planes(parser.parse(blob))
+    assert _planes_equal(got, planes)
+
+
+# ---------------------------------------------------------------------------
+# Independent oracle: PIL / libjpeg-turbo
+# ---------------------------------------------------------------------------
+
+def _pil_rgb(blob: bytes) -> np.ndarray:
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(blob))
+    im = im.convert("RGB")
+    return np.asarray(im)
+
+
+def _pil_decodes_arith() -> bool:
+    blob, _ = encode(_rgb(0, 16, 16), arithmetic=True)
+    try:
+        _pil_rgb(blob)
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+@pytest.mark.parametrize("samplings", [
+    ((1, 1), (1, 1), (1, 1)),
+    ((2, 2), (1, 1), (1, 1)),
+])
+def test_arith_vs_libjpeg_independent_oracle(progressive, samplings):
+    """libjpeg's own arithmetic decoder agrees with our encoder.
+
+    The Huffman and arithmetic streams carry identical quantized
+    coefficients, so PIL (libjpeg-turbo) must decode them to identical
+    RGB — validating the QM coder against an implementation that shares
+    nothing with entropy/arith.py."""
+    if not _pil_decodes_arith():
+        pytest.skip("PIL built without arithmetic decoding")
+    rgb = _rgb(7)
+    huff_blob, huff_planes = encode(rgb, samplings=samplings)
+    arith_blob, arith_planes = encode(rgb, samplings=samplings,
+                                      arithmetic=True,
+                                      progressive=progressive)
+    if progressive:
+        # Progressive non-interleaved AC scans never code padded cells;
+        # compare on the cells both streams code.
+        for hp, ap in zip(huff_planes, arith_planes):
+            assert np.array_equal(hp[..., 0], ap[..., 0])
+    else:
+        assert all(np.array_equal(h, a)
+                   for h, a in zip(huff_planes, arith_planes))
+        assert np.array_equal(_pil_rgb(huff_blob), _pil_rgb(arith_blob))
+    # And our full decode() agrees with PIL on the arithmetic stream
+    # within the IDCT tolerance used by the golden suite.
+    ours = decode(arith_blob, idct="exact", upsample="fancy").rgb
+    theirs = _pil_rgb(arith_blob)
+    assert ours.shape == theirs.shape
+    diff = np.abs(ours.astype(np.int16) - theirs.astype(np.int16))
+    assert diff.max() <= 8  # IDCT implementation differences (test_golden)
+
+
+def test_arith_restart_vs_libjpeg():
+    if not _pil_decodes_arith():
+        pytest.skip("PIL built without arithmetic decoding")
+    blob, _ = encode(_rgb(8), samplings=((2, 2), (1, 1), (1, 1)),
+                     arithmetic=True, restart_interval=2)
+    ours = decode(blob, idct="exact", upsample="fancy").rgb
+    theirs = _pil_rgb(blob)
+    diff = np.abs(ours.astype(np.int16) - theirs.astype(np.int16))
+    assert diff.max() <= 8
+
+
+# ---------------------------------------------------------------------------
+# Batch path + strictness
+# ---------------------------------------------------------------------------
+
+def test_batch_decodes_sof9():
+    """BatchDecoder routes arithmetic frames off the Huffman wire formats
+    (ADVICE r1: the guard must check hdr.arithmetic)."""
+    rgb = _rgb(9)
+    blob, _ = encode(rgb, samplings=((2, 2), (1, 1), (1, 1)),
+                     arithmetic=True)
+    single = decode(blob, idct="fast", upsample="fancy").rgb
+    bd = BatchDecoder()  # defaults: idct="fast", upsample="fancy"
+    items = bd.decode([blob, blob])
+    for item in items:
+        assert item.error is None, item.error
+        assert np.array_equal(np.asarray(item.rgb), single)
+
+
+def test_extra_restart_segment_raises():
+    """A corrupt stream with surplus RST segments is diagnosed, matching
+    the Huffman path's strictness (ADVICE r1 low)."""
+    blob, _ = encode(_rgb(10), samplings=((1, 1), (1, 1), (1, 1)),
+                     arithmetic=True, restart_interval=4)
+    hdr = parser.parse(blob)
+    scan = hdr.scans[0]
+    # Forge an extra restart segment boundary.
+    offs = list(np.asarray(scan.seg_offsets))
+    scan.seg_offsets = np.asarray(offs[:-1] + [offs[-1] - 1, offs[-1]],
+                                  dtype=np.int64)
+    with pytest.raises(JPEGError):
+        decoder_mod.decode_to_planes(hdr)

@@ -158,7 +158,7 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
            quality: int = 85, restart_interval: int = 0,
            grayscale: bool = False, zero_based_ids: bool = False,
            scans=None, raw_planes=None, app14_transform=None,
-           arithmetic=False, dac=None):
+           arithmetic=False, dac=None, progressive=False):
     """Encode an (H, W, 3) uint8 RGB array (or (H, W) when grayscale).
 
     samplings: per-component (h, v), h/v in 1..4, sum(h*v) <= 10.
@@ -175,6 +175,11 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
       arithmetic coder (no DHT segments) instead of baseline Huffman.
     dac: optional non-default arithmetic conditioning, a dict like
       ``{"dc": {0: (L, U)}, "ac": {0: Kx}}`` — emitted as a DAC segment.
+    progressive: with ``arithmetic=True``, emit a SOF10 progressive-
+      arithmetic frame with a fixed spectral-selection + successive-
+      approximation scan script exercising all four scan kinds (DC
+      first/refine, AC first/refine).  Huffman progressive is not
+      emitted here (PIL generates those fixtures).
 
     Returns (jpeg_bytes, planes) where planes[i] is the (rows_i, cols_i, 64)
     int32 quantized coefficient array actually entropy-coded (padded to the
@@ -243,6 +248,68 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
                           _huff_maps(STD_AC_CHROMA)))
     n_mcus = mcus_x * mcus_y
 
+    # Arithmetic conditioning per table id (T.81 defaults L=0, U=1, Kx=5).
+    dac = dac or {}
+    dc_cond = dict(dac.get("dc", {}))
+    ac_cond = dict(dac.get("ac", {}))
+
+    def encode_scan_group_arith(group):
+        """QM-arithmetic entropy bytes (with RSTn markers) for one scan.
+
+        Mirror of the Huffman path below, driving the Annex D encoder in
+        jpeg_decoder_tpu.entropy.arith; statistics/predictors reset and the
+        coder flushes at every restart boundary (F.1.4.1.1), so segments
+        stay independently decodable."""
+        from jpeg_decoder_tpu.entropy.arith import (
+            QMEncoder, _ScanState, _encode_ac_block, _encode_dc)
+
+        if len(group) > 1:
+            units = n_mcus
+        else:
+            ci = group[0]
+            cw = -(-W * hs[ci] // h_max)
+            ch = -(-H * vs[ci] // v_max)
+            rows_u, cols_u = -(-ch // 8), -(-cw // 8)
+            units = rows_u * cols_u
+            p = planes[ci]
+            p[rows_u:, :] = 0
+            p[:, cols_u:] = 0
+        out = bytearray()
+        enc = QMEncoder()
+        st8 = _ScanState(n_comps=ncomp)
+        rst = 0
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                enc = QMEncoder()
+                st8 = _ScanState(n_comps=ncomp)
+            if len(group) > 1:
+                my, mx = divmod(m, mcus_x)
+                for ci in group:
+                    h, v = hs[ci], vs[ci]
+                    tid = 0 if ci == 0 else 1
+                    l_param, u_param = dc_cond.get(tid, (0, 1))
+                    kx = ac_cond.get(tid, 5)
+                    for bv in range(v):
+                        for bh in range(h):
+                            blk = planes[ci][my * v + bv, mx * h + bh]
+                            _encode_dc(enc, st8, tid, ci, l_param, u_param,
+                                       int(blk[0]))
+                            _encode_ac_block(enc, st8, tid, kx, blk)
+            else:
+                ci = group[0]
+                tid = 0 if ci == 0 else 1
+                l_param, u_param = dc_cond.get(tid, (0, 1))
+                kx = ac_cond.get(tid, 5)
+                r, c_ = divmod(m, cols_u)
+                blk = planes[ci][r, c_]
+                _encode_dc(enc, st8, tid, ci, l_param, u_param, int(blk[0]))
+                _encode_ac_block(enc, st8, tid, kx, blk)
+        out += enc.flush()
+        return bytes(out)
+
     def encode_scan_group(group):
         """Returns the entropy bytes (with RSTn markers) for one scan."""
         bw = _BitWriter()
@@ -285,9 +352,90 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
         bw.align()
         return bytes(bw.out)
 
-    scan_groups = [tuple(range(ncomp))] if scans is None \
-        else [tuple(g) for g in scans]
-    scan_payloads = [encode_scan_group(g) for g in scan_groups]
+    def encode_prog_scan_arith(group, ss, se, ah, al):
+        """One progressive-arithmetic scan payload (DC first/refine
+        interleaved over the MCU grid; AC first/refine single-component
+        over the unpadded block grid, T.81 G.3)."""
+        from jpeg_decoder_tpu.entropy.arith import (
+            QMEncoder, _ScanState, _encode_ac_block, _encode_ac_refine_block,
+            _encode_dc)
+
+        dc_scan = ss == 0
+        if dc_scan:
+            units = n_mcus
+        else:
+            ci = group[0]
+            cw = -(-W * hs[ci] // h_max)
+            ch = -(-H * vs[ci] // v_max)
+            rows_u, cols_u = -(-ch // 8), -(-cw // 8)
+            units = rows_u * cols_u
+            # Non-interleaved AC scans never code padded cells: zero their
+            # AC so `planes` matches what a decoder reconstructs.
+            p = planes[ci]
+            p[rows_u:, :, 1:] = 0
+            p[:, cols_u:, 1:] = 0
+        out = bytearray()
+        enc = QMEncoder()
+        st8 = _ScanState(n_comps=ncomp)
+        rst = 0
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                enc = QMEncoder()
+                st8 = _ScanState(n_comps=ncomp)
+            if dc_scan:
+                my, mx = divmod(m, mcus_x)
+                for ci in group:
+                    h, v = hs[ci], vs[ci]
+                    tid = 0 if ci == 0 else 1
+                    l_param, u_param = dc_cond.get(tid, (0, 1))
+                    for bv in range(v):
+                        for bh in range(h):
+                            dc = int(planes[ci][my * v + bv, mx * h + bh, 0])
+                            if ah == 0:
+                                _encode_dc(enc, st8, tid, ci, l_param,
+                                           u_param, dc >> al)
+                            else:
+                                enc.encode((dc >> al) & 1, st8.fixed, 0)
+            else:
+                ci = group[0]
+                tid = 0 if ci == 0 else 1
+                kx = ac_cond.get(tid, 5)
+                r, c_ = divmod(m, cols_u)
+                blk = planes[ci][r, c_]
+                if ah == 0:
+                    _encode_ac_block(enc, st8, tid, kx, blk, ss=ss, se=se,
+                                     al=al)
+                else:
+                    _encode_ac_refine_block(enc, st8, tid, blk, ss, se, al)
+        out += enc.flush()
+        return bytes(out)
+
+    if progressive:
+        if not arithmetic:
+            raise ValueError(
+                "progressive emission is arithmetic-only here (use PIL for "
+                "progressive Huffman fixtures)")
+        if scans is not None:
+            raise ValueError("progressive uses its own scan script")
+        # Scan script: DC first (Al=1), per-component AC first (Al=1),
+        # DC refine, per-component AC refine — all four scan kinds.
+        script = [(tuple(range(ncomp)), 0, 0, 0, 1)]
+        script += [((ci,), 1, 63, 0, 1) for ci in range(ncomp)]
+        script += [(tuple(range(ncomp)), 0, 0, 1, 0)]
+        script += [((ci,), 1, 63, 1, 0) for ci in range(ncomp)]
+        scan_descs = [(g, ss, se, ah, al,
+                       encode_prog_scan_arith(g, ss, se, ah, al))
+                      for (g, ss, se, ah, al) in script]
+    else:
+        scan_groups = [tuple(range(ncomp))] if scans is None \
+            else [tuple(g) for g in scans]
+        scan_encoder = (encode_scan_group_arith if arithmetic
+                        else encode_scan_group)
+        scan_descs = [(g, 0, 63, 0, 0, scan_encoder(g))
+                      for g in scan_groups]
 
     # ---- markers ----
     out = io.BytesIO()
@@ -316,30 +464,43 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
     for ci in range(ncomp):
         cid = ci if zero_based_ids else ci + 1
         sof += bytes([cid, (hs[ci] << 4) | vs[ci], 0 if ci == 0 else 1])
-    out.write(b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof)
+    sof_marker = (b"\xff\xca" if progressive
+                  else b"\xff\xc9" if arithmetic else b"\xff\xc0")
+    out.write(sof_marker + struct.pack(">H", 2 + len(sof)) + sof)
 
-    def dht(tc, tid, spec):
-        payload = bytes([(tc << 4) | tid]) + spec.counts.tobytes() \
-            + spec.symbols.tobytes()
-        out.write(b"\xff\xc4" + struct.pack(">H", 2 + len(payload))
-                  + payload)
+    if arithmetic:
+        # DAC (B.2.4.3): only needed for non-default conditioning.
+        pairs = bytearray()
+        for tid, (l_param, u_param) in sorted(dc_cond.items()):
+            pairs += bytes([tid, (u_param << 4) | l_param])
+        for tid, kx in sorted(ac_cond.items()):
+            pairs += bytes([0x10 | tid, kx])
+        if pairs:
+            out.write(b"\xff\xcc" + struct.pack(">H", 2 + len(pairs))
+                      + bytes(pairs))
+    else:
+        def dht(tc, tid, spec):
+            payload = bytes([(tc << 4) | tid]) + spec.counts.tobytes() \
+                + spec.symbols.tobytes()
+            out.write(b"\xff\xc4" + struct.pack(">H", 2 + len(payload))
+                      + payload)
 
-    dht(0, 0, STD_DC_LUMA)
-    dht(1, 0, STD_AC_LUMA)
-    if ncomp > 1:
-        dht(0, 1, STD_DC_CHROMA)
-        dht(1, 1, STD_AC_CHROMA)
+        dht(0, 0, STD_DC_LUMA)
+        dht(1, 0, STD_AC_LUMA)
+        if ncomp > 1:
+            dht(0, 1, STD_DC_CHROMA)
+            dht(1, 1, STD_AC_CHROMA)
 
     if restart_interval:
         out.write(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
 
-    for group, payload in zip(scan_groups, scan_payloads):
+    for group, ss, se, ah, al, payload in scan_descs:
         sos = bytes([len(group)])
         for ci in group:
             cid = ci if zero_based_ids else ci + 1
             t = 0 if ci == 0 else 0x11
             sos += bytes([cid, t])
-        sos += bytes([0, 63, 0])
+        sos += bytes([ss, se, (ah << 4) | al])
         out.write(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
         out.write(payload)
     out.write(b"\xff\xd9")  # EOI
