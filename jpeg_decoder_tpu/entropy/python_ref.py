@@ -30,17 +30,20 @@ class BitReader:
     """MSB-first bit reader over unstuffed bytes (parity: BitStream,
     file.hpp:122-165).  Reads beyond the end return zero bits."""
 
-    __slots__ = ("data", "pos", "end")
+    __slots__ = ("data", "pos", "end", "_cap")
 
     def __init__(self, data: bytes, start_byte: int = 0,
                  end_byte: int | None = None):
-        # Pad so peek16/getbits never index out of range.
+        # Pad so peek16/getbits never index out of range; reads past the
+        # end return zero bits indefinitely (clamped below) — a decoder
+        # running past the stream end sees zeros, never an IndexError.
         self.data = data + b"\x00\x00\x00\x00"
         self.pos = start_byte * 8
         self.end = (len(data) if end_byte is None else end_byte) * 8
+        self._cap = len(data)
 
     def peek16(self) -> int:
-        byte = self.pos >> 3
+        byte = min(self.pos >> 3, self._cap)
         bitoff = self.pos & 7
         d = self.data
         v = (d[byte] << 16) | (d[byte + 1] << 8) | d[byte + 2]
@@ -48,7 +51,7 @@ class BitReader:
 
     def getbits(self, n: int) -> int:
         """Read n (<=16) bits MSB-first (parity: getBitN, file.hpp:146-158)."""
-        byte = self.pos >> 3
+        byte = min(self.pos >> 3, self._cap)
         bitoff = self.pos & 7
         d = self.data
         v = (d[byte] << 24) | (d[byte + 1] << 16) | (d[byte + 2] << 8) | d[byte + 3]

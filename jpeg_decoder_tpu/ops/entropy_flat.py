@@ -1,0 +1,315 @@
+"""Flat symbol-loop on-device entropy decode (JAX/XLA, lane-batched).
+
+Second-generation device decoder (VERDICT r1 item 1) replacing the nested
+MCU-loop/AC-while structure of :mod:`ops.entropy_jax` with ONE batched
+while-loop in which every iteration decodes exactly one Huffman symbol on
+every lane:
+
+* **No lock-step idling.**  The v1 design vmapped a per-segment decoder
+  whose nested loops (fori over MCUs, unrolled blocks, while over AC
+  symbols) forced all lanes to run the max-over-lanes iteration count of
+  EVERY inner loop.  Here the only loop is "decode one symbol"; a lane's
+  trip count is its own total symbol count, and the batched trip count is
+  a single max over lanes.
+* **Register-resident bit window.**  The next 64 stream bits live in two
+  uint32 carries (``cur``/``nxt``) refilled by at most one gather per
+  symbol (a symbol consumes <= 27 bits), instead of two dynamic word
+  gathers per peek (the C++ host decoder measured +14% from the same
+  restructuring; on TPU it halves the dominant gather count).
+* **One merged LUT.**  DC and AC tables for all components are stacked
+  into a single ``(2 * n_comps * 65536,)`` table; the per-symbol probe is
+  one gather with a computed row offset — no per-table branching.
+* **Lanes are unified work.**  A lane is "decode from bit position B
+  until block-count / bit-limit", so the same kernel serves restart
+  segments (per-RSTn parallelism, jpeg.cpp:419-425 semantics) and the
+  speculative chunk decode of DRI=0 streams (see ops.entropy_spec), and
+  can batch segments of many images in one launch.
+
+Semantics are bit-identical to entropy.python_ref (decodeMCUComponent /
+getNextSymbol parity, jpeg.cpp:300-446), asserted in
+tests/test_entropy_flat.py.  Corrupt streams set a per-lane error flag
+(no divergence); erroring lanes park until the loop drains.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..huffman import build_lut
+from ..layout import scan_layout
+from ..types import FrameHeader, JPEGError, ScanHeader, ZIGZAG_INV
+
+
+def merged_luts(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
+    """Stack per-component DC/AC LUTs into one flat uint16 table.
+
+    Row layout: ``row = comp * 2 + is_ac`` — entry ``(sym << 5) | len``
+    (fits uint16: sym <= 255, len <= 16), 0 marking an invalid prefix.
+    """
+    rows = []
+    for c in hdr.components:
+        rows.append(build_lut(scan.dc_specs[c.td]))
+        rows.append(build_lut(scan.ac_specs[c.ta]))
+    return np.concatenate(rows).astype(np.uint16)
+
+
+def _extend(value, size):
+    """JPEG sign extension (parity: jpeg.cpp:340-343)."""
+    value = value.astype(jnp.int32)
+    half = jnp.where(size > 0, 1 << jnp.maximum(size - 1, 0), 0)
+    return jnp.where((size > 0) & (value < half),
+                     value - ((1 << size) - 1), value)
+
+
+def _window32(cur, nxt, off):
+    """The next 32 bits given the two-word register pipeline."""
+    return jnp.where(off == 0, cur,
+                     (cur << off) | (nxt >> (32 - jnp.maximum(off, 1))))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "n_comps", "max_blocks", "dc_diff",
+                     "record_mcus", "max_mcus"))
+def decode_flat(words, base_bits, nblocks, bit_limits, luts, *,
+                block_comp: tuple[int, ...], n_comps: int, max_blocks: int,
+                dc_diff: bool = False, record_mcus: int = 0,
+                max_mcus: int = 0):
+    """Batched flat-loop decode of S independent lanes.
+
+    Args:
+      words: (N,) uint32 — big-endian packed stream word pool shared by all
+        lanes (pad with >= 2 zero words past every lane's data).
+      base_bits: (S,) int32 — absolute start bit of each lane (byte- or
+        word-aligned not required).
+      nblocks: (S,) int32 — decode at most this many 8x8 blocks per lane.
+      bit_limits: (S,) int32 — in speculative mode (record_mcus > 0), stop
+        at the first MCU whose start bit is >= this limit; ignored when
+        record_mcus == 0 (pass e.g. 2**30).
+      luts: (2 * n_comps * 65536,) uint16 merged decode LUTs.
+      block_comp: static per-within-MCU-block component indices.
+      max_blocks: static per-lane output capacity.
+      dc_diff: DC coefficients stored as raw diffs (no predictor chain) —
+        the speculative-chunk representation (DC prefix-sum happens after
+        splicing, mirroring jd_decode_scan_speculative's phase 3).
+      record_mcus / max_mcus: when > 0, also record the start bit of every
+        decoded MCU (speculative trace) into a (S, max_mcus) buffer.
+
+    Returns:
+      out: (S, max_blocks, 64) int32, natural coefficient order.
+      err: (S,) bool.
+      n_done: (S,) int32 — blocks fully decoded per lane.
+      mcu_starts: (S, max_mcus) int32 (zeros-size-1 when record_mcus == 0).
+      n_mcus_rec: (S,) int32 — recorded MCU count.
+      end_pos: (S,) int32 — bit position after the last completed MCU.
+    """
+    S = base_bits.shape[0]
+    bpm = len(block_comp)
+    n_words = words.shape[0]
+    bc_arr = jnp.asarray(np.asarray(block_comp, np.int32))
+    lanes = jnp.arange(S, dtype=jnp.int32)
+    lane64 = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
+    comp_iota = jax.lax.broadcasted_iota(jnp.int32, (S, n_comps), 1)
+    rec = max(1, max_mcus if record_mcus else 1)
+
+    w0 = (base_bits >> 5).astype(jnp.int32)
+    off0 = (base_bits & 31).astype(jnp.uint32)
+    cur0 = jnp.take(words, jnp.minimum(w0, n_words - 1))
+    nxt0 = jnp.take(words, jnp.minimum(w0 + 1, n_words - 1))
+
+    state = dict(
+        cur=cur0, nxt=nxt0, off=off0, w_idx=w0 + 2,
+        pos=base_bits.astype(jnp.int32),
+        mcu_start=base_bits.astype(jnp.int32),
+        end_pos=base_bits.astype(jnp.int32),
+        blk=jnp.zeros((S,), jnp.int32),      # completed blocks
+        k=jnp.zeros((S,), jnp.int32),        # block index within MCU
+        coef=jnp.zeros((S,), jnp.int32),     # next zigzag index (0 = DC)
+        preds=jnp.zeros((S, n_comps), jnp.int32),
+        acc=jnp.zeros((S, 64), jnp.int32),   # current block, zigzag order
+        out=jnp.zeros((S, max_blocks, 64), jnp.int32),
+        starts=jnp.zeros((S, rec), jnp.int32),
+        n_mcus=jnp.zeros((S,), jnp.int32),
+        err=jnp.zeros((S,), jnp.bool_),
+        done=nblocks <= 0,
+        it=jnp.int32(0),
+    )
+    # Safety bound: a valid block never needs more than 64 symbols; +2
+    # slack for DC and EOB accounting.  Erroring lanes park immediately,
+    # so this cap is never the loop exit on well-formed streams.
+    max_iters = int(max_blocks) * 66 + 8
+
+    def cond(s):
+        return jnp.any(~(s["done"] | s["err"])) & (s["it"] < max_iters)
+
+    def body(s):
+        active = ~(s["done"] | s["err"])
+        window = _window32(s["cur"], s["nxt"], s["off"])
+        w16 = (window >> 16).astype(jnp.int32)
+
+        comp = jnp.take(bc_arr, s["k"])
+        is_dc = s["coef"] == 0
+        row = comp * 2 + (~is_dc).astype(jnp.int32)
+        entry = jnp.take(luts, row * 65536 + w16).astype(jnp.int32)
+        length = (entry & 31).astype(jnp.uint32)
+        sym = (entry >> 5) & 0xFF
+        bad = (entry == 0)
+
+        is_eob = (~is_dc) & (sym == 0)
+        run = jnp.where(sym == 0xF0, 16, sym >> 4)
+        csize = jnp.where(is_dc, sym, sym & 15).astype(jnp.uint32)
+        bad = bad | jnp.where(is_dc, sym > 11, (sym & 15) > 10)
+        csize = jnp.minimum(csize, 16)  # keep shifts defined on bad lanes
+
+        raw = jnp.where(
+            csize == 0, jnp.uint32(0),
+            (window << length) >> (32 - jnp.maximum(csize, 1)))
+        val = _extend(raw, csize.astype(jnp.int32))
+        adv = (length + csize).astype(jnp.int32)
+
+        # --- DC path: predictor chain (or raw diff in speculative mode)
+        if dc_diff:
+            dc_val = val
+            preds = s["preds"]
+        else:
+            pred_old = jnp.sum(
+                jnp.where(comp_iota == comp[:, None], s["preds"], 0), axis=1)
+            dc_val = pred_old + val
+            upd = is_dc & active
+            preds = jnp.where(
+                (comp_iota == comp[:, None]) & upd[:, None],
+                dc_val[:, None], s["preds"])
+
+        # --- AC path bookkeeping (parity: python_ref.decode_block)
+        wpos = s["coef"] + run                      # i + run
+        overflow = (~is_dc) & (~is_eob) & (
+            (wpos > 64) | ((csize > 0) & (wpos >= 64)))
+        bad = bad | overflow
+        write_idx = jnp.where(is_dc, 0, jnp.clip(wpos, 0, 63))
+        value = jnp.where(is_dc, dc_val, val)
+        do_write = active & ~bad & (is_dc | ((~is_eob) & (csize > 0)))
+        acc = s["acc"] + jnp.where(
+            do_write[:, None] & (lane64 == write_idx[:, None]),
+            value[:, None], 0)
+
+        coef_next = jnp.where(
+            is_dc, 1,
+            jnp.where(is_eob, 64, wpos + (csize > 0).astype(jnp.int32)))
+        block_done = active & ~bad & (~is_dc) & (coef_next >= 64)
+
+        # --- commit completed blocks (scatter; non-committing lanes drop)
+        tgt = jnp.where(block_done, s["blk"], max_blocks)
+        out = s["out"].at[lanes, tgt].add(acc, mode="drop")
+        acc = jnp.where(block_done[:, None], 0, acc)
+        blk = s["blk"] + block_done
+        k_next = jnp.where(block_done, s["k"] + 1, s["k"])
+        mcu_done = block_done & (k_next >= bpm)
+        k_next = jnp.where(mcu_done, 0, k_next)
+        coef_next = jnp.where(block_done, 0, coef_next)
+
+        # --- bit cursor advance + at most one refill
+        adv = jnp.where(active & ~bad, adv, 0)
+        pos = s["pos"] + adv
+        offp = s["off"] + adv.astype(jnp.uint32)
+        need = offp >= 32
+        loaded = jnp.take(words, jnp.minimum(s["w_idx"], n_words - 1))
+        cur = jnp.where(need, s["nxt"], s["cur"])
+        nxt = jnp.where(need, loaded, s["nxt"])
+        w_idx = s["w_idx"] + need
+        off = offp - jnp.where(need, 32, 0).astype(jnp.uint32)
+
+        # --- MCU trace (speculative mode) + termination
+        end_pos = jnp.where(mcu_done, pos, s["end_pos"])
+        if record_mcus:
+            rtgt = jnp.where(mcu_done & (s["n_mcus"] < rec),
+                             s["n_mcus"], rec)
+            starts = s["starts"].at[lanes, rtgt].add(
+                s["mcu_start"], mode="drop")
+            n_mcus = s["n_mcus"] + (mcu_done & (s["n_mcus"] < rec))
+            mcu_start = jnp.where(mcu_done, pos, s["mcu_start"])
+            hit_limit = mcu_done & (pos >= bit_limits)
+            full = mcu_done & (n_mcus >= rec)
+            done = s["done"] | hit_limit | full | (blk >= nblocks)
+        else:
+            starts = s["starts"]
+            n_mcus = s["n_mcus"] + mcu_done
+            mcu_start = jnp.where(mcu_done, pos, s["mcu_start"])
+            done = s["done"] | (blk >= nblocks)
+
+        err = s["err"] | (bad & active)
+        return dict(
+            cur=cur, nxt=nxt, off=off, w_idx=w_idx, pos=pos,
+            mcu_start=mcu_start, end_pos=end_pos, blk=blk, k=k_next,
+            coef=coef_next, preds=preds, acc=acc, out=out, starts=starts,
+            n_mcus=n_mcus, err=err, done=done, it=s["it"] + 1)
+
+    s = jax.lax.while_loop(cond, body, state)
+    out = jnp.take(s["out"], jnp.asarray(ZIGZAG_INV), axis=2)
+    return (out, s["err"], s["blk"], s["starts"], s["n_mcus"], s["end_pos"])
+
+
+# ---------------------------------------------------------------------------
+# Segment-mode wrapper (common backend signature)
+# ---------------------------------------------------------------------------
+
+def prepare_scan_flat(hdr: FrameHeader, scan: ScanHeader):
+    """Host prep: one flat word pool + per-lane base bits (NumPy, cheap)."""
+    lay = scan_layout(hdr)
+    ri = scan.restart_interval
+    n_mcus = lay.n_mcus
+    seg_offsets = np.asarray(scan.seg_offsets, np.int64)
+    n_segments = len(seg_offsets) - 1
+    expected = -(-n_mcus // ri) if ri else 1
+    if n_segments != expected:
+        raise JPEGError(
+            f"restart-segment count {n_segments} does not match DRI {ri}")
+    bpm = lay.blocks_per_mcu
+    # Pack each segment at a word-aligned offset of one shared pool.
+    seg_lens = np.diff(seg_offsets)
+    word_lens = (seg_lens + 3) // 4
+    word_base = np.zeros(n_segments + 1, np.int64)
+    np.cumsum(word_lens + 2, out=word_base[1:])  # +2 pad words per segment
+    pool = np.zeros(int(word_base[-1]) + 2, np.uint32)
+    data = np.asarray(scan.data, np.uint8)
+    for s in range(n_segments):
+        seg = data[seg_offsets[s]: seg_offsets[s + 1]]
+        nw = int(word_lens[s])
+        padded = np.zeros(nw * 4, np.uint8)
+        padded[: len(seg)] = seg
+        pool[word_base[s]: word_base[s] + nw] = padded.view(">u4")
+    base_bits = (word_base[:-1] * 32).astype(np.int32)
+    nm = np.full(n_segments, ri if ri else n_mcus, np.int64)
+    if ri:
+        nm[-1] = n_mcus - ri * (n_segments - 1)
+    nblocks = (nm * bpm).astype(np.int32)
+    max_blocks = int(nblocks.max())
+    block_comp = tuple(
+        ci for ci, c in enumerate(hdr.components) for _ in range(c.v * c.h))
+    return pool, base_bits, nblocks, max_blocks, block_comp, lay
+
+
+def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
+    """Common-backend-signature wrapper: (total_blocks, 64) int32 scan-order
+    natural-layout coefficients (identical to python_ref/native/jax)."""
+    pool, base_bits, nblocks, max_blocks, block_comp, lay = \
+        prepare_scan_flat(hdr, scan)
+    luts = merged_luts(hdr, scan)
+    out, err, n_done, _, _, _ = decode_flat(
+        jnp.asarray(pool), jnp.asarray(base_bits), jnp.asarray(nblocks),
+        jnp.full(base_bits.shape, 2**30, jnp.int32), jnp.asarray(luts),
+        block_comp=block_comp, n_comps=len(hdr.components),
+        max_blocks=max_blocks)
+    err = np.asarray(err) | (np.asarray(n_done) < nblocks)
+    if err.any():
+        bad = np.flatnonzero(err)
+        raise JPEGError(f"device entropy decode failed in segments {bad[:8]}")
+    bpm = len(block_comp)
+    out = np.asarray(out)
+    if (nblocks == max_blocks).all():
+        return out.reshape(-1, 64)[: lay.n_mcus * bpm]
+    return np.concatenate(
+        [out[s, : nblocks[s]] for s in range(out.shape[0])])

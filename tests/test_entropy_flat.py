@@ -1,0 +1,96 @@
+"""Flat symbol-loop device decoder (ops/entropy_flat.py): bit-exactness.
+
+Same conformance surface as every entropy backend: scan-order coefficient
+blocks identical to entropy.python_ref on the corpus and on synthetic
+streams across samplings and restart intervals (CPU backend; the kernel
+is backend-agnostic XLA).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import CORPUS, corpus_path
+
+from jpeg_decoder_tpu.io import parser
+from jpeg_decoder_tpu.entropy import python_ref
+from jpeg_decoder_tpu.ops import entropy_flat
+from jpeg_decoder_tpu.types import JPEGError
+
+from tools.encoder import encode
+
+
+@pytest.mark.parametrize("name", CORPUS)
+def test_corpus_bit_exact(name):
+    hdr = parser.parse_file(corpus_path(name))
+    scan = hdr.scans[0]
+    ref = python_ref.decode_scan_baseline(hdr, scan)
+    got = entropy_flat.decode_scan_baseline(hdr, scan)
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("samplings,dri", [
+    (((1, 1), (1, 1), (1, 1)), 0),
+    (((2, 2), (1, 1), (1, 1)), 0),
+    (((2, 2), (1, 1), (1, 1)), 1),
+    (((2, 1), (1, 2), (1, 1)), 3),
+    (((4, 1), (1, 1), (1, 1)), 2),
+    (((3, 2), (1, 1), (1, 1)), 7),
+    (((2, 4), (1, 1), (1, 1)), 5),
+])
+def test_synthetic_bit_exact(samplings, dri):
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (72, 88, 3), np.uint8)
+    blob, _ = encode(rgb, samplings=samplings, restart_interval=dri)
+    hdr = parser.parse(blob)
+    scan = hdr.scans[0]
+    ref = python_ref.decode_scan_baseline(hdr, scan)
+    got = entropy_flat.decode_scan_baseline(hdr, scan)
+    assert np.array_equal(got, ref)
+
+
+def test_grayscale():
+    rng = np.random.default_rng(12)
+    blob, _ = encode(rng.integers(0, 256, (48, 56), np.uint8),
+                     grayscale=True, samplings=((1, 1),),
+                     restart_interval=3)
+    hdr = parser.parse(blob)
+    scan = hdr.scans[0]
+    assert np.array_equal(entropy_flat.decode_scan_baseline(hdr, scan),
+                          python_ref.decode_scan_baseline(hdr, scan))
+
+
+def test_corrupt_stream_flags_error():
+    """Invalid prefixes park the lane with an error flag — no divergence,
+    no hang (the while loop has a static safety bound)."""
+    rng = np.random.default_rng(13)
+    blob, _ = encode(rng.integers(0, 256, (48, 56, 3), np.uint8),
+                     restart_interval=2)
+    hdr = parser.parse(blob)
+    scan = hdr.scans[0]
+    d = np.array(scan.data)
+    d[len(d) // 3: len(d) // 3 + 40] = 0xFF
+    scan.data = d
+    with pytest.raises(JPEGError):
+        entropy_flat.decode_scan_baseline(hdr, scan)
+
+
+def test_truncated_stream_backend_parity():
+    """A truncated stream feeds zero bits past the end; depending on the
+    tables this decodes phantom symbols or hits an invalid prefix.  The
+    device backend must agree with python_ref either way (same outputs or
+    both error) — bit-for-bit backend swappability even off the happy
+    path."""
+    rng = np.random.default_rng(14)
+    blob, _ = encode(rng.integers(0, 256, (48, 56, 3), np.uint8))
+    hdr = parser.parse(blob)
+    scan = hdr.scans[0]
+    scan.data = scan.data[: max(4, len(scan.data) // 8)]
+    scan.seg_offsets = np.asarray([0, len(scan.data)], np.int64)
+    try:
+        ref = python_ref.decode_scan_baseline(hdr, scan)
+    except JPEGError:
+        with pytest.raises(JPEGError):
+            entropy_flat.decode_scan_baseline(hdr, scan)
+        return
+    got = entropy_flat.decode_scan_baseline(hdr, scan)
+    assert np.array_equal(got, ref)

@@ -1,0 +1,83 @@
+"""Device speculative chunk-parallel decode (ops/entropy_spec.py).
+
+The DRI=0 corpus images (5 of 6) decode chunk-parallel bit-exactly, the
+gap fallback keeps correctness when synchronization is made impossible,
+and degenerate chunkings behave.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import CORPUS, corpus_path
+
+from jpeg_decoder_tpu.io import parser
+from jpeg_decoder_tpu.entropy import python_ref
+from jpeg_decoder_tpu.ops import entropy_spec
+from jpeg_decoder_tpu.types import JPEGError
+
+from tools.encoder import encode
+
+DRI0 = [n for n in CORPUS if n != "img4.jpg"]  # img4 has DRI=100
+
+
+@pytest.mark.parametrize("name", DRI0)
+def test_corpus_bit_exact(name):
+    hdr = parser.parse_file(corpus_path(name))
+    scan = hdr.scans[0]
+    ref = python_ref.decode_scan_baseline(hdr, scan)
+    got = entropy_spec.decode_scan_speculative(hdr, scan)
+    assert np.array_equal(got, ref)
+
+
+def test_small_chunks_stress_sync():
+    hdr = parser.parse_file(corpus_path("img3.jpg"))
+    scan = hdr.scans[0]
+    ref = python_ref.decode_scan_baseline(hdr, scan)
+    got = entropy_spec.decode_scan_speculative(hdr, scan, chunk_bytes=1024)
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("ovf", [0, 16])
+def test_gap_fallback_exact(ovf):
+    """With a tiny/zero overflow window lanes cannot synchronize; the host
+    sequential fallback must still make the result exact (the C++ phase-3
+    guarantee, jpeg_entropy.cpp:425-430)."""
+    hdr = parser.parse_file(corpus_path("img2.jpg"))
+    scan = hdr.scans[0]
+    ref = python_ref.decode_scan_baseline(hdr, scan)
+    got = entropy_spec.decode_scan_speculative(
+        hdr, scan, chunk_bytes=2048, ovf_bytes=ovf)
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("samplings", [
+    ((1, 1), (1, 1), (1, 1)),
+    ((2, 2), (1, 1), (1, 1)),
+    ((2, 1), (1, 2), (1, 1)),
+])
+def test_synthetic_bit_exact(samplings):
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, (160, 200, 3), np.uint8)
+    blob, _ = encode(rgb, samplings=samplings)
+    hdr = parser.parse(blob)
+    scan = hdr.scans[0]
+    ref = python_ref.decode_scan_baseline(hdr, scan)
+    got = entropy_spec.decode_scan_speculative(hdr, scan, chunk_bytes=1024)
+    assert np.array_equal(got, ref)
+
+
+def test_single_chunk_degenerate():
+    """A stream shorter than one chunk runs as one lane (plain decode)."""
+    rng = np.random.default_rng(22)
+    blob, _ = encode(rng.integers(0, 256, (24, 24, 3), np.uint8))
+    hdr = parser.parse(blob)
+    scan = hdr.scans[0]
+    assert np.array_equal(
+        entropy_spec.decode_scan_speculative(hdr, scan),
+        python_ref.decode_scan_baseline(hdr, scan))
+
+
+def test_rejects_restart_streams():
+    hdr = parser.parse_file(corpus_path("img4.jpg"))
+    with pytest.raises(JPEGError):
+        entropy_spec.decode_scan_speculative(hdr, hdr.scans[0])

@@ -1,0 +1,136 @@
+"""On-device entropy-decode microbenchmark: v1 (nested) vs flat loop.
+
+Substantiates VERDICT r1 item 1 ("make on-device entropy decode credibly
+fast") with reproducible per-variant MP/s numbers on whatever device jax
+selects (the real TPU on this box).
+
+Workloads:
+  * img4.jpg — the corpus DRI image (50 restart segments x 100 MCUs,
+    4:4:4): the natural segment-parallel case.
+  * img4 x R replicas — the lane-scaling curve (how throughput grows with
+    segments from batched images).
+  * a synthetic DRI=1 4:2:0 frame — many short segments.
+
+Timing: ITERS chained iterations inside ONE jitted program with an
+optimization_barrier-carried dependency (this box's remote-TPU platform
+does not gate on block_until_ready; see tools/device_microbench.py).
+
+Run:  python tools/entropy_microbench.py [--iters 8] [--variants flat,v1]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--variants", default="flat,v1")
+    ap.add_argument("--replicas", default="1,4,16")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".cache", "jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # noqa: BLE001
+        print("cache unavailable:", e, file=sys.stderr)
+
+    from jpeg_decoder_tpu.io import parser
+    from jpeg_decoder_tpu.ops import entropy_flat, entropy_jax
+
+    print("device:", jax.devices()[0], flush=True)
+    variants = args.variants.split(",")
+
+    def timeit(fn, n):
+        """fn(dep_scalar) -> scalar; chained n times in one program."""
+        @jax.jit
+        def many(seed):
+            def body(_, acc):
+                return acc + fn(acc)
+            return jax.lax.fori_loop(0, n, body, seed)
+
+        t0 = time.perf_counter()
+        float(many(jnp.int32(0)))
+        warm = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(many(jnp.int32(1)))
+            best = min(best, (time.perf_counter() - t0) / n)
+        return best, warm
+
+    blob = open("/root/reference/images/img4.jpg", "rb").read()
+    hdr = parser.parse(blob)
+    scan = hdr.scans[0]
+    mp_one = hdr.width * hdr.height / 1e6
+
+    for rep in [int(r) for r in args.replicas.split(",")]:
+        mp = mp_one * rep
+
+        if "flat" in variants:
+            pool, base, nblk, max_blocks, bc, lay = \
+                entropy_flat.prepare_scan_flat(hdr, scan)
+            W = pool.shape[0]
+            pool_r = np.concatenate([pool] * rep)
+            base_r = np.concatenate(
+                [base + i * W * 32 for i in range(rep)]).astype(np.int32)
+            nblk_r = np.concatenate([nblk] * rep).astype(np.int32)
+            luts = jnp.asarray(entropy_flat.merged_luts(hdr, scan))
+            pool_d = jnp.asarray(pool_r)
+            base_d = jnp.asarray(base_r)
+            nblk_d = jnp.asarray(nblk_r)
+            lim_d = jnp.full(base_r.shape, 2**30, jnp.int32)
+
+            def step_flat(acc):
+                p = jax.lax.optimization_barrier((pool_d, acc))[0]
+                out, err, nd, *_ = entropy_flat.decode_flat(
+                    p, base_d, nblk_d, lim_d, luts,
+                    block_comp=bc, n_comps=len(hdr.components),
+                    max_blocks=max_blocks)
+                return out[0, 0, 0] + err.sum() + nd[0]
+
+            dt, warm = timeit(step_flat, args.iters)
+            print(f"flat rep={rep:3d} lanes={len(base_r):5d}: "
+                  f"{dt*1e3:8.2f} ms -> {mp/dt:7.1f} MP/s "
+                  f"(warm {warm:.1f}s)", flush=True)
+
+        if "v1" in variants:
+            words, nm, bc1, max_mcus, lay = entropy_jax.prepare_scan(
+                hdr, scan)
+            words_r = np.concatenate([words] * rep)
+            nm_r = np.concatenate([nm] * rep)
+            dc, ac = entropy_jax.luts_for_scan(hdr, scan)
+            words_d = jnp.asarray(words_r)
+            nm_d = jnp.asarray(nm_r)
+            dc_d, ac_d = jnp.asarray(dc), jnp.asarray(ac)
+
+            def step_v1(acc):
+                w = jax.lax.optimization_barrier((words_d, acc))[0]
+                out, err = entropy_jax.decode_segments(
+                    w, nm_d, dc_d, ac_d, block_comp=bc1,
+                    n_comps=len(hdr.components), max_mcus=max_mcus)
+                return out[0, 0, 0] + err.sum()
+
+            dt, warm = timeit(step_v1, args.iters)
+            print(f"v1   rep={rep:3d} lanes={len(nm_r):5d}: "
+                  f"{dt*1e3:8.2f} ms -> {mp/dt:7.1f} MP/s "
+                  f"(warm {warm:.1f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    os._exit(0)  # skip the axon teardown hang
