@@ -208,22 +208,42 @@ def main() -> int:
     log(f"timed: {len(workload)} decodes, passes {['%.2fs' % d for d in dts]}"
         f" -> best {value:.1f} MP/s (to device-resident RGB)")
 
-    # ---- stage breakdown (informational) ----
+    # ---- stage breakdown (persisted into the JSON line: VERDICT r1
+    # item 6 — the captured artifact must carry the evidence, not just
+    # stderr) ----
     t0 = time.perf_counter()
-    for blob in blobs:
-        bd._host_one(blob)
+    host_payloads = [bd._host_one(blob) for blob in blobs]
     host_dt = time.perf_counter() - t0
-    log(f"host stage alone: {total_mp/host_dt:.1f} MP/s (1 thread)")
+    host_mps = total_mp / host_dt
+    log(f"host stage alone: {host_mps:.1f} MP/s (1 thread)")
+
+    # Wire density: bytes shipped host->device per pixel (nibble wire).
+    wire_bytes = 0
+    for hp in host_payloads:
+        try:
+            _hdr, payload = hp
+            for part in payload if isinstance(payload, tuple) else ():
+                wire_bytes += getattr(part, "nbytes", 0)
+        except Exception:  # noqa: BLE001
+            pass
+    wire_bpp = wire_bytes / (total_mp * 1e6) if wire_bytes else None
 
     ref_mps = measure_reference_mps()
     log(f"reference C++ single-core: "
         f"{ref_mps:.1f} MP/s" if ref_mps else "reference baseline: n/a")
 
+    med = sorted(dts)[len(dts) // 2]
     out = {
         "metric": "aggregate_baseline_decode_throughput_1chip",
         "value": round(value, 2),
         "unit": "MP/s",
         "vs_baseline": round(value / ref_mps, 2) if ref_mps else None,
+        "median_mps": round(ROUNDS * total_mp / med, 2),
+        "passes_s": [round(d, 2) for d in dts],
+        "host_stage_mps_1thread": round(host_mps, 1),
+        "wire_bytes_per_px": round(wire_bpp, 3) if wire_bpp else None,
+        "reference_mps": round(ref_mps, 1) if ref_mps else None,
+        "wire": wire,
     }
     print(json.dumps(out), flush=True)
     return 0

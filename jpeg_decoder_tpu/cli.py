@@ -30,7 +30,8 @@ def build_argparser() -> argparse.ArgumentParser:
                         "default: alongside input as .png")
     p.add_argument("--format", choices=["png", "bmp", "ppm"], default="png")
     p.add_argument("--entropy", default="auto",
-                   choices=["auto", "python", "native", "speculative", "jax", "pallas"],
+                   choices=["auto", "python", "native", "speculative",
+                            "jax", "jax-v1", "pallas"],
                    help="entropy-decode backend")
     p.add_argument("--idct", default="fast",
                    choices=["exact", "fast", "kron", "pallas"],

@@ -418,7 +418,16 @@ def decode_to_planes(hdr: FrameHeader):
         and not (len(hdr.components) == 1
                  and (hdr.components[0].h, hdr.components[0].v) != (1, 1)))
     if single_full:
-        blocks = decode_scan_baseline(hdr, hdr.scans[0])
+        blocks = None
+        try:
+            from . import native
+
+            if native.available():
+                blocks = native.decode_scan_arith(hdr, hdr.scans[0])
+        except Exception:  # noqa: BLE001 — pure-Python path is always valid
+            blocks = None
+        if blocks is None:
+            blocks = decode_scan_baseline(hdr, hdr.scans[0])
         planes = []
         for ci in range(len(hdr.components)):
             rows, cols = lay.comp_shapes[ci]

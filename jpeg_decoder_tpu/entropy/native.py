@@ -60,8 +60,20 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 9:
+        if lib.jd_abi_version() != 10:
             raise RuntimeError("jpeg_entropy ABI mismatch")
+        lib.jd_decode_scan_arith.restype = ctypes.c_int64
+        lib.jd_decode_scan_arith.argtypes = [
+            ctypes.c_void_p,                    # data
+            ctypes.c_void_p, ctypes.c_int32,    # seg_offsets, n_segments
+            ctypes.c_int32,                     # n_comps
+            ctypes.c_void_p, ctypes.c_void_p,   # h, v
+            ctypes.c_void_p, ctypes.c_void_p,   # dc_tid, ac_tid
+            ctypes.c_void_p, ctypes.c_void_p,   # dc_l, dc_u
+            ctypes.c_void_p,                    # ac_kx
+            ctypes.c_int64, ctypes.c_int64,     # n_mcus, restart_interval
+            ctypes.c_void_p, ctypes.c_int32,    # out, n_threads
+        ]
         lib.jd_decode_scan.restype = ctypes.c_int64
         lib.jd_decode_scan.argtypes = [
             ctypes.c_void_p,                    # data
@@ -278,6 +290,57 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
     if rc != 0:
         raise JPEGError(
             f"native entropy decode failed: segment {rc >> 8}, "
+            f"error code {rc & 0xFF}")
+    return out
+
+
+def decode_scan_arith(hdr: FrameHeader, scan: ScanHeader,
+                      n_threads: int | None = None) -> np.ndarray:
+    """Decode a sequential arithmetic (SOF9) interleaved scan natively.
+
+    Returns (total_blocks, 64) int32 scan-order natural-layout
+    coefficients, identical to entropy.arith.decode_scan_baseline
+    (asserted by tests/test_arith.py)."""
+    lib = _load()
+    lay = scan_layout(hdr)
+    comps = hdr.components
+    data = _padded(scan)
+    seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
+    n_segments = len(seg_offsets) - 1
+    ri = scan.restart_interval
+    expected = -(-lay.n_mcus // ri) if ri else 1
+    if n_segments != expected:
+        raise JPEGError(
+            f"restart-segment count {n_segments} does not match DRI {ri}")
+    h = np.array([c.h for c in comps], np.int32)
+    v = np.array([c.v for c in comps], np.int32)
+    s0 = scan
+    dc_tid = np.zeros(len(comps), np.int32)
+    ac_tid = np.zeros(len(comps), np.int32)
+    for k, ci in enumerate(s0.comp_indices):
+        dc_tid[ci] = s0.dc_table_ids[k]
+        ac_tid[ci] = s0.ac_table_ids[k]
+    dc_cond = getattr(s0, "dc_cond", None) or {}
+    ac_cond = getattr(s0, "ac_cond", None) or {}
+    dc_l = np.zeros(4, np.int32)
+    dc_u = np.ones(4, np.int32)
+    ac_kx = np.full(4, 5, np.int32)
+    for tid, (lp, up) in dc_cond.items():
+        dc_l[tid], dc_u[tid] = lp, up
+    for tid, kx in ac_cond.items():
+        ac_kx[tid] = kx
+    out = np.zeros((lay.total_blocks, 64), dtype=np.int32)
+    if n_threads is None:
+        n_threads = min(_NCPU, max(1, n_segments))
+    rc = lib.jd_decode_scan_arith(
+        data.ctypes.data, seg_offsets.ctypes.data, n_segments, len(comps),
+        h.ctypes.data, v.ctypes.data,
+        dc_tid.ctypes.data, ac_tid.ctypes.data,
+        dc_l.ctypes.data, dc_u.ctypes.data, ac_kx.ctypes.data,
+        lay.n_mcus, ri, out.ctypes.data, n_threads)
+    if rc != 0:
+        raise JPEGError(
+            f"native arithmetic decode failed: segment {rc >> 8}, "
             f"error code {rc & 0xFF}")
     return out
 

@@ -311,6 +311,213 @@ static int decode_mcu_diff(const ScanJob& job, BitReader& br, int32_t* out) {
   return 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// T.81 Annex D/F arithmetic (QM) entropy decode — native mirror of
+// entropy/arith.py (sequential SOF9 scans).  Statistics reset at restart
+// segments (F.1.4.1.1), so segments stay the parallel unit, exactly like
+// the Huffman paths above.
+// ---------------------------------------------------------------------------
+
+struct QmRow { uint16_t qe; uint8_t nmps, nlps, sw; };
+// T.81 Table D.3 (row 113 = fixed ~0.5 bin, self-transitioning).
+constexpr QmRow kQm[114] = {
+    {0x5A1D,1,1,1}, {0x2586,2,14,0}, {0x1114,3,16,0}, {0x080B,4,18,0},
+    {0x03D8,5,20,0}, {0x01DA,6,23,0}, {0x00E5,7,25,0}, {0x006F,8,28,0},
+    {0x0036,9,30,0}, {0x001A,10,33,0}, {0x000D,11,35,0}, {0x0006,12,9,0},
+    {0x0003,13,10,0}, {0x0001,13,12,0}, {0x5A7F,15,15,1}, {0x3F25,16,36,0},
+    {0x2CF2,17,38,0}, {0x207C,18,39,0}, {0x17B9,19,40,0}, {0x1182,20,42,0},
+    {0x0CEF,21,43,0}, {0x09A1,22,45,0}, {0x072F,23,46,0}, {0x055C,24,48,0},
+    {0x0406,25,49,0}, {0x0303,26,51,0}, {0x0240,27,52,0}, {0x01B1,28,54,0},
+    {0x0144,29,56,0}, {0x00F5,30,57,0}, {0x00B7,31,59,0}, {0x008A,32,60,0},
+    {0x0068,33,62,0}, {0x004E,34,63,0}, {0x003B,35,32,0}, {0x002C,9,33,0},
+    {0x5AE1,37,37,1}, {0x484C,38,64,0}, {0x3A0D,39,65,0}, {0x2EF1,40,67,0},
+    {0x261F,41,68,0}, {0x1F33,42,69,0}, {0x19A8,43,70,0}, {0x1518,44,72,0},
+    {0x1177,45,73,0}, {0x0E74,46,74,0}, {0x0BFB,47,75,0}, {0x09F8,48,77,0},
+    {0x0861,49,78,0}, {0x0706,50,79,0}, {0x05CD,51,48,0}, {0x04DE,52,50,0},
+    {0x040F,53,50,0}, {0x0363,54,51,0}, {0x02D4,55,52,0}, {0x025C,56,53,0},
+    {0x01F8,57,54,0}, {0x01A4,58,55,0}, {0x0160,59,56,0}, {0x0125,60,57,0},
+    {0x00F6,61,58,0}, {0x00CB,62,59,0}, {0x00AB,63,61,0}, {0x008F,32,61,0},
+    {0x5B12,65,65,1}, {0x4D04,66,80,0}, {0x412C,67,81,0}, {0x37D8,68,82,0},
+    {0x2FE8,69,83,0}, {0x293C,70,84,0}, {0x2379,71,86,0}, {0x1EDF,72,87,0},
+    {0x1AA9,73,87,0}, {0x174E,74,72,0}, {0x1424,75,72,0}, {0x119C,76,74,0},
+    {0x0F6B,77,74,0}, {0x0D51,78,75,0}, {0x0BB6,79,77,0}, {0x0A40,48,77,0},
+    {0x5832,81,80,1}, {0x4D1C,82,88,0}, {0x438E,83,89,0}, {0x3BDD,84,90,0},
+    {0x34EE,85,91,0}, {0x2EAE,86,92,0}, {0x299A,87,93,0}, {0x2516,71,86,0},
+    {0x5570,89,88,1}, {0x4CA9,90,95,0}, {0x44D9,91,96,0}, {0x3E22,92,97,0},
+    {0x3824,93,99,0}, {0x32B4,94,99,0}, {0x2E17,86,93,0}, {0x56A8,96,95,1},
+    {0x4F46,97,101,0}, {0x47E5,98,102,0}, {0x41CF,99,103,0}, {0x3C3D,100,104,0},
+    {0x375E,93,99,0}, {0x5231,102,105,0}, {0x4C0F,103,106,0}, {0x4639,104,107,0},
+    {0x415E,99,103,0}, {0x5627,106,105,1}, {0x50E7,107,108,0}, {0x4B85,103,109,0},
+    {0x5597,109,110,0}, {0x504F,107,111,0}, {0x5A10,111,110,1}, {0x5522,109,112,0},
+    {0x59EB,111,112,1}, {0x5A1D,113,113,0},
+};
+
+struct QmDecoder {
+  const uint8_t* data;
+  int64_t byte_pos, end;
+  uint32_t a, c;
+  uint64_t buf;   // MSB-first bit reservoir
+  int nbuf;       // valid bits in buf
+
+  inline void refill() {
+    while (nbuf <= 56) {
+      uint64_t b = (byte_pos < end) ? data[byte_pos] : 0;
+      ++byte_pos;
+      buf = (buf << 8) | b;
+      nbuf += 8;
+    }
+  }
+  void init(const uint8_t* d, int64_t start, int64_t end_) {
+    data = d;
+    byte_pos = start;
+    end = end_;
+    buf = 0;
+    nbuf = 0;
+    a = 0x10000;
+    refill();
+    c = uint32_t(buf >> (nbuf - 16)) & 0xFFFF;
+    nbuf -= 16;
+  }
+  // Take n bits (<= 25) from the reservoir, MSB-first.
+  inline uint32_t take(int n) {
+    if (nbuf < n) refill();
+    uint32_t v = uint32_t(buf >> (nbuf - n)) & ((1u << n) - 1);
+    nbuf -= n;
+    return v;
+  }
+  inline int decode(uint8_t* stats, int i) {
+    uint8_t sv = stats[i];
+    const QmRow& t = kQm[sv & 0x7F];
+    int mps = sv >> 7;
+    int d;
+    uint32_t av;
+    uint32_t amq = a - t.qe;
+    if (c < amq) {
+      if (amq >= 0x8000) { a = amq; return mps; }
+      if (amq < t.qe) {               // conditional exchange (D.2.3)
+        d = 1 - mps;
+        if (t.sw) mps ^= 1;
+        stats[i] = uint8_t(t.nlps | (mps << 7));
+      } else {
+        d = mps;
+        stats[i] = uint8_t(t.nmps | (mps << 7));
+      }
+      av = amq;
+    } else {
+      c -= amq;
+      if (amq < t.qe) {
+        d = mps;
+        stats[i] = uint8_t(t.nmps | (mps << 7));
+      } else {
+        d = 1 - mps;
+        if (t.sw) mps ^= 1;
+        stats[i] = uint8_t(t.nlps | (mps << 7));
+      }
+      av = t.qe;
+    }
+    // Batched renormalization: shift count from the bit width of av,
+    // bits fed from the reservoir in one step (vs one call per bit).
+    if (av < 0x8000) {
+      int n = __builtin_clz(av) - 16;
+      c = (c << n) | take(n);
+      av <<= n;
+    }
+    a = av;
+    return d;
+  }
+};
+
+struct ArithState {
+  uint8_t dc_stats[4][64];
+  uint8_t ac_stats[4][256];
+  uint8_t fixed;
+  int32_t last_dc[kMaxComps];
+  int dc_ctx[kMaxComps];
+
+  void reset() {
+    std::memset(this, 0, sizeof(*this));
+    fixed = 113;  // FIXED_BIN
+  }
+};
+
+// One DC diff (F.1.4.1, figures F.19-F.24); writes the accumulated DC.
+static int arith_decode_dc(QmDecoder& qd, ArithState& st, int tbl, int ci,
+                           int lparam, int uparam, int32_t* out_dc) {
+  uint8_t* stats = st.dc_stats[tbl];
+  int base = st.dc_ctx[ci];
+  if (!qd.decode(stats, base)) {
+    st.dc_ctx[ci] = 0;
+    *out_dc = st.last_dc[ci];
+    return 0;
+  }
+  int sign = qd.decode(stats, base + 1);
+  int stx = base + 2 + sign;
+  int m = qd.decode(stats, stx);
+  if (m) {
+    stx = 20;  // X1 (Table F.4)
+    while (qd.decode(stats, stx)) {
+      m <<= 1;
+      if (m == 0x8000) return 7;
+      ++stx;
+    }
+  }
+  // Conditioning category for the NEXT block (F.1.4.4.1.2).
+  if (m < ((1 << lparam) >> 1)) st.dc_ctx[ci] = 0;
+  else if (m > ((1 << uparam) >> 1)) st.dc_ctx[ci] = 12 + sign * 4;
+  else st.dc_ctx[ci] = 4 + sign * 4;
+  int v = m;
+  stx += 14;  // M bins (Table F.4)
+  while ((m >>= 1)) {
+    if (qd.decode(stats, stx)) v |= m;
+  }
+  v += 1;
+  if (sign) v = -v;
+  st.last_dc[ci] += v;
+  *out_dc = st.last_dc[ci];
+  return 0;
+}
+
+// AC coefficients k in [1, 63] into a natural-order block.
+static int arith_decode_ac(QmDecoder& qd, ArithState& st, int tbl, int kx,
+                           int32_t* blk) {
+  uint8_t* stats = st.ac_stats[tbl];
+  int k = 1;
+  while (k <= 63) {
+    int stx = 3 * (k - 1);
+    if (qd.decode(stats, stx)) return 0;  // EOB
+    while (!qd.decode(stats, stx + 1)) {
+      ++k;
+      stx += 3;
+      if (k > 63) return 8;
+    }
+    int sign = qd.decode(&st.fixed, 0);
+    stx += 2;
+    int m = qd.decode(stats, stx);
+    if (m) {
+      if (qd.decode(stats, stx)) {
+        m = 2;
+        stx = (k <= kx) ? 189 : 217;
+        while (qd.decode(stats, stx)) {
+          m <<= 1;
+          if (m == 0x8000) return 9;
+          ++stx;
+        }
+      }
+    }
+    int v = m;
+    stx += 14;
+    while ((m >>= 1)) {
+      if (qd.decode(stats, stx)) v |= m;
+    }
+    v += 1;
+    if (sign) v = -v;
+    blk[kZigzag[k]] = v;
+    ++k;
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1527,6 +1734,88 @@ int64_t jd_unstuff(const uint8_t* data, int64_t len,
 }
 
 // Version/capability probe for the ctypes wrapper.
-int32_t jd_abi_version() { return 9; }
+
+// Sequential arithmetic (SOF9) interleaved scan -> scan-order natural-order
+// (n_mcus * bpm, 64) int32 blocks, segment-parallel (mirror of
+// jd_decode_scan for the QM coder; entropy/arith.py decode_scan_baseline).
+// dc_tid/ac_tid: per-component conditioning-table ids (0..3);
+// dc_l/dc_u (per table id, 4 entries): DAC L/U; ac_kx (4): DAC Kx.
+int64_t jd_decode_scan_arith(const uint8_t* data,
+                             const int64_t* seg_offsets, int32_t n_segments,
+                             int32_t n_comps,
+                             const int32_t* h, const int32_t* v,
+                             const int32_t* dc_tid, const int32_t* ac_tid,
+                             const int32_t* dc_l, const int32_t* dc_u,
+                             const int32_t* ac_kx,
+                             int64_t n_mcus, int64_t restart_interval,
+                             int32_t* out, int32_t n_threads) {
+  if (n_comps < 1 || n_comps > kMaxComps) return -1;
+  int block_comp[kMaxComps * 16];
+  int bpm = 0;
+  for (int ci = 0; ci < n_comps; ++ci) {
+    for (int b = 0; b < h[ci] * v[ci]; ++b) {
+      if (bpm >= kMaxComps * 16) return -2;
+      block_comp[bpm++] = ci;
+    }
+  }
+  const int64_t ri = restart_interval ? restart_interval : n_mcus;
+
+  auto decode_seg = [&](int s) -> int {
+    int64_t first = int64_t(s) * ri;
+    if (first >= n_mcus) return 0;
+    int64_t seg_mcus = std::min<int64_t>(ri, n_mcus - first);
+    QmDecoder qd;
+    qd.init(data, seg_offsets[s], seg_offsets[s + 1]);
+    ArithState st;
+    st.reset();
+    for (int64_t m = first; m < first + seg_mcus; ++m) {
+      int32_t* base = out + m * int64_t(bpm) * 64;
+      for (int k = 0; k < bpm; ++k) {
+        int ci = block_comp[k];
+        int32_t* blk = base + int64_t(k) * 64;
+        std::memset(blk, 0, 64 * sizeof(int32_t));
+        int rc = arith_decode_dc(qd, st, dc_tid[ci], ci,
+                                 dc_l[dc_tid[ci]], dc_u[dc_tid[ci]],
+                                 blk);
+        if (rc) return rc;
+        rc = arith_decode_ac(qd, st, ac_tid[ci], ac_kx[ac_tid[ci]], blk);
+        if (rc) return rc;
+      }
+    }
+    return 0;
+  };
+
+  if (n_threads <= 1 || n_segments <= 1) {
+    for (int s = 0; s < n_segments; ++s) {
+      int rc = decode_seg(s);
+      if (rc) return (int64_t(s) << 8) | rc;
+    }
+    return 0;
+  }
+  std::atomic<int64_t> err{0};
+  std::atomic<int> next{0};
+  int nt = std::min<int>(n_threads, n_segments);
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    workers.emplace_back([&]() {
+      for (;;) {
+        int s = next.fetch_add(1);
+        if (s >= n_segments || err.load()) return;
+        int rc = decode_seg(s);
+        if (rc) {
+          int64_t e = (int64_t(s) << 8) | rc;
+          int64_t zero = 0;
+          err.compare_exchange_strong(zero, e);
+          return;
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return err.load();
+}
+
+int32_t jd_abi_version() { return 10; }
 
 }  // extern "C"

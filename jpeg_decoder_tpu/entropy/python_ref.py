@@ -160,6 +160,60 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
     return out
 
 
+def decode_scan_resilient(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
+    """Best-effort decode of a scan whose restart-segment count disagrees
+    with DRI (corrupted/nonconforming streams the strict backends reject).
+
+    libjpeg-style policy — marker positions are ground truth: segment s
+    covers MCUs [s*DRI, (s+1)*DRI); surplus segments are ignored, missing
+    segments leave their MCUs zero, and a decode error inside a segment
+    zero-fills only the rest of that segment (the next restart marker
+    resynchronizes).  Well-formed streams decode identically to
+    decode_scan_baseline.  VERDICT r1 item 7.
+    """
+    layout = scan_layout(hdr)
+    comps = hdr.components
+    dc_luts = {tid: build_lut(spec).tolist()
+               for tid, spec in scan.dc_specs.items()}
+    ac_luts = {tid: build_lut(spec).tolist()
+               for tid, spec in scan.ac_specs.items()}
+    per_mcu = []
+    for ci, c in enumerate(comps):
+        for _ in range(c.v * c.h):
+            per_mcu.append((ci, dc_luts[c.td], ac_luts[c.ta]))
+
+    n_mcus = layout.n_mcus
+    bpm = layout.blocks_per_mcu
+    out = np.zeros((n_mcus * bpm, 64), dtype=np.int32)
+    data_bytes = scan.data.tobytes()
+    seg_offsets = np.asarray(scan.seg_offsets, np.int64)
+    n_segments = len(seg_offsets) - 1
+    ri = scan.restart_interval or n_mcus
+
+    for s in range(n_segments):
+        first = s * ri
+        if first >= n_mcus:
+            break  # surplus segments: ignored
+        seg_mcus = min(ri, n_mcus - first)
+        seg_end_bits = int(seg_offsets[s + 1]) * 8
+        reader = BitReader(data_bytes, int(seg_offsets[s]),
+                           int(seg_offsets[s + 1]))
+        preds = [0] * len(comps)
+        for m in range(first, first + seg_mcus):
+            if reader.pos > seg_end_bits:
+                break  # segment bits exhausted: rest stays zero
+            base = m * bpm
+            try:
+                for k, (ci, dc_lut, ac_lut) in enumerate(per_mcu):
+                    row = out[base + k]
+                    preds[ci] = decode_block(reader, dc_lut, ac_lut, row,
+                                             preds[ci])
+            except JPEGError:
+                out[base: base + bpm] = 0  # drop the partial MCU
+                break  # resync at the next restart marker
+    return out
+
+
 def scan_to_comp_planes(hdr: FrameHeader, scan_coefs: np.ndarray):
     """Gather scan-order blocks into dense per-component planes
     ``(rows_c, cols_c, 64)`` int32 (the SoA coefficient planes)."""

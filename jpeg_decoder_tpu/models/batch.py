@@ -385,7 +385,9 @@ class BatchDecoder:
 
     def _host_one_inner(self, blob):
         hdr = parser.parse(blob)
-        if hdr.progressive or hdr.arithmetic or decoder_mod.needs_scan_loop(hdr):
+        if (hdr.progressive or hdr.arithmetic
+                or decoder_mod.needs_scan_loop(hdr)
+                or decoder_mod.segment_mismatch(hdr, hdr.scans[0])):
             planes = decoder_mod.decode_to_planes(hdr, entropy=self.entropy)
             # Flatten planes back to scan order so batching is uniform.
             lay = layout_mod.scan_layout(hdr)

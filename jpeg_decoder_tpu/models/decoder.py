@@ -43,7 +43,11 @@ def _entropy_backend(name: str):
 
     * ``python``  — bit-exact pure-Python LUT decoder (slow; oracle grade).
     * ``native``  — multi-threaded C++ host decoder via ctypes (fast host).
-    * ``jax``     — on-device XLA decoder, vmapped over restart segments.
+    * ``jax``     — on-device block-lockstep decoder (ops/entropy_flat):
+      restart segments decode as parallel lanes; DRI=0 streams decode via
+      the speculative chunk-parallel path (ops/entropy_spec).
+    * ``jax-v1``  — the first-generation vmapped XLA decoder (kept for
+      comparison; ~4x slower than ``jax`` on the v5e).
     * ``speculative`` — native C++ with chunk-parallel self-synchronizing
       decode for DRI=0 streams (segment-threaded otherwise).
     * ``pallas``  — on-device Pallas kernel (VMEM-resident LUTs/stream).
@@ -64,6 +68,19 @@ def _entropy_backend(name: str):
             return native.decode_scan_baseline(hdr, scan)
         return spec
     if name == "jax":
+        from ..ops import entropy_flat, entropy_spec
+
+        def device(hdr, scan):
+            # Blocks stay device-resident: the pixel pipeline consumes
+            # them in place; only error flags / the splice trace cross
+            # the (slow, tunnel-attached) host link.
+            if len(scan.seg_offsets) == 2 and not scan.restart_interval:
+                return entropy_spec.decode_scan_speculative(
+                    hdr, scan, as_device=True)
+            return entropy_flat.decode_scan_baseline(
+                hdr, scan, as_device=True)
+        return device
+    if name == "jax-v1":
         from ..ops import entropy_jax
         return entropy_jax.decode_scan_baseline
     if name == "pallas":
@@ -77,6 +94,33 @@ def _entropy_backend(name: str):
             from ..entropy import python_ref
             return python_ref.decode_scan_baseline
     raise ValueError(f"unknown entropy backend {name!r}")
+
+
+def segment_mismatch(hdr: FrameHeader, scan) -> bool:
+    """True when the stream's restart-segment count disagrees with DRI —
+    a corrupted/nonconforming stream the strict backends reject."""
+    ri = scan.restart_interval
+    n_mcus = layout_mod.scan_layout(hdr).n_mcus
+    expected = -(-n_mcus // ri) if ri else 1
+    return len(scan.seg_offsets) - 1 != expected
+
+
+def _decode_scan_robust(hdr: FrameHeader, scan, entropy: str):
+    """Backend dispatch with libjpeg-style restart resynchronization:
+    RST-count/DRI mismatches decode best-effort (marker positions are
+    ground truth) instead of raising — parity with libjpeg, which keeps
+    going where the reference exits (VERDICT r1 item 7)."""
+    if segment_mismatch(hdr, scan):
+        import logging
+
+        from ..entropy import python_ref
+
+        logging.getLogger(__name__).warning(
+            "restart-segment count %d disagrees with DRI %d; "
+            "resynchronizing on marker positions (best-effort decode)",
+            len(scan.seg_offsets) - 1, scan.restart_interval)
+        return python_ref.decode_scan_resilient(hdr, scan)
+    return _entropy_backend(entropy)(hdr, scan)
 
 
 def needs_scan_loop(hdr: FrameHeader) -> bool:
@@ -168,8 +212,7 @@ def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
                 f"sequential frame never codes components {sorted(missing)}")
         return planes
     scan = hdr.scans[0]
-    decode_scan = _entropy_backend(entropy)
-    scan_coefs = decode_scan(hdr, scan)
+    scan_coefs = _decode_scan_robust(hdr, scan, entropy)
     lay = layout_mod.scan_layout(hdr)
     planes = []
     for ci in range(len(hdr.components)):
@@ -266,9 +309,10 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
     else:
         # Production path: ship scan-order blocks verbatim; plane assembly
         # is a device-side gather inside the fused pipeline.
-        scan_coefs = _entropy_backend(entropy)(hdr, hdr.scans[0])
+        scan_coefs = _decode_scan_robust(hdr, hdr.scans[0], entropy)
         lay = layout_mod.scan_layout(hdr)
-        blocks = jnp.asarray(np.asarray(scan_coefs))
+        blocks = (scan_coefs if isinstance(scan_coefs, jax.Array)
+                  else jnp.asarray(np.asarray(scan_coefs)))
         comp_srcs = _comp_srcs_jax(lay)
         if device is not None:
             blocks = jax.device_put(blocks, device)

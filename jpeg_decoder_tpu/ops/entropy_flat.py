@@ -253,6 +253,186 @@ def decode_flat(words, base_bits, nblocks, bit_limits, luts, *,
 
 
 # ---------------------------------------------------------------------------
+# Block-lockstep variant: every store is a uniform-index update
+# ---------------------------------------------------------------------------
+#
+# TPU scatters with per-lane indices measured 55-860 us/iteration at 800
+# lanes (tools/entropy_ablation.py) — the dominant cost of the flat loop.
+# In block-lockstep, all lanes work on the same block slot b at once, so
+# the block commit, the DC-predictor update and the MCU-trace record all
+# happen at indices that are UNIFORM scalars across lanes — each lowers to
+# an in-place dynamic_update_slice instead of a scatter.  The price is
+# block-granular idling (a lane waits for the slowest lane's symbol count
+# within each block), which measures far cheaper than the scatters.
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "n_comps", "max_blocks", "dc_diff",
+                     "record_mcus", "max_mcus"))
+def decode_lockstep(words, base_bits, nblocks, bit_limits, luts2d, *,
+                    block_comp: tuple[int, ...], n_comps: int,
+                    max_blocks: int, dc_diff: bool = False,
+                    record_mcus: int = 0, max_mcus: int = 0):
+    """Same contract as :func:`decode_flat` (see there for argument docs),
+    with ``luts2d`` shaped (2 * n_comps, 65536) uint16."""
+    S = base_bits.shape[0]
+    bpm = len(block_comp)
+    n_words = words.shape[0]
+    bc_arr = jnp.asarray(np.asarray(block_comp, np.int32))
+    lane64 = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
+    rec = max(1, max_mcus if record_mcus else 1)
+
+    w0 = (base_bits >> 5).astype(jnp.int32)
+    off0 = (base_bits & 31).astype(jnp.uint32)
+    cur0 = jnp.take(words, jnp.minimum(w0, n_words - 1))
+    nxt0 = jnp.take(words, jnp.minimum(w0 + 1, n_words - 1))
+
+    def consume(cur, nxt, off, w_idx, adv):
+        """Advance the two-word register window by ``adv`` (< 32) bits."""
+        offp = off + adv
+        need = offp >= 32
+        loaded = jnp.take(words, jnp.minimum(w_idx, n_words - 1))
+        return (jnp.where(need, nxt, cur), jnp.where(need, loaded, nxt),
+                offp - jnp.where(need, 32, 0).astype(jnp.uint32),
+                w_idx + need)
+
+    state = dict(
+        cur=cur0, nxt=nxt0, off=off0, w_idx=w0 + 2,
+        pos=base_bits.astype(jnp.int32),
+        end_pos=base_bits.astype(jnp.int32),
+        b=jnp.int32(0),
+        preds=jnp.zeros((S, n_comps), jnp.int32),
+        out=jnp.zeros((max_blocks, S, 64), jnp.int32),
+        starts=jnp.zeros((rec, S), jnp.int32),
+        n_mcus=jnp.zeros((S,), jnp.int32),
+        err=jnp.zeros((S,), jnp.bool_),
+        done=jnp.zeros((S,), jnp.bool_),
+    )
+
+    def outer_cond(s):
+        return (s["b"] < max_blocks) & jnp.any(
+            ~(s["done"] | s["err"]) & (s["b"] < nblocks))
+
+    def outer_body(s):
+        b = s["b"]
+        k = b % bpm
+        comp = jnp.take(bc_arr, k)          # uniform scalar
+        dc_row = jax.lax.dynamic_index_in_dim(luts2d, comp * 2,
+                                              keepdims=False)
+        ac_row = jax.lax.dynamic_index_in_dim(luts2d, comp * 2 + 1,
+                                              keepdims=False)
+        active = ~(s["done"] | s["err"]) & (b < nblocks)
+        pos_block_start = s["pos"]
+
+        # ---- DC symbol (uniform: every lane is at coef 0) ----
+        window = _window32(s["cur"], s["nxt"], s["off"])
+        entry = jnp.take(dc_row, (window >> 16).astype(jnp.int32)
+                         ).astype(jnp.int32)
+        length = (entry & 31).astype(jnp.uint32)
+        size = (entry >> 5).astype(jnp.uint32)
+        bad = (entry == 0) | (size > 11)
+        size = jnp.minimum(size, 16)
+        raw = jnp.where(size == 0, jnp.uint32(0),
+                        (window << length) >> (32 - jnp.maximum(size, 1)))
+        diff = _extend(raw, size.astype(jnp.int32))
+        if dc_diff:
+            dc_val = diff
+            preds = s["preds"]
+        else:
+            pred_old = jax.lax.dynamic_slice(
+                s["preds"], (0, comp), (S, 1))[:, 0]
+            dc_val = pred_old + diff
+            upd = active & ~bad
+            preds = jax.lax.dynamic_update_slice(
+                s["preds"],
+                jnp.where(upd, dc_val, pred_old)[:, None], (0, comp))
+        ok = active & ~bad
+        acc = jnp.where((lane64 == 0) & ok[:, None], dc_val[:, None], 0)
+        adv = jnp.where(ok, length + size, 0)
+        pos = s["pos"] + adv.astype(jnp.int32)
+        cur, nxt, off, w_idx = consume(
+            s["cur"], s["nxt"], s["off"], s["w_idx"], adv.astype(jnp.uint32))
+
+        # ---- AC symbols (while: any lane still inside block b) ----
+        def ac_cond(c):
+            return jnp.any(c["in"])
+
+        def ac_body(c):
+            window = _window32(c["cur"], c["nxt"], c["off"])
+            entry = jnp.take(ac_row, (window >> 16).astype(jnp.int32)
+                             ).astype(jnp.int32)
+            length = (entry & 31).astype(jnp.uint32)
+            sym = (entry >> 5) & 0xFF
+            bad = (entry == 0) | ((sym & 15) > 10)
+            is_eob = sym == 0
+            run = jnp.where(sym == 0xF0, 16, sym >> 4)
+            csize = jnp.minimum((sym & 15).astype(jnp.uint32), 16)
+            wpos = c["coef"] + run
+            bad = bad | ((~is_eob) & (
+                (wpos > 64) | ((csize > 0) & (wpos >= 64))))
+            raw = jnp.where(
+                csize == 0, jnp.uint32(0),
+                (window << length) >> (32 - jnp.maximum(csize, 1)))
+            val = _extend(raw, csize.astype(jnp.int32))
+            live = c["in"] & ~bad
+            do_write = live & (~is_eob) & (csize > 0)
+            idx = jnp.clip(wpos, 0, 63)
+            acc = c["acc"] + jnp.where(
+                do_write[:, None] & (lane64 == idx[:, None]),
+                val[:, None], 0)
+            coef = jnp.where(live,
+                             wpos + (csize > 0).astype(jnp.int32),
+                             c["coef"])
+            adv = jnp.where(live, length + csize, 0)
+            pos = c["pos"] + adv.astype(jnp.int32)
+            cur, nxt, off, w_idx = consume(
+                c["cur"], c["nxt"], c["off"], c["w_idx"],
+                adv.astype(jnp.uint32))
+            err = c["err"] | (bad & c["in"])
+            in_next = live & ~is_eob & (coef < 64)
+            return dict(cur=cur, nxt=nxt, off=off, w_idx=w_idx, pos=pos,
+                        coef=coef, acc=acc, err=err, **{"in": in_next})
+
+        ac0 = dict(cur=cur, nxt=nxt, off=off, w_idx=w_idx, pos=pos,
+                   coef=jnp.where(ok, 1, 64), acc=acc,
+                   err=s["err"] | (bad & active))
+        ac0["in"] = ok
+        ac = jax.lax.while_loop(ac_cond, ac_body, ac0)
+
+        # ---- commit block b (uniform index: in-place slice update) ----
+        out = jax.lax.dynamic_update_slice(s["out"], ac["acc"][None],
+                                           (b, 0, 0))
+        completed = ok & ~(ac["err"] & ~s["err"])
+        mcu_done = completed & (k == bpm - 1)
+        end_pos = jnp.where(mcu_done, ac["pos"], s["end_pos"])
+        n_mcus = s["n_mcus"] + mcu_done
+        if record_mcus:
+            m = b // bpm
+            row_old = jax.lax.dynamic_slice(s["starts"], (m, 0), (1, S))
+            row = jnp.where((k == 0) & active, pos_block_start,
+                            row_old[0])
+            starts = jax.lax.dynamic_update_slice(s["starts"], row[None],
+                                                  (m, 0))
+            done = s["done"] | (mcu_done & (ac["pos"] >= bit_limits))
+        else:
+            starts = s["starts"]
+            done = s["done"]
+
+        return dict(
+            cur=ac["cur"], nxt=ac["nxt"], off=ac["off"], w_idx=ac["w_idx"],
+            pos=ac["pos"], end_pos=end_pos, b=b + 1, preds=preds, out=out,
+            starts=starts, n_mcus=n_mcus, err=ac["err"], done=done)
+
+    s = jax.lax.while_loop(outer_cond, outer_body, state)
+    out = jnp.take(s["out"].transpose(1, 0, 2), jnp.asarray(ZIGZAG_INV),
+                   axis=2)
+    n_done = jnp.minimum(jnp.where(s["err"] | s["done"],
+                                   s["n_mcus"] * bpm, nblocks), nblocks)
+    return (out, s["err"], n_done, s["starts"].T, s["n_mcus"], s["end_pos"])
+
+
+# ---------------------------------------------------------------------------
 # Segment-mode wrapper (common backend signature)
 # ---------------------------------------------------------------------------
 
@@ -292,13 +472,25 @@ def prepare_scan_flat(hdr: FrameHeader, scan: ScanHeader):
     return pool, base_bits, nblocks, max_blocks, block_comp, lay
 
 
-def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
+def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
+                         impl: str = "lockstep",
+                         as_device: bool = False):
     """Common-backend-signature wrapper: (total_blocks, 64) int32 scan-order
-    natural-layout coefficients (identical to python_ref/native/jax)."""
+    natural-layout coefficients (identical to python_ref/native/jax).
+
+    ``impl``: "lockstep" (default — uniform-index stores, no scatters) or
+    "flat" (pure symbol loop; kept as a second implementation the tests
+    cross-check and the ablation harness measures against).
+    ``as_device``: return a device array (no coefficient-plane D2H; only
+    the per-segment error flags cross to host).
+    """
     pool, base_bits, nblocks, max_blocks, block_comp, lay = \
         prepare_scan_flat(hdr, scan)
     luts = merged_luts(hdr, scan)
-    out, err, n_done, _, _, _ = decode_flat(
+    decode = decode_lockstep if impl == "lockstep" else decode_flat
+    if impl == "lockstep":
+        luts = luts.reshape(2 * len(hdr.components), 65536)
+    out, err, n_done, _, _, _ = decode(
         jnp.asarray(pool), jnp.asarray(base_bits), jnp.asarray(nblocks),
         jnp.full(base_bits.shape, 2**30, jnp.int32), jnp.asarray(luts),
         block_comp=block_comp, n_comps=len(hdr.components),
@@ -308,8 +500,15 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
         bad = np.flatnonzero(err)
         raise JPEGError(f"device entropy decode failed in segments {bad[:8]}")
     bpm = len(block_comp)
-    out = np.asarray(out)
     if (nblocks == max_blocks).all():
-        return out.reshape(-1, 64)[: lay.n_mcus * bpm]
-    return np.concatenate(
-        [out[s, : nblocks[s]] for s in range(out.shape[0])])
+        out = out.reshape(-1, 64)[: lay.n_mcus * bpm]
+    else:
+        # Strip per-segment padding with one device gather (host builds
+        # only the index metadata).
+        S = len(nblocks)
+        seg_of = np.repeat(np.arange(S, dtype=np.int64), nblocks)
+        within = (np.arange(nblocks.sum(), dtype=np.int64)
+                  - np.repeat(np.cumsum(nblocks) - nblocks, nblocks))
+        idx = seg_of * max_blocks + within
+        out = jnp.take(out.reshape(-1, 64), jnp.asarray(idx), axis=0)
+    return out if as_device else np.asarray(out)

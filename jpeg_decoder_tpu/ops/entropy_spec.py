@@ -59,14 +59,10 @@ def _host_decode_mcus(data: bytes, bit: int, n: int, dc_luts, ac_luts,
     return out, reader.pos
 
 
-@functools.partial(jax.jit, static_argnames=("block_comp", "n_comps"))
-def _assemble(records, src, dc_luts_unused, *, block_comp, n_comps):
-    """Gather true MCU records into scan order + DC diff prefix-sum."""
-    del dc_luts_unused
-    bpm = len(block_comp)
-    blocks = jnp.take(records, src, axis=0)     # (n_mcus, bpm*64)
+def _dc_prefix_sum(blocks, block_comp, n_comps):
+    """DC diff prefix-sum per component over scan order (jpeg.cpp:344-345
+    semantics as one associative scan per component)."""
     n_mcus = blocks.shape[0]
-    blocks = blocks.reshape(n_mcus, bpm, 64)
     dc = blocks[:, :, 0]
     for ci in range(n_comps):
         cols = tuple(k for k, c in enumerate(block_comp) if c == ci)
@@ -75,18 +71,101 @@ def _assemble(records, src, dc_luts_unused, *, block_comp, n_comps):
         sub = dc[:, cols].reshape(-1)           # scan order for this comp
         sub = jnp.cumsum(sub).reshape(n_mcus, len(cols))
         dc = dc.at[:, cols].set(sub)
-    blocks = blocks.at[:, :, 0].set(dc)
+    return blocks.at[:, :, 0].set(dc)
+
+
+@functools.partial(jax.jit, static_argnames=("block_comp", "n_comps"))
+def _assemble(records, src, dc_luts_unused, *, block_comp, n_comps):
+    """Gather true MCU records into scan order + DC diff prefix-sum."""
+    del dc_luts_unused
+    bpm = len(block_comp)
+    blocks = jnp.take(records, src, axis=0)     # (n_mcus, bpm*64)
+    n_mcus = blocks.shape[0]
+    blocks = _dc_prefix_sum(blocks.reshape(n_mcus, bpm, 64),
+                            block_comp, n_comps)
     return blocks.reshape(n_mcus * bpm, 64)
+
+
+@functools.partial(jax.jit, static_argnames=("n_mcus", "cap"))
+def _device_splice(starts, n_rec, end_pos, base_bits, *, n_mcus: int,
+                   cap: int):
+    """The splice as a lax.scan over lanes, entirely on device.
+
+    In the no-gap case consumption is strictly lane-sequential (a lane's
+    overflow never reaches past the next chunk's end), so a scan with
+    carry (true bit position, MCUs emitted) reproduces the host splice.
+    Returns (src (n_mcus,) record ids, ok scalar) — ok False means a
+    sync gap and the caller falls back to the host splice."""
+    C = starts.shape[0]
+    iota_cap = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+
+    def step(carry, xs):
+        bit, m = carry
+        st_row, cnt, ep = xs
+        row = jnp.where(iota_cap < cnt, st_row, jnp.int32(2**30))
+        j = jnp.searchsorted(row, bit).astype(jnp.int32)
+        found = (j < cnt) & (row[jnp.minimum(j, cap - 1)] == bit)
+        take = jnp.where(found,
+                         jnp.minimum(cnt - j, n_mcus - m), 0)
+        bit2 = jnp.where(found & (m + take < n_mcus), ep, bit)
+        return (bit2, m + take), (j, take, m)
+
+    (bit_end, m_end), (js, takes, m_starts) = jax.lax.scan(
+        step, (base_bits[0], jnp.int32(0)),
+        (starts, n_rec.astype(jnp.int32), end_pos))
+    ok = m_end >= n_mcus
+
+    # Expand (j, take, m_start) per lane into src[m] = lane*cap + j + (m -
+    # m_start): scatter each contributing lane's id at its m_start, forward
+    # fill with cummax, then gather the lane's (j, m_start).
+    lanes = jnp.arange(C, dtype=jnp.int32)
+    tgt = jnp.where(takes > 0, m_starts, n_mcus)
+    seg = jnp.zeros((n_mcus,), jnp.int32).at[tgt].max(
+        lanes + 1, mode="drop")
+    seg = jax.lax.cummax(seg) - 1                       # lane of each MCU
+    seg = jnp.maximum(seg, 0)
+    m = jnp.arange(n_mcus, dtype=jnp.int32)
+    src = seg * cap + jnp.take(js, seg) + (m - jnp.take(m_starts, seg))
+    return src, ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "n_comps", "max_blocks", "max_mcus",
+                     "n_mcus"))
+def _spec_pipeline(pool, base_bits, nblocks, limits, luts2d, *,
+                   block_comp, n_comps, max_blocks, max_mcus, n_mcus):
+    """Phase 1 + device splice + assembly as ONE program: a single device
+    dispatch and a single scalar fetch per image on the happy path (this
+    box's tunnel makes every extra round trip cost more than the decode)."""
+    bpm = len(block_comp)
+    cap = max_mcus
+    out, err, n_done, starts, n_rec, end_pos = entropy_flat.decode_lockstep(
+        pool, base_bits, nblocks, limits, luts2d,
+        block_comp=block_comp, n_comps=n_comps, max_blocks=max_blocks,
+        dc_diff=True, record_mcus=1, max_mcus=cap)
+    src, ok = _device_splice(starts, n_rec, end_pos, base_bits,
+                             n_mcus=n_mcus, cap=cap)
+    records = out.reshape(-1, bpm * 64)
+    blocks = jnp.take(records, src, axis=0).reshape(n_mcus, bpm, 64)
+    blocks = _dc_prefix_sum(blocks, block_comp, n_comps)
+    return (blocks.reshape(n_mcus * bpm, 64), ok,
+            out, starts, n_rec, end_pos)
 
 
 def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
                             chunk_bytes: int = 4096,
                             ovf_bytes: int = 1536,
-                            max_chunks: int = 256) -> np.ndarray:
+                            max_chunks: int = 256,
+                            as_device: bool = False):
     """Chunk-parallel device decode of a single-segment interleaved scan.
 
     Same contract as every entropy backend: (total_blocks, 64) int32
-    scan-order natural-order coefficients."""
+    scan-order natural-order coefficients.  With ``as_device=True`` the
+    blocks stay a device array (the only host round trip is the small
+    per-chunk MCU-start trace the splice needs) — fetching a multi-MB
+    coefficient plane through this box's tunnel costs more than the
+    decode itself (CLAUDE.md)."""
     if len(scan.seg_offsets) != 2:
         raise JPEGError("speculative decode expects a single segment "
                         "(DRI=0); use the segment path otherwise")
@@ -108,18 +187,32 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
     pad[:nbytes] = data
     pool = pad.view(">u4").astype(np.uint32)
 
-    cap = int(4 * (n_mcus // n_chunks) + 64)
+    # Record capacity per lane.  In block-lockstep the record index is the
+    # GLOBAL block slot, so the outer loop runs to the max active lane's
+    # block count — an oversized cap lets one degenerate lane (junk
+    # speculation emits tiny phantom MCUs) drag every lane through 4x the
+    # iterations.  Size it to expected + overflow share + slack; the rare
+    # chunk that outruns it resyncs via the host gap fill.
+    exp_mcus = -(-n_mcus // n_chunks)
+    cap = int(exp_mcus + (exp_mcus * ovf_bytes) // max(1, cb)
+              + max(8, exp_mcus // 4) + 2)
     base_bits = (starts_b * 8).astype(np.int32)
     limits = (np.minimum(ends_b + ovf_bytes, nbytes) * 8).astype(np.int32)
-    limits[-1] = 2**30  # last lane decodes to stream end
+    # The last lane stops at the stream end (at most one phantom MCU from
+    # the padding bits; the splice never reaches phantom records).
+    limits[-1] = nbytes * 8
     luts = entropy_flat.merged_luts(hdr, scan)
 
-    out, err, n_done, starts, n_rec, end_pos = entropy_flat.decode_flat(
+    blocks, ok, out, starts, n_rec, end_pos = _spec_pipeline(
         jnp.asarray(pool), jnp.asarray(base_bits),
         jnp.full((n_chunks,), cap * bpm, jnp.int32),
-        jnp.asarray(limits), jnp.asarray(luts),
+        jnp.asarray(limits),
+        jnp.asarray(luts.reshape(2 * len(hdr.components), 65536)),
         block_comp=block_comp, n_comps=len(hdr.components),
-        max_blocks=cap * bpm, dc_diff=True, record_mcus=1, max_mcus=cap)
+        max_blocks=cap * bpm, max_mcus=cap, n_mcus=n_mcus)
+    if bool(ok):
+        # Happy path (real streams): one dispatch, one scalar fetch.
+        return blocks if as_device else np.asarray(blocks)
 
     starts_np = np.asarray(starts)
     n_rec_np = np.asarray(n_rec).astype(np.int64)
@@ -127,7 +220,7 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
     # A lane that errored mid-MCU still has valid completed records; a lane
     # that errored BEFORE its first record contributes nothing.
 
-    # ---- phase 2: host splice ----
+    # ---- phase 2 fallback: host splice with sequential gap fill ----
     dc_luts = {}
     ac_luts = {}
     data_bytes = None
@@ -170,4 +263,4 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
             [records, jnp.asarray(np.stack(patches), jnp.int32)], axis=0)
     blocks = _assemble(records, jnp.asarray(src.astype(np.int32)), None,
                        block_comp=block_comp, n_comps=len(hdr.components))
-    return np.asarray(blocks)
+    return blocks if as_device else np.asarray(blocks)

@@ -63,7 +63,7 @@ def _decode_segments_shmap(words, seg_nmcus, dc_luts, ac_luts, *,
         local, mesh=mesh,
         in_specs=(P("seg", None), P("seg"), P(None, None), P(None, None)),
         out_specs=(P("seg", None, None), P("seg"), P()),
-        check_rep=False,
+        check_vma=False,
     )(words, seg_nmcus, dc_luts, ac_luts)
     return out, err, global_errs
 
@@ -215,7 +215,7 @@ def _full_step(words, nm, dc, ac, qtables, comp_srcs, *,
         in_specs=(P("data", "seg", None), P("data", "seg"),
                   P(None, None), P(None, None)),
         out_specs=(P("data", "seg", None, None), P("data", "seg")),
-        check_rep=False,
+        check_vma=False,
     )(words, nm, dc, ac)
 
     b = words.shape[0]

@@ -73,6 +73,47 @@ def main():
             best = min(best, (time.perf_counter() - t0) / n)
         return best, warm
 
+    if "spec" in variants:
+        # Speculative chunk decode of DRI=0 images.  Blocks stay on device
+        # (as in the production pipeline); the wall clock covers device
+        # phase 1, the small starts-trace D2H, the host splice and the
+        # device assembly, forced by a 4-byte checksum fetch.
+        from jpeg_decoder_tpu.ops import entropy_spec
+
+        for name in ("img.jpg", "img5.jpg"):
+            b = open(f"/root/reference/images/{name}", "rb").read()
+            h = parser.parse(b)
+            sc = h.scans[0]
+            mp = h.width * h.height / 1e6
+            for ckb in (4096, 1024):
+                def fn():
+                    blocks = entropy_spec.decode_scan_speculative(
+                        h, sc, chunk_bytes=ckb, as_device=True)
+                    return int(blocks[0, 0])  # force, fetch one scalar
+                fn()  # compile
+                t0 = time.perf_counter()
+                n = max(3, args.iters)
+                for _ in range(n):
+                    fn()
+                dt = (time.perf_counter() - t0) / n
+                lanes = max(1, min(256, len(sc.data) // ckb))
+                print(f"spec {name:9s} chunk={ckb:5d} lanes={lanes:4d}: "
+                      f"{dt*1e3:8.2f} ms -> {mp/dt:7.1f} MP/s "
+                      f"(incl. splice round trip)", flush=True)
+            # Reference point: the same stream as ONE device lane.
+            from jpeg_decoder_tpu.ops import entropy_flat
+
+            def one_lane():
+                blocks = entropy_flat.decode_scan_baseline(
+                    h, sc, as_device=True)
+                return int(blocks[0, 0])
+            one_lane()
+            t0 = time.perf_counter()
+            one_lane()
+            dt = time.perf_counter() - t0
+            print(f"spec {name:9s} single-lane reference: "
+                  f"{dt*1e3:8.2f} ms -> {mp/dt:7.1f} MP/s", flush=True)
+
     blob = open("/root/reference/images/img4.jpg", "rb").read()
     hdr = parser.parse(blob)
     scan = hdr.scans[0]
@@ -105,6 +146,34 @@ def main():
 
             dt, warm = timeit(step_flat, args.iters)
             print(f"flat rep={rep:3d} lanes={len(base_r):5d}: "
+                  f"{dt*1e3:8.2f} ms -> {mp/dt:7.1f} MP/s "
+                  f"(warm {warm:.1f}s)", flush=True)
+
+        if "lockstep" in variants:
+            pool, base, nblk, max_blocks, bc, lay = \
+                entropy_flat.prepare_scan_flat(hdr, scan)
+            W = pool.shape[0]
+            pool_r = np.concatenate([pool] * rep)
+            base_r = np.concatenate(
+                [base + i * W * 32 for i in range(rep)]).astype(np.int32)
+            nblk_r = np.concatenate([nblk] * rep).astype(np.int32)
+            luts2 = jnp.asarray(entropy_flat.merged_luts(hdr, scan).reshape(
+                2 * len(hdr.components), 65536))
+            pool_d = jnp.asarray(pool_r)
+            base_d = jnp.asarray(base_r)
+            nblk_d = jnp.asarray(nblk_r)
+            lim_d = jnp.full(base_r.shape, 2**30, jnp.int32)
+
+            def step_ls(acc):
+                p = jax.lax.optimization_barrier((pool_d, acc))[0]
+                out, err, nd, *_ = entropy_flat.decode_lockstep(
+                    p, base_d, nblk_d, lim_d, luts2,
+                    block_comp=bc, n_comps=len(hdr.components),
+                    max_blocks=max_blocks)
+                return out[0, 0, 0] + err.sum() + nd[0]
+
+            dt, warm = timeit(step_ls, args.iters)
+            print(f"lock rep={rep:3d} lanes={len(base_r):5d}: "
                   f"{dt*1e3:8.2f} ms -> {mp/dt:7.1f} MP/s "
                   f"(warm {warm:.1f}s)", flush=True)
 
