@@ -1,19 +1,29 @@
-"""Worker process for the multi-host (2-process CPU) sharding test.
+"""Worker process for the multi-host (N-process CPU) sharding tests.
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port>
+Usage: python multihost_worker.py <process_id> <num_processes> <port> \
+           [local_devices=4] [batch=4]
 
-Each process contributes 4 virtual CPU devices to a global (2, 4) mesh and
-runs the single-jit full decode step on a 4-image batch of img4.jpg with
-images sharded across processes and restart segments across local devices.
-Each process validates its addressable output shards against the bit-exact
-host decoder and prints MULTIHOST_OK on success.
+Each process contributes ``local_devices`` virtual CPU devices to a global
+(num_processes, local_devices) mesh and runs the single-jit full decode
+step on a MIXED-GEOMETRY workload (VERDICT r1 item 8): a batch of
+img4.jpg (4:4:4, DRI=100) and a batch of a synthetic 4:2:0 DRI stream —
+each geometry is one ``full_decode_step`` call, images sharded across
+processes ('data' ~ DCN) and restart segments across local devices
+('seg' ~ ICI).  Each process validates its addressable output shards
+against the bit-exact host decoder, prints per-geometry wall times, and
+prints MULTIHOST_OK on success.
 """
 
 import os
 import sys
+import time
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+local_devices = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+batch = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={local_devices}")
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
@@ -26,47 +36,69 @@ from jpeg_decoder_tpu.parallel import multihost  # noqa: E402
 
 multihost.initialize(f"127.0.0.1:{port}", nproc, pid)
 assert jax.process_count() == nproc, jax.process_count()
-assert len(jax.devices()) == 4 * nproc, len(jax.devices())
+assert len(jax.devices()) == local_devices * nproc, len(jax.devices())
 
 import numpy as np  # noqa: E402
 
 from jpeg_decoder_tpu.entropy import python_ref  # noqa: E402
 from jpeg_decoder_tpu.io import parser  # noqa: E402
 from jpeg_decoder_tpu.ops import entropy_jax, pixel as pixel_ops  # noqa: E402
-from jpeg_decoder_tpu import layout as layout_mod  # noqa: E402
 from jpeg_decoder_tpu.parallel import sharded  # noqa: E402
+from jpeg_decoder_tpu import layout as layout_mod  # noqa: E402
 
 mesh = multihost.global_mesh()
-assert dict(mesh.shape) == {"data": 2, "seg": 4}, mesh.shape
+assert dict(mesh.shape) == {"data": nproc, "seg": local_devices}, mesh.shape
 
-path = "/root/reference/images/img4.jpg"
-hdr = parser.parse_file(path)
-words, nm, _bc, _mm, lay = entropy_jax.prepare_scan(hdr, hdr.scans[0])
-B = 4
-rgb, err = sharded.full_decode_step(
-    hdr, np.stack([words] * B), np.stack([nm] * B), mesh,
-    idct="fast", upsample="nn")
 
-# Expected output from the bit-exact host decoder.
-scan_coefs = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
-planes = tuple(
-    scan_coefs[lay.comp_src[ci]].reshape(*lay.comp_shapes[ci], 64)
-    for ci in range(3))
-qts = tuple(hdr.quant_tables[c.tq].values for c in hdr.components)
-expected = np.asarray(pixel_ops.pixel_pipeline(
-    planes, qts, height=hdr.height, width=hdr.width,
-    samplings=((1, 1), (1, 1), (1, 1)), idct="fast", upsample="nn"))
+def geometry_workload():
+    """Two decode geometries: the corpus DRI image and a synthetic 4:2:0
+    DRI stream (different sampling, bpm, segment count)."""
+    yield "img4-4:4:4", open("/root/reference/images/img4.jpg", "rb").read()
+    from tools.encoder import encode
+
+    rng = np.random.default_rng(42)
+    rgb = rng.integers(0, 256, (96, 144, 3), np.uint8)
+    blob, _ = encode(rgb, samplings=((2, 2), (1, 1), (1, 1)),
+                     restart_interval=6)
+    yield "synth-4:2:0", blob
+
 
 ok = True
-for shard in rgb.addressable_shards:
-    got = np.asarray(shard.data)
-    for row in range(got.shape[0]):
-        if not np.array_equal(got[row], expected):
-            ok = False
+for name, blob in geometry_workload():
+    hdr = parser.parse(blob)
+    lay = layout_mod.scan_layout(hdr)
+    words, nm, _bc, _mm, _lay = entropy_jax.prepare_scan(hdr, hdr.scans[0])
+    t0 = time.perf_counter()
+    rgb, err = sharded.full_decode_step(
+        hdr, np.stack([words] * batch), np.stack([nm] * batch), mesh,
+        idct="fast", upsample="nn")
+    jax.block_until_ready(rgb)
+    dt = time.perf_counter() - t0
 
-for shard in err.addressable_shards:
-    if np.asarray(shard.data).any():
+    scan_coefs = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
+    planes = tuple(
+        scan_coefs[lay.comp_src[ci]].reshape(*lay.comp_shapes[ci], 64)
+        for ci in range(len(hdr.components)))
+    qts = tuple(hdr.quant_tables[c.tq].values for c in hdr.components)
+    samplings = tuple(
+        (hdr.v_max // c.v, hdr.h_max // c.h) for c in hdr.components)
+    expected = np.asarray(pixel_ops.pixel_pipeline(
+        planes, qts, height=hdr.height, width=hdr.width,
+        samplings=samplings, idct="fast", upsample="nn"))
+
+    n_bad = 0
+    for shard in rgb.addressable_shards:
+        got = np.asarray(shard.data)
+        for row in range(got.shape[0]):
+            if not np.array_equal(got[row], expected):
+                n_bad += 1
+    for shard in err.addressable_shards:
+        if np.asarray(shard.data).any():
+            n_bad += 1
+    if n_bad:
         ok = False
+    print(f"GEOM {name}: batch={batch} mesh={nproc}x{local_devices} "
+          f"compile+run {dt:.2f}s bad_shards={n_bad}", flush=True)
 
 print("MULTIHOST_OK" if ok else "MULTIHOST_MISMATCH", flush=True)
 sys.exit(0 if ok else 1)

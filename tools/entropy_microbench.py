@@ -80,37 +80,66 @@ def main():
         # device assembly, forced by a 4-byte checksum fetch.
         from jpeg_decoder_tpu.ops import entropy_spec
 
+        # The whole pipeline (phase 1 + device splice + assembly) is one
+        # jitted program, so it chains like every other variant — the
+        # tunnel's ~200 ms per-call round trip otherwise swamps the
+        # device time entirely (every per-call number here measured
+        # 200-300 ms regardless of workload).
+        from jpeg_decoder_tpu.ops import entropy_flat
+
         for name in ("img.jpg", "img5.jpg"):
             b = open(f"/root/reference/images/{name}", "rb").read()
             h = parser.parse(b)
             sc = h.scans[0]
             mp = h.width * h.height / 1e6
-            for ckb in (4096, 1024):
-                def fn():
-                    blocks = entropy_spec.decode_scan_speculative(
+            for ckb in (4096, 2048, 1024):
+                # Reuse decode_scan_speculative's host prep by calling it
+                # once (also asserts the happy path), then chain the
+                # jitted pipeline on the same operands.
+                prep = {}
+
+                orig = entropy_spec._spec_pipeline
+
+                def capture(*a, **k):
+                    prep["a"], prep["k"] = a, k
+                    return orig(*a, **k)
+
+                entropy_spec._spec_pipeline = capture
+                try:
+                    entropy_spec.decode_scan_speculative(
                         h, sc, chunk_bytes=ckb, as_device=True)
-                    return int(blocks[0, 0])  # force, fetch one scalar
-                fn()  # compile
-                t0 = time.perf_counter()
-                n = max(3, args.iters)
-                for _ in range(n):
-                    fn()
-                dt = (time.perf_counter() - t0) / n
-                lanes = max(1, min(256, len(sc.data) // ckb))
+                finally:
+                    entropy_spec._spec_pipeline = orig
+
+                def step(acc):
+                    a = list(prep["a"])
+                    a[0] = jax.lax.optimization_barrier((a[0], acc))[0]
+                    blocks, ok, *_ = orig(*a, **prep["k"])
+                    return blocks[0, 0] + ok.astype(jnp.int32)
+
+                dt, warm = timeit(step, args.iters)
+                lanes = len(prep["a"][1])
                 print(f"spec {name:9s} chunk={ckb:5d} lanes={lanes:4d}: "
                       f"{dt*1e3:8.2f} ms -> {mp/dt:7.1f} MP/s "
-                      f"(incl. splice round trip)", flush=True)
+                      f"(device pipeline)", flush=True)
             # Reference point: the same stream as ONE device lane.
-            from jpeg_decoder_tpu.ops import entropy_flat
+            pool, base, nblk, max_blocks, bc, lay = \
+                entropy_flat.prepare_scan_flat(h, sc)
+            luts2 = jnp.asarray(entropy_flat.merged_luts(h, sc).reshape(
+                2 * len(h.components), 65536))
+            pool_d, base_d = jnp.asarray(pool), jnp.asarray(base)
+            nblk_d = jnp.asarray(nblk)
+            lim_d = jnp.full(base.shape, 2**30, jnp.int32)
 
-            def one_lane():
-                blocks = entropy_flat.decode_scan_baseline(
-                    h, sc, as_device=True)
-                return int(blocks[0, 0])
-            one_lane()
-            t0 = time.perf_counter()
-            one_lane()
-            dt = time.perf_counter() - t0
+            def one_lane(acc):
+                p = jax.lax.optimization_barrier((pool_d, acc))[0]
+                out, err, nd, *_ = entropy_flat.decode_lockstep(
+                    p, base_d, nblk_d, lim_d, luts2,
+                    block_comp=bc, n_comps=len(h.components),
+                    max_blocks=max_blocks)
+                return out[0, 0, 0] + err.sum() + nd[0]
+
+            dt, warm = timeit(one_lane, max(2, args.iters // 2))
             print(f"spec {name:9s} single-lane reference: "
                   f"{dt*1e3:8.2f} ms -> {mp/dt:7.1f} MP/s", flush=True)
 
@@ -174,6 +203,35 @@ def main():
 
             dt, warm = timeit(step_ls, args.iters)
             print(f"lock rep={rep:3d} lanes={len(base_r):5d}: "
+                  f"{dt*1e3:8.2f} ms -> {mp/dt:7.1f} MP/s "
+                  f"(warm {warm:.1f}s)", flush=True)
+
+        if "pallas" in variants:
+            from jpeg_decoder_tpu.ops import entropy_pallas
+
+            words, nm, bc1, max_mcus, lay = entropy_jax.prepare_scan(
+                hdr, scan)
+            dc, ac = entropy_jax.luts_for_scan(hdr, scan)
+            luts = np.empty((2 * len(hdr.components), 1 << 16), np.int32)
+            for ci in range(len(hdr.components)):
+                luts[2 * ci] = dc[ci]
+                luts[2 * ci + 1] = ac[ci]
+            words_r = np.concatenate([words] * rep)
+            nm_r = np.concatenate([nm] * rep)
+            words_d = jnp.asarray(words_r)
+            nm_d = jnp.asarray(nm_r)
+            luts_d = jnp.asarray(luts)
+
+            def step_pl(acc):
+                w = jax.lax.optimization_barrier((words_d, acc))[0]
+                out, err = entropy_pallas.decode_segments_pallas(
+                    w, nm_d, luts_d, block_comp=bc1,
+                    n_comps=len(hdr.components), max_mcus=max_mcus,
+                    interpret=False)
+                return out[0, 0, 0] + err.sum()
+
+            dt, warm = timeit(step_pl, args.iters)
+            print(f"plas rep={rep:3d} lanes={len(nm_r):5d}: "
                   f"{dt*1e3:8.2f} ms -> {mp/dt:7.1f} MP/s "
                   f"(warm {warm:.1f}s)", flush=True)
 
