@@ -276,6 +276,11 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
             scans.append(scan)
             pos = end  # points at the FF of the next marker
         elif marker == M_DNL:
+            # DNL (B.2.5): defines the number of lines when SOF said 0.
+            if len(seg) >= 2 and height == 0:
+                height = _be16(seg, 0)
+                if height == 0:
+                    raise JPEGError("DNL: zero line count")
             continue
         else:
             # Unknown-but-well-formed segment: skip (reference warns and
@@ -286,6 +291,9 @@ def parse(buf: bytes | np.ndarray) -> FrameHeader:
         raise JPEGError("no SOF marker found")
     if not scans:
         raise JPEGError("no SOS scan found")
+    if height == 0:
+        raise JPEGError(
+            "SOF declared 0 lines and no DNL segment followed the scan")
 
     hdr = FrameHeader(
         width=width, height=height, precision=precision,
@@ -381,8 +389,10 @@ def _parse_sof(seg: np.ndarray):
         raise JPEGError(f"SOF: unsupported sample precision {precision}")
     height = _be16(seg, 1)
     width = _be16(seg, 3)
-    if height == 0 or width == 0:
-        raise JPEGError("SOF: zero image dimension")
+    if width == 0:
+        raise JPEGError("SOF: zero image width")
+    # height == 0 is legal (T.81 B.2.2): the true number of lines arrives
+    # in a DNL segment after the first scan (B.2.5); patched by parse().
     ncomp = int(seg[5])
     if ncomp not in (1, 3, 4):
         # Reference supports exactly 3 (jpeg.cpp:83-87); we add grayscale

@@ -262,3 +262,31 @@ def test_native_unstuffer_no_terminator_raises():
         _pytest.skip("native backend unavailable")
     with _pytest.raises(JPEGError):
         native.unstuff(np.frombuffer(b"\x01\x02\x03", np.uint8), 0)
+
+
+def test_dnl_defines_height():
+    """SOF with 0 lines + a DNL segment after the scan (T.81 B.2.5)
+    decodes identically to the same stream with the height in SOF —
+    beyond both the reference (exits) and libjpeg (unsupported)."""
+    import struct
+
+    from jpeg_decoder_tpu import decode
+    from tools.encoder import encode
+
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, (56, 72, 3), np.uint8)
+    blob, _ = encode(rgb, samplings=((2, 2), (1, 1), (1, 1)),
+                     restart_interval=3)
+    sof = blob.find(b"\xff\xc0")
+    h = struct.unpack(">H", blob[sof + 5: sof + 7])[0]
+    patched = bytearray(blob)
+    patched[sof + 5: sof + 7] = b"\x00\x00"
+    eoi = bytes(patched).rfind(b"\xff\xd9")
+    dnl = b"\xff\xdc" + struct.pack(">HH", 4, h)
+    patched = bytes(patched[:eoi]) + dnl + bytes(patched[eoi:])
+    assert np.array_equal(decode(patched).rgb, decode(blob).rgb)
+    # Without the DNL the stream is undecodable: clear error, not garbage.
+    bad = bytearray(blob)
+    bad[sof + 5: sof + 7] = b"\x00\x00"
+    with pytest.raises(JPEGError):
+        decode(bytes(bad))
