@@ -236,6 +236,10 @@ class _ScanCall:
     LUT ndarrays are kept alive on the instance for the ctypes call)."""
 
     def __init__(self, hdr: FrameHeader, scan: ScanHeader):
+        if hdr.precision != 8:
+            raise JPEGError(
+                "native backend decodes 8-bit frames only; 12-bit extended "
+                "frames use the python/jax backends")
         self.lay = scan_layout(hdr)
         comps = hdr.components
         self.data = _padded(scan)

@@ -71,16 +71,19 @@ def receive_extend(value: int, size: int) -> int:
     return value
 
 
-def decode_block(reader: BitReader, dc_lut, ac_lut, block, pred: int) -> int:
+def decode_block(reader: BitReader, dc_lut, ac_lut, block, pred: int,
+                 max_dc: int = 11, max_ac: int = 10) -> int:
     """Decode one 8x8 block into ``block`` (natural order), returning the new
-    DC predictor.  Parity: decodeMCUComponent (jpeg.cpp:322-403)."""
+    DC predictor.  Parity: decodeMCUComponent (jpeg.cpp:322-403).
+    ``max_dc``/``max_ac``: coefficient size-category limits — (11, 10) for
+    8-bit frames, (15, 14) for 12-bit extended (T.81 Table F.1)."""
     t = dc_lut[reader.peek16()]
     length = t & 31
     if length == 0:
         raise JPEGError("invalid DC Huffman code")
     reader.pos += length
     size = t >> 5
-    if size > 11:
+    if size > max_dc:
         raise JPEGError("invalid DC coefficient size")
     diff = receive_extend(reader.getbits(size), size) if size else 0
     pred += diff
@@ -102,7 +105,7 @@ def decode_block(reader: BitReader, dc_lut, ac_lut, block, pred: int) -> int:
             raise JPEGError("AC run overflows block")
         i += run
         if size:
-            if size > 10:
+            if size > max_ac:
                 raise JPEGError("invalid AC coefficient size")
             block[_ZZ[i]] = receive_extend(reader.getbits(size), size)
             i += 1
@@ -133,6 +136,7 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
     bpm = layout.blocks_per_mcu
     out = np.zeros((n_mcus * bpm, 64), dtype=np.int32)
     out_list = out  # numpy row views are fine: few writes per block
+    max_dc, max_ac = (15, 14) if hdr.precision > 8 else (11, 10)
 
     data_bytes = scan.data.tobytes()
     seg_offsets = scan.seg_offsets
@@ -153,7 +157,8 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
             base = mcu * bpm
             for k, (ci, dc_lut, ac_lut) in enumerate(per_mcu):
                 row = out_list[base + k]
-                preds[ci] = decode_block(reader, dc_lut, ac_lut, row, preds[ci])
+                preds[ci] = decode_block(reader, dc_lut, ac_lut, row,
+                                         preds[ci], max_dc, max_ac)
             mcu += 1
     if mcu != n_mcus:
         raise JPEGError("scan ended before all MCUs decoded")
@@ -185,6 +190,7 @@ def decode_scan_resilient(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
     n_mcus = layout.n_mcus
     bpm = layout.blocks_per_mcu
     out = np.zeros((n_mcus * bpm, 64), dtype=np.int32)
+    max_dc, max_ac = (15, 14) if hdr.precision > 8 else (11, 10)
     data_bytes = scan.data.tobytes()
     seg_offsets = np.asarray(scan.seg_offsets, np.int64)
     n_segments = len(seg_offsets) - 1
@@ -207,7 +213,7 @@ def decode_scan_resilient(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
                 for k, (ci, dc_lut, ac_lut) in enumerate(per_mcu):
                     row = out[base + k]
                     preds[ci] = decode_block(reader, dc_lut, ac_lut, row,
-                                             preds[ci])
+                                             preds[ci], max_dc, max_ac)
             except JPEGError:
                 out[base: base + bpm] = 0  # drop the partial MCU
                 break  # resync at the next restart marker
@@ -269,6 +275,7 @@ def decode_scan_sequential_into(hdr: FrameHeader, scan: ScanHeader,
         raise JPEGError(
             f"restart-segment count {n_segments} does not match DRI {ri}")
 
+    max_dc, max_ac = (15, 14) if hdr.precision > 8 else (11, 10)
     unit = 0
     for s in range(n_segments):
         reader = BitReader(data_bytes, int(seg_offsets[s]),
@@ -283,13 +290,13 @@ def decode_scan_sequential_into(hdr: FrameHeader, scan: ScanHeader,
                     row = planes[ci][my * c.v + bv, mx * c.h + bh]
                     row[:] = 0
                     preds[k] = decode_block(reader, dc_lut, ac_lut, row,
-                                            preds[k])
+                                            preds[k], max_dc, max_ac)
             else:
                 r, c_ = divmod(unit, cols_u)
                 row = planes[ci0][r, c_]
                 row[:] = 0
                 preds[0] = decode_block(reader, dc_lut0, ac_lut0, row,
-                                        preds[0])
+                                        preds[0], max_dc, max_ac)
             unit += 1
     if unit != n_units:
         raise JPEGError("scan ended before all blocks decoded")

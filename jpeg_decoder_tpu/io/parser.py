@@ -385,7 +385,9 @@ def _parse_sof(seg: np.ndarray):
     if len(seg) < 6:
         raise JPEGError("SOF: truncated")
     precision = int(seg[0])
-    if precision != 8:
+    if precision not in (8, 12):
+        # 8-bit baseline/extended plus 12-bit extended (T.81 B.2.2);
+        # 16-bit is lossless-only.
         raise JPEGError(f"SOF: unsupported sample precision {precision}")
     height = _be16(seg, 1)
     width = _be16(seg, 3)
@@ -473,8 +475,10 @@ def _parse_dht(seg: np.ndarray, dc: dict, ac: dict):
             raise JPEGError("DHT: invalid table id")
         counts = seg[off + 1: off + 17].astype(np.uint8)
         total = int(counts.sum())
-        if total > 176 or off + 17 + total > len(seg):
-            # 176 bound mirrors jpeg.cpp:177-181.
+        if total > 256 or off + 17 + total > len(seg):
+            # T.81 allows up to 256 symbols; the reference's tighter 176
+            # bound (jpeg.cpp:177-181) would reject legal 12-bit extended
+            # tables (run 0-15 x size 1-14 alone is 224 symbols).
             raise JPEGError("DHT: invalid number of symbols")
         symbols = seg[off + 17: off + 17 + total].astype(np.uint8)
         off += 17 + total

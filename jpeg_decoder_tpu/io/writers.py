@@ -58,8 +58,21 @@ def write_png(path, rgb: np.ndarray) -> None:
 
 
 def write_image(path, rgb: np.ndarray) -> None:
-    """Dispatch on file extension (.bmp / .ppm / .png / .jpg-as-png)."""
+    """Dispatch on file extension (.bmp / .ppm / .png / .jpg-as-png).
+
+    12-bit decodes arrive as uint16 (0..4095); the 8-bit file formats get
+    the high 8 bits (use ``.npy`` to keep full precision)."""
     p = str(path).lower()
+    if p.endswith(".npy"):
+        np.save(path, rgb)
+        return
+    if rgb.dtype == np.uint16:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "writing a 12-bit decode to an 8-bit format: keeping the high "
+            "8 bits (save to .npy for full precision)")
+        rgb = (rgb >> 4).astype(np.uint8)
     if p.endswith(".bmp"):
         write_bmp(path, rgb)
     elif p.endswith(".ppm"):

@@ -29,9 +29,10 @@ from . import decoder as decoder_mod
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample", "color"))
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample",
+    "color", "precision"))
 def _batched_from_scan(blocks_b, qtables_b, comp_srcs, *, comp_shapes,
-                       height, width, samplings, idct, upsample, color="auto"):
+                       height, width, samplings, idct, upsample, color="auto", precision=8):
     """(B, N, 64) scan blocks + (B, ncomp, 64) qtables -> (B, H, W, 3)."""
 
     def one(blocks, qt):
@@ -43,7 +44,7 @@ def _batched_from_scan(blocks_b, qtables_b, comp_srcs, *, comp_shapes,
         return pixel_ops.pixel_pipeline_impl(
             planes, qts, height=height, width=width,
             samplings=samplings, idct=idct, upsample=upsample,
-            color=color)
+            color=color, precision=precision)
 
     return jax.vmap(one)(blocks_b, qtables_b)
 
@@ -170,11 +171,12 @@ _SLOT_CAP = 16
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample", "color"))
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample",
+    "color", "precision"))
 def _batched_from_slots(dc16_b, pos_b, val_b, ov_idx_b, ov_val_b,
                         esc_idx_b, esc_val_b, qtables_b, comp_srcs, *,
                         comp_shapes, height, width, samplings, idct,
-                        upsample, color="auto"):
+                        upsample, color="auto", precision=8):
     """Slot-wire batch: one-hot compare-and-sum per block, no big scatter.
 
     Padding: empty slots are (0, 0) — position 0 never matches an AC
@@ -201,17 +203,18 @@ def _batched_from_slots(dc16_b, pos_b, val_b, ov_idx_b, ov_val_b,
         return pixel_ops.pixel_pipeline_impl(
             planes, qts, height=height, width=width,
             samplings=samplings, idct=idct, upsample=upsample,
-            color=color)
+            color=color, precision=precision)
 
     return jax.vmap(one)(dc16_b, pos_b, val_b, ov_idx_b, ov_val_b,
                          esc_idx_b, esc_val_b, qtables_b)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample", "color"))
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample",
+    "color", "precision"))
 def _batched_from_nibble(dc16_b, e_b, ov_b, esc_idx_b, esc_val_b,
                          qtables_b, comp_srcs, *, comp_shapes, height,
-                         width, samplings, idct, upsample, color="auto"):
+                         width, samplings, idct, upsample, color="auto", precision=8):
     """Nibble-wire batch: decode entry bytes, cumsum advances, scatter-add.
 
     Padding: 0x00 filler entries advance 0 and write 0; all-filler rows
@@ -239,17 +242,18 @@ def _batched_from_nibble(dc16_b, e_b, ov_b, esc_idx_b, esc_val_b,
         return pixel_ops.pixel_pipeline_impl(
             planes, qts, height=height, width=width,
             samplings=samplings, idct=idct, upsample=upsample,
-            color=color)
+            color=color, precision=precision)
 
     return jax.vmap(one)(dc16_b, e_b, ov_b, esc_idx_b, esc_val_b,
                          qtables_b)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample", "color"))
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample",
+    "color", "precision"))
 def _batched_from_sparse(dc16_b, gaps_b, vals_b, esc_idx_b, esc_val_b,
                          qtables_b, comp_srcs, *, comp_shapes, height,
-                         width, samplings, idct, upsample, color="auto"):
+                         width, samplings, idct, upsample, color="auto", precision=8):
     """Sparse-wire batch: cumsum the gaps, scatter-add the values.
 
     Padding conventions (all dropped/no-op on device): gap=0,val=0 fillers
@@ -272,17 +276,18 @@ def _batched_from_sparse(dc16_b, gaps_b, vals_b, esc_idx_b, esc_val_b,
         return pixel_ops.pixel_pipeline_impl(
             planes, qts, height=height, width=width,
             samplings=samplings, idct=idct, upsample=upsample,
-            color=color)
+            color=color, precision=precision)
 
     return jax.vmap(one)(dc16_b, gaps_b, vals_b, esc_idx_b, esc_val_b,
                          qtables_b)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample", "color"))
+    "comp_shapes", "height", "width", "samplings", "idct", "upsample",
+    "color", "precision"))
 def _batched_from_packed(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b,
                          comp_srcs, *, comp_shapes, height, width,
-                         samplings, idct, upsample, color="auto"):
+                         samplings, idct, upsample, color="auto", precision=8):
     """Packed-wire-format batch: unpack on device, then the usual pipeline.
 
     esc_idx_b is padded with out-of-range indices (dropped by the scatter).
@@ -301,7 +306,7 @@ def _batched_from_packed(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b,
         return pixel_ops.pixel_pipeline_impl(
             planes, qts, height=height, width=width,
             samplings=samplings, idct=idct, upsample=upsample,
-            color=color)
+            color=color, precision=precision)
 
     return jax.vmap(one)(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b)
 
@@ -385,7 +390,7 @@ class BatchDecoder:
 
     def _host_one_inner(self, blob):
         hdr = parser.parse(blob)
-        if (hdr.progressive or hdr.arithmetic
+        if (hdr.progressive or hdr.arithmetic or hdr.precision != 8
                 or decoder_mod.needs_scan_loop(hdr)
                 or decoder_mod.segment_mismatch(hdr, hdr.scans[0])):
             planes = decoder_mod.decode_to_planes(hdr, entropy=self.entropy)
@@ -467,7 +472,7 @@ class BatchDecoder:
                 continue
             key = (hdr.width, hdr.height,
                    tuple((c.h, c.v) for c in hdr.components),
-                   hdr.colorspace)
+                   hdr.colorspace, hdr.precision)
             groups.setdefault(key, []).append(i)
 
         def run_group(key_idxs):
@@ -562,7 +567,7 @@ class BatchDecoder:
                 comp_shapes=tuple(lay.comp_shapes),
                 height=hdr0.height, width=hdr0.width,
                 samplings=samplings, idct=self.idct, upsample=self.upsample,
-                color=hdr0.colorspace)
+                color=hdr0.colorspace, precision=hdr0.precision)
             for k, i in enumerate(idxs):
                 results[base + i] = BatchItem(
                     index=base + i, header=host_out[i][0],

@@ -30,7 +30,7 @@ class DecodeResult:
     """Everything a caller (or a conformance test) may want."""
 
     header: FrameHeader
-    rgb: np.ndarray  # (H, W, 3) uint8
+    rgb: np.ndarray  # (H, W, 3) uint8 (uint16 for 12-bit frames)
     # Dequantized per-component coefficient planes (rows, cols, 64) int32 —
     # the bit-exactness conformance surface.
     dequantized_planes: Optional[list[np.ndarray]] = None
@@ -89,10 +89,18 @@ def _entropy_backend(name: str):
     if name == "auto":
         try:
             from ..entropy import native
-            return native.decode_scan_baseline
+            nat = native.decode_scan_baseline if native.available() else None
         except Exception:
-            from ..entropy import python_ref
-            return python_ref.decode_scan_baseline
+            nat = None
+        from ..entropy import python_ref
+
+        def auto(hdr, scan):
+            # The C++ backend is 8-bit; 12-bit extended frames take the
+            # oracle-grade Python path.
+            if nat is not None and hdr.precision == 8:
+                return nat(hdr, scan)
+            return python_ref.decode_scan_baseline(hdr, scan)
+        return auto
     raise ValueError(f"unknown entropy backend {name!r}")
 
 
@@ -152,7 +160,7 @@ def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
         from ..entropy import arith
         return arith.decode_to_planes(hdr)
     if hdr.progressive:
-        if entropy in ("auto", "native"):
+        if entropy in ("auto", "native") and hdr.precision == 8:
             try:
                 from ..entropy import native
 
@@ -168,7 +176,7 @@ def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
         # but rare; the reference accepts only the single interleaved scan
         # (jpeg.cpp:858-862).  Decoded via the oracle-grade Python path.
         use_native = False
-        if entropy in ("auto", "native", "speculative"):
+        if entropy in ("auto", "native", "speculative") and hdr.precision == 8:
             try:
                 from ..entropy import native
 
@@ -304,7 +312,7 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
             jplanes, qtables,
             height=hdr.height, width=hdr.width,
             samplings=samplings, idct=idct, upsample=upsample,
-            color=color, out_cmyk=out_cmyk,
+            color=color, out_cmyk=out_cmyk, precision=hdr.precision,
         )
     else:
         # Production path: ship scan-order blocks verbatim; plane assembly
@@ -321,7 +329,7 @@ def decode(source, *, entropy: str = "auto", idct: str = "exact",
             comp_shapes=tuple(lay.comp_shapes),
             height=hdr.height, width=hdr.width,
             samplings=samplings, idct=idct, upsample=upsample,
-            color=color, out_cmyk=out_cmyk,
+            color=color, out_cmyk=out_cmyk, precision=hdr.precision,
         )
 
     rgb_np = np.asarray(rgb)

@@ -74,11 +74,11 @@ def _window32(cur, nxt, off):
 @functools.partial(
     jax.jit,
     static_argnames=("block_comp", "n_comps", "max_blocks", "dc_diff",
-                     "record_mcus", "max_mcus"))
+                     "record_mcus", "max_mcus", "precision"))
 def decode_flat(words, base_bits, nblocks, bit_limits, luts, *,
                 block_comp: tuple[int, ...], n_comps: int, max_blocks: int,
                 dc_diff: bool = False, record_mcus: int = 0,
-                max_mcus: int = 0):
+                max_mcus: int = 0, precision: int = 8):
     """Batched flat-loop decode of S independent lanes.
 
     Args:
@@ -162,7 +162,8 @@ def decode_flat(words, base_bits, nblocks, bit_limits, luts, *,
         is_eob = (~is_dc) & (sym == 0)
         run = jnp.where(sym == 0xF0, 16, sym >> 4)
         csize = jnp.where(is_dc, sym, sym & 15).astype(jnp.uint32)
-        bad = bad | jnp.where(is_dc, sym > 11, (sym & 15) > 10)
+        max_dc, max_ac = (15, 14) if precision > 8 else (11, 10)
+        bad = bad | jnp.where(is_dc, sym > max_dc, (sym & 15) > max_ac)
         csize = jnp.minimum(csize, 16)  # keep shifts defined on bad lanes
 
         raw = jnp.where(
@@ -269,11 +270,12 @@ def decode_flat(words, base_bits, nblocks, bit_limits, luts, *,
 @functools.partial(
     jax.jit,
     static_argnames=("block_comp", "n_comps", "max_blocks", "dc_diff",
-                     "record_mcus", "max_mcus"))
+                     "record_mcus", "max_mcus", "precision"))
 def decode_lockstep(words, base_bits, nblocks, bit_limits, luts2d, *,
                     block_comp: tuple[int, ...], n_comps: int,
                     max_blocks: int, dc_diff: bool = False,
-                    record_mcus: int = 0, max_mcus: int = 0):
+                    record_mcus: int = 0, max_mcus: int = 0,
+                    precision: int = 8):
     """Same contract as :func:`decode_flat` (see there for argument docs),
     with ``luts2d`` shaped (2 * n_comps, 65536) uint16."""
     S = base_bits.shape[0]
@@ -331,7 +333,7 @@ def decode_lockstep(words, base_bits, nblocks, bit_limits, luts2d, *,
                          ).astype(jnp.int32)
         length = (entry & 31).astype(jnp.uint32)
         size = (entry >> 5).astype(jnp.uint32)
-        bad = (entry == 0) | (size > 11)
+        bad = (entry == 0) | (size > (15 if precision > 8 else 11))
         size = jnp.minimum(size, 16)
         raw = jnp.where(size == 0, jnp.uint32(0),
                         (window << length) >> (32 - jnp.maximum(size, 1)))
@@ -364,7 +366,7 @@ def decode_lockstep(words, base_bits, nblocks, bit_limits, luts2d, *,
                              ).astype(jnp.int32)
             length = (entry & 31).astype(jnp.uint32)
             sym = (entry >> 5) & 0xFF
-            bad = (entry == 0) | ((sym & 15) > 10)
+            bad = (entry == 0) | ((sym & 15) > (14 if precision > 8 else 10))
             is_eob = sym == 0
             run = jnp.where(sym == 0xF0, 16, sym >> 4)
             csize = jnp.minimum((sym & 15).astype(jnp.uint32), 16)
@@ -494,7 +496,7 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
         jnp.asarray(pool), jnp.asarray(base_bits), jnp.asarray(nblocks),
         jnp.full(base_bits.shape, 2**30, jnp.int32), jnp.asarray(luts),
         block_comp=block_comp, n_comps=len(hdr.components),
-        max_blocks=max_blocks)
+        max_blocks=max_blocks, precision=hdr.precision)
     err = np.asarray(err) | (np.asarray(n_done) < nblocks)
     if err.any():
         bad = np.flatnonzero(err)

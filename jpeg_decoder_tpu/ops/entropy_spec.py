@@ -43,7 +43,8 @@ from . import entropy_flat
 
 
 def _host_decode_mcus(data: bytes, bit: int, n: int, dc_luts, ac_luts,
-                      block_comp) -> tuple[np.ndarray, int]:
+                      block_comp, precision: int = 8
+                      ) -> tuple[np.ndarray, int]:
     """Sequential host decode of ``n`` MCUs from absolute ``bit`` with DC
     as raw diffs (splice gap fill).  Returns ((n, bpm, 64) int32, end bit)."""
     from ..entropy import python_ref
@@ -51,11 +52,12 @@ def _host_decode_mcus(data: bytes, bit: int, n: int, dc_luts, ac_luts,
     reader = python_ref.BitReader(data)
     reader.pos = bit
     bpm = len(block_comp)
+    max_dc, max_ac = (15, 14) if precision > 8 else (11, 10)
     out = np.zeros((n, bpm, 64), np.int32)
     for m in range(n):
         for k, ci in enumerate(block_comp):
             python_ref.decode_block(reader, dc_luts[ci], ac_luts[ci],
-                                    out[m, k], 0)
+                                    out[m, k], 0, max_dc, max_ac)
     return out, reader.pos
 
 
@@ -132,9 +134,10 @@ def _device_splice(starts, n_rec, end_pos, base_bits, *, n_mcus: int,
 @functools.partial(
     jax.jit,
     static_argnames=("block_comp", "n_comps", "max_blocks", "max_mcus",
-                     "n_mcus"))
+                     "n_mcus", "precision"))
 def _spec_pipeline(pool, base_bits, nblocks, limits, luts2d, *,
-                   block_comp, n_comps, max_blocks, max_mcus, n_mcus):
+                   block_comp, n_comps, max_blocks, max_mcus, n_mcus,
+                   precision=8):
     """Phase 1 + device splice + assembly as ONE program: a single device
     dispatch and a single scalar fetch per image on the happy path (this
     box's tunnel makes every extra round trip cost more than the decode)."""
@@ -143,7 +146,7 @@ def _spec_pipeline(pool, base_bits, nblocks, limits, luts2d, *,
     out, err, n_done, starts, n_rec, end_pos = entropy_flat.decode_lockstep(
         pool, base_bits, nblocks, limits, luts2d,
         block_comp=block_comp, n_comps=n_comps, max_blocks=max_blocks,
-        dc_diff=True, record_mcus=1, max_mcus=cap)
+        dc_diff=True, record_mcus=1, max_mcus=cap, precision=precision)
     src, ok = _device_splice(starts, n_rec, end_pos, base_bits,
                              n_mcus=n_mcus, cap=cap)
     records = out.reshape(-1, bpm * 64)
@@ -209,7 +212,8 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
         jnp.asarray(limits),
         jnp.asarray(luts.reshape(2 * len(hdr.components), 65536)),
         block_comp=block_comp, n_comps=len(hdr.components),
-        max_blocks=cap * bpm, max_mcus=cap, n_mcus=n_mcus)
+        max_blocks=cap * bpm, max_mcus=cap, n_mcus=n_mcus,
+        precision=hdr.precision)
     if bool(ok):
         # Happy path (real streams): one dispatch, one scalar fetch.
         return blocks if as_device else np.asarray(blocks)
@@ -251,7 +255,8 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
                     dc_luts[ci] = build_lut(scan.dc_specs[c.td]).tolist()
                     ac_luts[ci] = build_lut(scan.ac_specs[c.ta]).tolist()
             mcu, bit = _host_decode_mcus(
-                data_bytes, bit, 1, dc_luts, ac_luts, block_comp)
+                data_bytes, bit, 1, dc_luts, ac_luts, block_comp,
+                hdr.precision)
             src[m] = n_chunks * cap + len(patches)
             patches.append(mcu.reshape(bpm * 64))
             m += 1

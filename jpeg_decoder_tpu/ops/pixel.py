@@ -218,27 +218,39 @@ def upsample_fancy(plane: jnp.ndarray, vy: int, vx: int) -> jnp.ndarray:
     return out
 
 
-def _ycbcr_channels(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray):
+def _ycbcr_channels(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
+                    precision: int = 8):
     """YCbCr -> clamped int32 (r, g, b) planes with reference f32 op order
-    and truncating int conversion (jpeg.cpp:521-535)."""
+    and truncating int conversion (jpeg.cpp:521-535).  For 12-bit frames
+    (T.81 extended) the level shift is 2048 and the clamp 0..4095."""
+    center = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     yf = y.astype(jnp.float32)
     cbf = cb.astype(jnp.float32)
     crf = cr.astype(jnp.float32)
-    r = yf + jnp.float32(1.402) * crf + jnp.float32(128.0)
-    g = yf - jnp.float32(0.344) * cbf - jnp.float32(0.714) * crf + jnp.float32(128.0)
-    b = yf + jnp.float32(1.772) * cbf + jnp.float32(128.0)
+    r = yf + jnp.float32(1.402) * crf + jnp.float32(center)
+    g = yf - jnp.float32(0.344) * cbf - jnp.float32(0.714) * crf + jnp.float32(center)
+    b = yf + jnp.float32(1.772) * cbf + jnp.float32(center)
     rgb = jnp.stack([r, g, b], axis=-1)
-    # C++ float->int conversion truncates toward zero; clamp [0, 255] after.
-    return jnp.clip(rgb.astype(jnp.int32), 0, 255)
+    # C++ float->int conversion truncates toward zero; clamp after.
+    return jnp.clip(rgb.astype(jnp.int32), 0, maxv)
 
 
-def ycbcr_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
-    """Color conversion (jpeg.cpp:521-535); output uint8 (H, W, 3)."""
-    return _ycbcr_channels(y, cb, cr).astype(jnp.uint8)
+def _sample_dtype(precision: int):
+    return jnp.uint8 if precision <= 8 else jnp.uint16
 
 
-def gray_to_rgb(y: jnp.ndarray) -> jnp.ndarray:
-    v = jnp.clip(y + 128, 0, 255).astype(jnp.uint8)
+def ycbcr_to_rgb(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray,
+                 precision: int = 8) -> jnp.ndarray:
+    """Color conversion (jpeg.cpp:521-535); output uint8 (H, W, 3)
+    (uint16 for 12-bit frames)."""
+    return _ycbcr_channels(y, cb, cr, precision).astype(
+        _sample_dtype(precision))
+
+
+def gray_to_rgb(y: jnp.ndarray, precision: int = 8) -> jnp.ndarray:
+    v = jnp.clip(y + (1 << (precision - 1)), 0,
+                 (1 << precision) - 1).astype(_sample_dtype(precision))
     return jnp.stack([v, v, v], axis=-1)
 
 
@@ -282,7 +294,8 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
                         samplings: tuple, idct: str = "exact",
                         upsample: str = "nn",
                         color: str = "auto",
-                        out_cmyk: bool = False) -> jnp.ndarray:
+                        out_cmyk: bool = False,
+                        precision: int = 8) -> jnp.ndarray:
     """Full pixel pipeline on per-component coefficient planes.
 
     Args:
@@ -341,8 +354,11 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
         pix.append(img)
     if color == "auto":
         color = {1: "gray", 3: "ycbcr", 4: "cmyk"}.get(len(pix), "ycbcr")
+    if precision != 8 and color in ("rgb", "ycck", "cmyk"):
+        raise ValueError(
+            "12-bit decode is supported for gray/YCbCr frames only")
     if len(pix) == 1:
-        rgb = gray_to_rgb(pix[0])
+        rgb = gray_to_rgb(pix[0], precision)
     else:
         h = min(p.shape[0] for p in pix)
         w = min(p.shape[1] for p in pix)
@@ -356,7 +372,7 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
                 return cmyk[:height, :width].astype(jnp.uint8)
             rgb = cmyk_to_rgb(cmyk)
         else:
-            rgb = ycbcr_to_rgb(pix[0], pix[1], pix[2])
+            rgb = ycbcr_to_rgb(pix[0], pix[1], pix[2], precision)
     return rgb[:height, :width]
 
 
@@ -368,18 +384,19 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
 pixel_pipeline = jax.jit(
     pixel_pipeline_impl,
     static_argnames=("height", "width", "samplings", "idct", "upsample",
-                     "color", "out_cmyk"))
+                     "color", "out_cmyk", "precision"))
 
 
 @functools.partial(jax.jit, static_argnames=(
     "comp_shapes", "height", "width", "samplings", "idct", "upsample",
-    "color", "out_cmyk"))
+    "color", "out_cmyk", "precision"))
 def pixel_pipeline_from_scan(blocks, qtables, comp_srcs, *,
                              comp_shapes: tuple, height: int, width: int,
                              samplings: tuple, idct: str = "fast",
                              upsample: str = "fancy",
                              color: str = "auto",
-                             out_cmyk: bool = False) -> jnp.ndarray:
+                             out_cmyk: bool = False,
+                             precision: int = 8) -> jnp.ndarray:
     """Pixel pipeline taking raw scan-order blocks (N, 64) int32 plus
     per-component gather maps — plane assembly happens ON DEVICE (one gather
     per component), so the host ships the entropy decoder's output buffer
@@ -390,4 +407,4 @@ def pixel_pipeline_from_scan(blocks, qtables, comp_srcs, *,
     return pixel_pipeline_impl(
         planes, qtables, height=height, width=width,
         samplings=samplings, idct=idct, upsample=upsample,
-        color=color, out_cmyk=out_cmyk)
+        color=color, out_cmyk=out_cmyk, precision=precision)

@@ -1,0 +1,111 @@
+"""12-bit extended-sequential frames (T.81 B.2.2, SOF1 precision 12).
+
+Beyond the reference (8-bit only, exits otherwise) and beyond standard
+libjpeg builds.  Entropy coding is lossless, so the coefficient round
+trip through tools/encoder (extended Huffman tables, 2048 level shift)
+must be exact on every backend; pixels are checked against a float64
+IDCT reference.
+"""
+
+import numpy as np
+import pytest
+
+from jpeg_decoder_tpu import decode
+from jpeg_decoder_tpu.io import parser
+from jpeg_decoder_tpu.models import decoder as decoder_mod
+from jpeg_decoder_tpu.models.batch import BatchDecoder
+
+from tools.encoder import encode
+
+
+def _rgb12(seed, h=48, w=64, channels=3):
+    rng = np.random.default_rng(seed)
+    shape = (h, w, channels) if channels else (h, w)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 2048 + 1500 * np.sin(yy / 9.0) * np.cos(xx / 7.0)
+    if channels:
+        base = base[..., None]
+    noise = rng.normal(0, 300, shape)
+    return np.clip(base + noise, 0, 4095).astype(np.uint16)
+
+
+@pytest.mark.parametrize("entropy", ["python", "jax"])
+@pytest.mark.parametrize("samplings,dri", [
+    (((1, 1), (1, 1), (1, 1)), 0),
+    (((2, 2), (1, 1), (1, 1)), 3),
+    (((2, 1), (1, 2), (1, 1)), 2),
+])
+def test_coefficient_roundtrip(entropy, samplings, dri):
+    blob, planes = encode(_rgb12(0), samplings=samplings,
+                          restart_interval=dri, precision=12)
+    hdr = parser.parse(blob)
+    assert hdr.precision == 12
+    got = decoder_mod.decode_to_planes(hdr, entropy=entropy)
+    for g, p in zip(got, planes):
+        assert np.array_equal(np.asarray(g).reshape(p.shape), p)
+
+
+def test_output_dtype_and_range():
+    blob, _ = encode(_rgb12(1), precision=12)
+    res = decode(blob)
+    assert res.rgb.dtype == np.uint16
+    assert res.rgb.max() <= 4095
+
+
+def test_gray_pixels_vs_float64_reference():
+    g12 = _rgb12(2, 40, 40, channels=0)
+    blob, _ = encode(g12, grayscale=True, samplings=((1, 1),),
+                     precision=12)
+    res = decode(blob)
+    hdr = parser.parse(blob)
+    from jpeg_decoder_tpu.ops.pixel import IDCT_M
+
+    q = hdr.quant_tables[hdr.components[0].tq].values
+    deq = (np.asarray(decoder_mod.decode_to_planes(hdr, entropy="python")[0])
+           * q).astype(np.float64)
+    blocks = deq.reshape(*deq.shape[:2], 8, 8)
+    out = np.einsum("pu,rcuv,qv->rcpq", IDCT_M, blocks, IDCT_M)
+    img = out.transpose(0, 2, 1, 3).reshape(deq.shape[0] * 8, -1)[:40, :40]
+    ref = np.clip(np.trunc(img + 2048), 0, 4095)
+    diff = np.abs(res.rgb[..., 0].astype(int) - ref.astype(int))
+    # f32 AAN vs f64 orthonormal IDCT: tolerance scales with precision
+    # (libjpeg's conformance bound is ~1 part in 256 of full scale).
+    assert diff.max() <= 8
+
+
+def test_batch_routes_planes_path():
+    blob, _ = encode(_rgb12(3), samplings=((2, 2), (1, 1), (1, 1)),
+                     precision=12)
+    single = decode(blob, idct="fast", upsample="fancy").rgb
+    items = BatchDecoder().decode([blob])
+    assert items[0].error is None
+    assert np.array_equal(np.asarray(items[0].rgb), single)
+
+
+def test_native_backend_rejects_12bit_clearly():
+    from jpeg_decoder_tpu.entropy import native
+    from jpeg_decoder_tpu.types import JPEGError
+
+    blob, _ = encode(_rgb12(4), precision=12)
+    hdr = parser.parse(blob)
+    if not native.available():
+        pytest.skip("native backend not built")
+    with pytest.raises(JPEGError):
+        native.decode_scan_baseline(hdr, hdr.scans[0])
+
+
+def test_write_image_scales_to_8bit(tmp_path):
+    blob, _ = encode(_rgb12(5), precision=12)
+    res = decode(blob)
+    from jpeg_decoder_tpu.io import writers
+
+    p = tmp_path / "out.png"
+    writers.write_image(p, res.rgb)
+    from PIL import Image
+
+    arr = np.asarray(Image.open(p))
+    assert arr.dtype == np.uint8
+    assert np.array_equal(arr, (res.rgb >> 4).astype(np.uint8))
+    npy = tmp_path / "out.npy"
+    writers.write_image(npy, res.rgb)
+    assert np.load(npy).dtype == np.uint16

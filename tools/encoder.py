@@ -28,7 +28,24 @@ import numpy as np
 from jpeg_decoder_tpu.huffman import (
     STD_AC_CHROMA, STD_AC_LUMA, STD_DC_CHROMA, STD_DC_LUMA,
     canonical_codes)
-from jpeg_decoder_tpu.types import ZIGZAG
+from jpeg_decoder_tpu.types import HuffmanSpec, ZIGZAG
+
+# Extended-precision Huffman tables (12-bit frames need DC size
+# categories up to 15 and AC sizes up to 14, beyond the Annex K tables):
+# flat-length canonical tables — 16 DC symbols at 5 bits, 226 AC symbols
+# (EOB + ZRL + run 0-15 x size 1-14) at 8 bits — trivially prefix-free.
+EXT_DC = HuffmanSpec(
+    0, 0,
+    np.array([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], np.uint8),
+    np.arange(16, dtype=np.uint8),
+)
+_EXT_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)]
+EXT_AC = HuffmanSpec(
+    1, 0,
+    np.array([0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0], np.uint8),
+    np.array(sorted(_EXT_AC_SYMS), np.uint8),
+)
 
 # Annex K.1 luminance / K.2 chrominance base quantization tables (natural
 # order after de-zigzag).
@@ -64,13 +81,15 @@ for _k in range(8):
             np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8))
 
 
-def _fdct_quantize(plane: np.ndarray, qtable_nat: np.ndarray) -> np.ndarray:
+def _fdct_quantize(plane: np.ndarray, qtable_nat: np.ndarray,
+                   center: int = 128) -> np.ndarray:
     """(rows*8, cols*8) samples -> (rows, cols, 64) quantized coefficients.
 
     T.81 A.3.3's 1/4 c(u)c(v) double-sum equals the orthonormal 2-D DCT
-    for N=8, so F = C (X - 128) C^T with the orthonormal matrix directly."""
+    for N=8, so F = C (X - center) C^T with the orthonormal matrix
+    directly (center = 2^(P-1): 128 for 8-bit, 2048 for 12-bit)."""
     r8, c8 = plane.shape
-    x = plane.astype(np.float64) - 128.0
+    x = plane.astype(np.float64) - float(center)
     blocks = x.reshape(r8 // 8, 8, c8 // 8, 8).transpose(0, 2, 1, 3)
     f = np.einsum("pu,rcuv,qv->rcpq", _C, blocks, _C)
     q = np.rint(f / qtable_nat.reshape(8, 8)).astype(np.int32)
@@ -158,7 +177,7 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
            quality: int = 85, restart_interval: int = 0,
            grayscale: bool = False, zero_based_ids: bool = False,
            scans=None, raw_planes=None, app14_transform=None,
-           arithmetic=False, dac=None, progressive=False):
+           arithmetic=False, dac=None, progressive=False, precision=8):
     """Encode an (H, W, 3) uint8 RGB array (or (H, W) when grayscale).
 
     samplings: per-component (h, v), h/v in 1..4, sum(h*v) <= 10.
@@ -180,12 +199,18 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
       approximation scan script exercising all four scan kinds (DC
       first/refine, AC first/refine).  Huffman progressive is not
       emitted here (PIL generates those fixtures).
+    precision: 8 (baseline SOF0) or 12 (extended sequential SOF1, T.81
+      B.2.2: 2048 level shift, size categories to 15/14, flat extended
+      Huffman tables).  12-bit input samples are ``rgb``/``raw_planes``
+      scaled to 0..4095 (8-bit input is shifted left by 4).
 
     Returns (jpeg_bytes, planes) where planes[i] is the (rows_i, cols_i, 64)
     int32 quantized coefficient array actually entropy-coded (padded to the
     MCU grid; cells a non-interleaved scan never codes are zeroed) — the
     exact round-trip expectation for the decoder.
     """
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     if raw_planes is not None:
         ycc = [np.asarray(p, np.float64) for p in raw_planes]
         samplings = samplings[:len(ycc)]
@@ -199,6 +224,8 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
         ycc = [y, cb, cr]
+    if precision == 12 and max(float(np.max(p)) for p in ycc) < 256:
+        ycc = [p * 16.0 for p in ycc]  # 8-bit input -> 12-bit range
     ncomp = len(ycc)
     hs = [s[0] for s in samplings]
     vs = [s[1] for s in samplings]
@@ -236,12 +263,14 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
         sub = np.pad(sub, ((0, rows * 8 - ch), (0, cols * 8 - cw)),
                      mode="edge")
         qt = qt_luma if ci == 0 else qt_chroma
-        planes.append(_fdct_quantize(sub, qt))
+        planes.append(_fdct_quantize(sub, qt, center=1 << (precision - 1)))
 
     # ---- entropy-code the scan(s) ----
     specs = []
     for ci in range(ncomp):
-        if ci == 0:
+        if precision == 12:
+            specs.append((_huff_maps(EXT_DC), _huff_maps(EXT_AC)))
+        elif ci == 0:
             specs.append((_huff_maps(STD_DC_LUMA), _huff_maps(STD_AC_LUMA)))
         else:
             specs.append((_huff_maps(STD_DC_CHROMA),
@@ -460,12 +489,13 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
     if ncomp > 1:
         dqt(1, qt_chroma)
 
-    sof = struct.pack(">BHHB", 8, H, W, ncomp)
+    sof = struct.pack(">BHHB", precision, H, W, ncomp)
     for ci in range(ncomp):
         cid = ci if zero_based_ids else ci + 1
         sof += bytes([cid, (hs[ci] << 4) | vs[ci], 0 if ci == 0 else 1])
     sof_marker = (b"\xff\xca" if progressive
-                  else b"\xff\xc9" if arithmetic else b"\xff\xc0")
+                  else b"\xff\xc9" if arithmetic
+                  else b"\xff\xc1" if precision == 12 else b"\xff\xc0")
     out.write(sof_marker + struct.pack(">H", 2 + len(sof)) + sof)
 
     if arithmetic:
@@ -485,11 +515,18 @@ def encode(rgb: np.ndarray, *, samplings=((2, 2), (1, 1), (1, 1)),
             out.write(b"\xff\xc4" + struct.pack(">H", 2 + len(payload))
                       + payload)
 
-        dht(0, 0, STD_DC_LUMA)
-        dht(1, 0, STD_AC_LUMA)
-        if ncomp > 1:
-            dht(0, 1, STD_DC_CHROMA)
-            dht(1, 1, STD_AC_CHROMA)
+        if precision == 12:
+            dht(0, 0, EXT_DC)
+            dht(1, 0, EXT_AC)
+            if ncomp > 1:
+                dht(0, 1, EXT_DC)
+                dht(1, 1, EXT_AC)
+        else:
+            dht(0, 0, STD_DC_LUMA)
+            dht(1, 0, STD_AC_LUMA)
+            if ncomp > 1:
+                dht(0, 1, STD_DC_CHROMA)
+                dht(1, 1, STD_AC_CHROMA)
 
     if restart_interval:
         out.write(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
