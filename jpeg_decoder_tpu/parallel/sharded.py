@@ -25,7 +25,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..layout import scan_layout
-from ..ops import entropy_jax, pixel as pixel_ops
+from ..ops import entropy_flat, entropy_jax, pixel as pixel_ops
 from ..types import FrameHeader, JPEGError, ScanHeader
 
 
@@ -41,17 +41,26 @@ def _pad_to(x: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("block_comp", "n_comps", "max_mcus", "mesh_holder"))
-def _decode_segments_shmap(words, seg_nmcus, dc_luts, ac_luts, *,
+def _decode_segments_shmap(words, seg_nmcus, dc_luts, *,
                            block_comp, n_comps, max_mcus, mesh_holder):
     """shard_map-wrapped segment decode: rows of ``words`` are sharded over
-    the 'seg' mesh axis; each device runs the sequential LUT decoder on its
-    local segments only."""
+    the 'seg' mesh axis; each device runs the block-lockstep decoder on its
+    local segments only.  ``dc_luts``: merged (2*n_comps, 65536) uint16."""
     mesh = mesh_holder.mesh
-    decoder = entropy_jax.make_segment_decoder(block_comp, n_comps, max_mcus)
+    bpm = len(block_comp)
 
-    def local(words_l, nmcus_l, dc, ac):
-        out, err = jax.vmap(decoder, in_axes=(0, 0, None, None))(
-            words_l, nmcus_l, dc, ac)
+    def local(words_l, nmcus_l, luts_l):
+        # Block-lockstep decoder over the local segment lanes (the v1
+        # vmapped decoder measured ~4x slower; see ops/entropy_flat).
+        s_local, w = words_l.shape
+        pool = words_l.reshape(-1)
+        base = jnp.arange(s_local, dtype=jnp.int32) * (w * 32)
+        nblocks = nmcus_l.astype(jnp.int32) * bpm
+        out, err, _, _, _, _ = entropy_flat.decode_lockstep(
+            pool, base, nblocks,
+            jnp.full((s_local,), 2**30, jnp.int32), luts_l,
+            block_comp=block_comp, n_comps=n_comps,
+            max_blocks=max_mcus * bpm)
         # Global failure count over ICI: every shard learns whether ANY
         # segment anywhere failed (cheap scalar psum on the 'seg' axis) so
         # callers can gate collective post-processing without a host round
@@ -61,10 +70,10 @@ def _decode_segments_shmap(words, seg_nmcus, dc_luts, ac_luts, *,
 
     out, err, global_errs = shard_map(
         local, mesh=mesh,
-        in_specs=(P("seg", None), P("seg"), P(None, None), P(None, None)),
+        in_specs=(P("seg", None), P("seg"), P(None, None)),
         out_specs=(P("seg", None, None), P("seg"), P()),
         check_vma=False,
-    )(words, seg_nmcus, dc_luts, ac_luts)
+    )(words, seg_nmcus, dc_luts)
     return out, err, global_errs
 
 
@@ -93,7 +102,8 @@ def decode_scan_sharded(hdr: FrameHeader, scan: ScanHeader,
     asserts equality with python_ref).
     """
     words, nm, block_comp, max_mcus, lay = entropy_jax.prepare_scan(hdr, scan)
-    dc, ac = entropy_jax.luts_for_scan(hdr, scan)
+    luts = entropy_flat.merged_luts(hdr, scan).reshape(
+        2 * len(hdr.components), 65536)
 
     n_seg_dev = mesh.shape["seg"]
     n_segments = words.shape[0]
@@ -105,11 +115,10 @@ def decode_scan_sharded(hdr: FrameHeader, scan: ScanHeader,
     words_j = jax.device_put(jnp.asarray(words_p), seg_sharding)
     nm_j = jax.device_put(jnp.asarray(nm_p), NamedSharding(mesh, P("seg")))
     repl = NamedSharding(mesh, P(None, None))
-    dc_j = jax.device_put(jnp.asarray(dc), repl)
-    ac_j = jax.device_put(jnp.asarray(ac), repl)
+    luts_j = jax.device_put(jnp.asarray(luts), repl)
 
     out, err, global_errs = _decode_segments_shmap(
-        words_j, nm_j, dc_j, ac_j,
+        words_j, nm_j, luts_j,
         block_comp=block_comp, n_comps=len(hdr.components),
         max_mcus=max_mcus, mesh_holder=_MeshHolder(mesh))
     # One scalar crosses back for the happy path; the per-segment error
@@ -192,7 +201,7 @@ def batch_pixel_pipeline(planes_batch, qtables, hdr: FrameHeader,
     static_argnames=("block_comp", "n_comps", "max_mcus", "comp_shapes",
                      "samplings", "height", "width", "idct", "upsample",
                      "mesh_holder"))
-def _full_step(words, nm, dc, ac, qtables, comp_srcs, *,
+def _full_step(words, nm, luts, qtables, comp_srcs, *,
                block_comp, n_comps, max_mcus, comp_shapes, samplings,
                height, width, idct, upsample, mesh_holder):
     """One compiled program: shard_map'ed entropy decode over ('seg'),
@@ -204,22 +213,32 @@ def _full_step(words, nm, dc, ac, qtables, comp_srcs, *,
     Returns (B, height, width, 3) uint8, sharded over 'data'.
     """
     mesh = mesh_holder.mesh
-    decoder = entropy_jax.make_segment_decoder(block_comp, n_comps, max_mcus)
+    bpm = len(block_comp)
 
-    def local(words_l, nm_l, dc_l, ac_l):
-        return jax.vmap(jax.vmap(decoder, in_axes=(0, 0, None, None)),
-                        in_axes=(0, 0, None, None))(words_l, nm_l, dc_l, ac_l)
+    def local(words_l, nm_l, luts_l):
+        # All local (image, segment) pairs are lanes of ONE lockstep
+        # decode — images and segments flatten into the lane axis.
+        b_l, s_l, w = words_l.shape
+        pool = words_l.reshape(-1)
+        base = jnp.arange(b_l * s_l, dtype=jnp.int32) * (w * 32)
+        nblocks = nm_l.reshape(-1).astype(jnp.int32) * bpm
+        out, errf, _, _, _, _ = entropy_flat.decode_lockstep(
+            pool, base, nblocks,
+            jnp.full((b_l * s_l,), 2**30, jnp.int32), luts_l,
+            block_comp=block_comp, n_comps=n_comps,
+            max_blocks=max_mcus * bpm)
+        return (out.reshape(b_l, s_l, max_mcus * bpm, 64),
+                errf.reshape(b_l, s_l))
 
     blocks, err = shard_map(
         local, mesh=mesh,
         in_specs=(P("data", "seg", None), P("data", "seg"),
-                  P(None, None), P(None, None)),
+                  P(None, None)),
         out_specs=(P("data", "seg", None, None), P("data", "seg")),
         check_vma=False,
-    )(words, nm, dc, ac)
+    )(words, nm, luts)
 
     b = words.shape[0]
-    bpm = len(block_comp)
     blocks = blocks.reshape(b, -1, 64)  # (B, S*max_mcus*bpm, 64) scan order
 
     def pixel_one(blocks_i):
@@ -250,7 +269,8 @@ def full_decode_step(hdr: FrameHeader, words_b: np.ndarray,
     max_mcus = ri if ri else lay.n_mcus
     block_comp = tuple(
         ci for ci, c in enumerate(hdr.components) for _ in range(c.v * c.h))
-    dc, ac = entropy_jax.luts_for_scan(hdr, scan)
+    luts = entropy_flat.merged_luts(hdr, scan).reshape(
+        2 * len(hdr.components), 65536)
     qtables = tuple(jnp.asarray(hdr.quant_tables[c.tq].values)
                     for c in hdr.components)
     samplings = tuple(
@@ -285,13 +305,97 @@ def full_decode_step(hdr: FrameHeader, words_b: np.ndarray,
     nm_j = jax.device_put(jnp.asarray(nm_b),
                           NamedSharding(mesh, P("data", "seg")))
     repl = NamedSharding(mesh, P(None, None))
-    dc_j = jax.device_put(jnp.asarray(dc), repl)
-    ac_j = jax.device_put(jnp.asarray(ac), repl)
+    luts_j = jax.device_put(jnp.asarray(luts), repl)
 
     rgb, err = _full_step(
-        words_j, nm_j, dc_j, ac_j, qtables, comp_srcs,
+        words_j, nm_j, luts_j, qtables, comp_srcs,
         block_comp=block_comp, n_comps=len(hdr.components),
         max_mcus=max_mcus, comp_shapes=comp_shapes, samplings=samplings,
         height=hdr.height, width=hdr.width, idct=idct, upsample=upsample,
         mesh_holder=_MeshHolder(mesh))
     return rgb[:b0], err[:b0, :n_seg]
+
+
+# ---------------------------------------------------------------------------
+# Fully device-resident batch decode from raw JPEG blobs
+# ---------------------------------------------------------------------------
+
+def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
+                         upsample="fancy"):
+    """Decode a list of JPEG blobs with the ENTIRE compute path on device.
+
+    The host does parse + unstuff only; the raw entropy words (the
+    smallest possible wire: ~0.2 B/px on typical corpora vs 0.35 B/px for
+    the nibble coefficient wire) ship to HBM, and entropy decode (lockstep
+    lanes across every image's restart segments), plane assembly and the
+    pixel pipeline run as one jitted program per geometry group via
+    :func:`full_decode_step` — images shard over 'data', segments over
+    'seg'.  This is the serving shape for hosts whose CPUs cannot feed the
+    chips (the BatchDecoder's host-entropy path) and the pod-scale
+    aggregate-throughput path (docs/ARCHITECTURE.md).
+
+    Scope: single-scan 8-bit baseline Huffman frames (the wire formats of
+    models.batch cover everything else).  Returns a list of
+    models.batch.BatchItem; per-image failures are isolated.
+    """
+    from ..io import parser
+    from ..models import decoder as decoder_mod
+    from ..models.batch import BatchItem
+    from ..ops import entropy_jax
+
+    results: list = [None] * len(blobs)
+    groups: dict[tuple, list] = {}
+    for i, blob in enumerate(blobs):
+        try:
+            hdr = parser.parse(blob)
+            scan = hdr.scans[0]
+            if (hdr.progressive or hdr.arithmetic or hdr.precision != 8
+                    or decoder_mod.needs_scan_loop(hdr)
+                    or decoder_mod.segment_mismatch(hdr, scan)):
+                raise JPEGError(
+                    "decode_batch_sharded handles single-scan 8-bit "
+                    "baseline Huffman frames; use BatchDecoder")
+            words, nm, _bc, _mm, _lay = entropy_jax.prepare_scan(hdr, scan)
+            key = (hdr.width, hdr.height,
+                   tuple((c.h, c.v) for c in hdr.components),
+                   scan.restart_interval,
+                   tuple(sorted((tid, spec.counts.tobytes(),
+                                 spec.symbols.tobytes())
+                                for tid, spec in scan.dc_specs.items())),
+                   tuple(sorted((tid, spec.counts.tobytes(),
+                                 spec.symbols.tobytes())
+                                for tid, spec in scan.ac_specs.items())),
+                   tuple(sorted((tid, t.values.tobytes())
+                                for tid, t in hdr.quant_tables.items())))
+            groups.setdefault(key, []).append((i, hdr, words, nm))
+        except Exception as e:  # noqa: BLE001 — per-image isolation
+            results[i] = BatchItem(index=i, header=None, rgb_batch=None,
+                                   batch_index=-1, error=e)
+
+    for key, items in groups.items():
+        hdr0 = items[0][1]
+        s_max = max(len(nm) for *_, nm in items)
+        w_max = max(w.shape[1] for _, _, w, _ in items)
+        B = len(items)
+        words_b = np.zeros((B, s_max, w_max), np.uint32)
+        nm_b = np.zeros((B, s_max), np.int64)
+        for k, (_, _, w, nm) in enumerate(items):
+            words_b[k, : w.shape[0], : w.shape[1]] = w
+            nm_b[k, : len(nm)] = nm
+        try:
+            rgb_b, err_b = full_decode_step(
+                hdr0, words_b, nm_b, mesh, idct=idct, upsample=upsample)
+            err_np = np.asarray(err_b)
+            for k, (i, hdr, _, _) in enumerate(items):
+                e = None
+                if err_np[k].any():
+                    e = JPEGError(
+                        f"device entropy decode failed in segments "
+                        f"{np.flatnonzero(err_np[k])[:8]}")
+                results[i] = BatchItem(index=i, header=hdr, rgb_batch=rgb_b,
+                                       batch_index=k, error=e)
+        except Exception as e:  # noqa: BLE001
+            for i, hdr, _, _ in items:
+                results[i] = BatchItem(index=i, header=hdr, rgb_batch=None,
+                                       batch_index=-1, error=e)
+    return results

@@ -109,3 +109,19 @@ def test_write_image_scales_to_8bit(tmp_path):
     npy = tmp_path / "out.npy"
     writers.write_image(npy, res.rgb)
     assert np.load(npy).dtype == np.uint16
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+def test_arithmetic_12bit_roundtrip(progressive):
+    """SOF9/SOF10 at precision 12: the QM layer is size-agnostic (magnitude
+    chains self-delimit), so arithmetic 12-bit needs no extra limits."""
+    blob, planes = encode(_rgb12(6), samplings=((2, 2), (1, 1), (1, 1)),
+                          precision=12, arithmetic=True,
+                          progressive=progressive,
+                          restart_interval=0 if progressive else 2)
+    hdr = parser.parse(blob)
+    assert hdr.precision == 12 and hdr.arithmetic
+    got = decoder_mod.decode_to_planes(hdr)
+    for g, p in zip(got, planes):
+        assert np.array_equal(np.asarray(g).reshape(p.shape), p)
+    assert decode(blob).rgb.dtype == np.uint16

@@ -95,3 +95,21 @@ def test_batch_pixel_pipeline_dp(mesh24):
     assert rgb.shape == (B, hdr.height, hdr.width, 3)
     for i in range(B):
         assert np.array_equal(rgb[i], ref)
+
+
+def test_decode_batch_sharded(mesh18):
+    """Fully device-resident blob batch: host does parse+unstuff only;
+    output identical to the single-image decode() path, per-image
+    isolation for bad blobs."""
+    from jpeg_decoder_tpu import decode as decode_one
+    from jpeg_decoder_tpu.parallel.sharded import decode_batch_sharded
+
+    blobs = [open(corpus_path(n), "rb").read()
+             for n in ("img.jpg", "img2.jpg", "img4.jpg")]
+    items = decode_batch_sharded(blobs, mesh18, idct="fast", upsample="nn")
+    for it, b in zip(items, blobs):
+        assert it.error is None
+        ref = decode_one(b, idct="fast", upsample="nn").rgb
+        assert np.array_equal(np.asarray(it.rgb), ref)
+    items = decode_batch_sharded([blobs[0], b"garbage"], mesh18)
+    assert items[0].error is None and items[1].error is not None
