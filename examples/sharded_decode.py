@@ -61,6 +61,20 @@ def main():
     print(f"sharded decode of batch {batch}: bit-exact vs host decoder "
           f"({rgb.shape})")
 
+    # The blob-level API: host does parse+unstuff only; everything else
+    # (entropy, assembly, pixels) is one device program per geometry group.
+    blobs = [open(f"/root/reference/images/img{s}.jpg", "rb").read()
+             for s in ("", "2", "4")]
+    items = sharded.decode_batch_sharded(blobs, mesh, idct="fast",
+                                         upsample="nn")
+    for it, b in zip(items, blobs):
+        assert it.error is None
+        assert np.array_equal(
+            np.asarray(it.rgb),
+            decode(b, entropy="python", idct="fast", upsample="nn").rgb)
+    print(f"decode_batch_sharded: {len(blobs)} blobs, device-resident, "
+          f"bit-exact vs host decoder")
+
 
 if __name__ == "__main__":
     main()

@@ -410,6 +410,13 @@ def decode_to_planes(hdr: FrameHeader):
     """Entropy-decode an arithmetic-coded frame (SOF9/SOF10) into
     per-component quantized coefficient planes (rows, cols, 64) int32."""
     if hdr.progressive:
+        try:
+            from . import native
+
+            if native.available():
+                return native.decode_progressive_arith(hdr)
+        except Exception:  # noqa: BLE001 — pure-Python path is always valid
+            pass
         return _decode_progressive(hdr)
     lay = layout_mod.scan_layout(hdr)
     single_full = (

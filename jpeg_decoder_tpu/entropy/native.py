@@ -60,8 +60,29 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 10:
+        if lib.jd_abi_version() != 11:
             raise RuntimeError("jpeg_entropy ABI mismatch")
+        lib.jd_prog_dc_scan_arith.restype = ctypes.c_int64
+        lib.jd_prog_dc_scan_arith.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,  # data,segs,n
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,    # first,al,il
+            ctypes.c_int32,                                    # n_scan_comps
+            ctypes.c_void_p, ctypes.c_void_p,                  # comp_h/v
+            ctypes.c_void_p, ctypes.c_void_p,                  # planes, cols
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # tid, l, u
+            ctypes.c_int64, ctypes.c_int64,                    # mcus_x/y
+            ctypes.c_int64, ctypes.c_int64,                    # sc_rows/cols
+            ctypes.c_int64,                                    # restart
+        ]
+        lib.jd_prog_ac_scan_arith.restype = ctypes.c_int64
+        lib.jd_prog_ac_scan_arith.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,                    # ss, se
+            ctypes.c_int32, ctypes.c_int32,                    # ah, al
+            ctypes.c_void_p, ctypes.c_int32,                   # plane, cols
+            ctypes.c_int32, ctypes.c_int32,                    # ac_tid, kx
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,    # rows,cols,ri
+        ]
         lib.jd_decode_scan_arith.restype = ctypes.c_int64
         lib.jd_decode_scan_arith.argtypes = [
             ctypes.c_void_p,                    # data
@@ -347,6 +368,76 @@ def decode_scan_arith(hdr: FrameHeader, scan: ScanHeader,
             f"native arithmetic decode failed: segment {rc >> 8}, "
             f"error code {rc & 0xFF}")
     return out
+
+
+def decode_progressive_arith(hdr: FrameHeader) -> list:
+    """Native fast path for progressive ARITHMETIC frames (SOF10, T.81
+    G.3): per-scan C++ decoders mutate caller-owned planes.  Output
+    identical to entropy.arith._decode_progressive (tests/test_arith.py).
+    """
+    from ..layout import comp_dims_unpadded
+
+    lib = _load()
+    planes = []
+    for ci in range(len(hdr.components)):
+        rows = hdr.mcus_y * hdr.components[ci].v
+        cols = hdr.mcus_x * hdr.components[ci].h
+        planes.append(np.zeros((rows, cols, 64), np.int32))
+
+    for scan in hdr.scans:
+        data = _padded(scan)
+        seg_offsets = np.ascontiguousarray(scan.seg_offsets, np.int64)
+        n_segments = len(seg_offsets) - 1
+        ri = scan.restart_interval
+        first = 1 if scan.ah == 0 else 0
+        dc_cond = getattr(scan, "dc_cond", None) or {}
+        ac_cond = getattr(scan, "ac_cond", None) or {}
+        dc_l = np.zeros(4, np.int32)
+        dc_u = np.ones(4, np.int32)
+        for tid, (lp, up) in dc_cond.items():
+            dc_l[tid], dc_u[tid] = lp, up
+        if scan.ss == 0:
+            if scan.se != 0:
+                raise JPEGError("progressive: DC scan must have Se=0")
+            nsc = len(scan.comp_indices)
+            interleaved = 1 if nsc > 1 else 0
+            comps = [hdr.components[ci] for ci in scan.comp_indices]
+            comp_h = np.array([c.h for c in comps], np.int32)
+            comp_v = np.array([c.v for c in comps], np.int32)
+            plane_ptrs = (ctypes.c_void_p * nsc)(
+                *[planes[ci].ctypes.data for ci in scan.comp_indices])
+            plane_cols = np.array(
+                [planes[ci].shape[1] for ci in scan.comp_indices], np.int32)
+            dc_tid = np.array(scan.dc_table_ids, np.int32)
+            if interleaved:
+                sc_rows = sc_cols = 0
+            else:
+                sc_rows, sc_cols = comp_dims_unpadded(
+                    hdr, scan.comp_indices[0])
+            rc = lib.jd_prog_dc_scan_arith(
+                data.ctypes.data, seg_offsets.ctypes.data, n_segments,
+                first, scan.al, interleaved, nsc,
+                comp_h.ctypes.data, comp_v.ctypes.data,
+                plane_ptrs, plane_cols.ctypes.data,
+                dc_tid.ctypes.data, dc_l.ctypes.data, dc_u.ctypes.data,
+                hdr.mcus_x, hdr.mcus_y, sc_rows, sc_cols, ri)
+        else:
+            if len(scan.comp_indices) != 1:
+                raise JPEGError(
+                    "progressive: AC scans must be single-component")
+            ci = scan.comp_indices[0]
+            rows, cols = comp_dims_unpadded(hdr, ci)
+            tid = scan.ac_table_ids[0]
+            kx = ac_cond.get(tid, 5)
+            rc = lib.jd_prog_ac_scan_arith(
+                data.ctypes.data, seg_offsets.ctypes.data, n_segments,
+                scan.ss, scan.se, scan.ah, scan.al,
+                planes[ci].ctypes.data, planes[ci].shape[1],
+                tid, kx, rows, cols, ri)
+        if rc != 0:
+            raise JPEGError(
+                f"native arithmetic progressive scan failed (code {rc})")
+    return planes
 
 
 def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader,

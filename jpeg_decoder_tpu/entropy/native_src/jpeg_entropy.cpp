@@ -478,18 +478,21 @@ static int arith_decode_dc(QmDecoder& qd, ArithState& st, int tbl, int ci,
   return 0;
 }
 
-// AC coefficients k in [1, 63] into a natural-order block.
+// AC coefficients k in [ss, se] into a natural-order block, values
+// scaled by 2^al (sequential scans pass (1, 63, 0); progressive first
+// scans their spectral band, T.81 G.3.3).
 static int arith_decode_ac(QmDecoder& qd, ArithState& st, int tbl, int kx,
-                           int32_t* blk) {
+                           int32_t* blk, int ss = 1, int se = 63,
+                           int al = 0) {
   uint8_t* stats = st.ac_stats[tbl];
-  int k = 1;
-  while (k <= 63) {
+  int k = ss;
+  while (k <= se) {
     int stx = 3 * (k - 1);
     if (qd.decode(stats, stx)) return 0;  // EOB
     while (!qd.decode(stats, stx + 1)) {
       ++k;
       stx += 3;
-      if (k > 63) return 8;
+      if (k > se) return 8;
     }
     int sign = qd.decode(&st.fixed, 0);
     stx += 2;
@@ -512,7 +515,42 @@ static int arith_decode_ac(QmDecoder& qd, ArithState& st, int tbl, int kx,
     }
     v += 1;
     if (sign) v = -v;
-    blk[kZigzag[k]] = v;
+    blk[kZigzag[k]] = v << al;
+    ++k;
+  }
+  return 0;
+}
+
+// Progressive AC refinement (T.81 G.3.4) — mirror of
+// entropy/arith.py _ac_refine_scan_arith's inner loop.
+static int arith_ac_refine_block(QmDecoder& qd, ArithState& st, int tbl,
+                                 int32_t* blk, int ss, int se, int al) {
+  uint8_t* stats = st.ac_stats[tbl];
+  const int32_t p1 = int32_t(1) << al;
+  const int32_t m1 = -(int32_t(1) << al);
+  int kex = se;
+  while (kex > 0 && blk[kZigzag[kex]] == 0) --kex;
+  int k = ss;
+  while (k <= se) {
+    int stx = 3 * (k - 1);
+    if (k > kex) {
+      if (qd.decode(stats, stx)) return 0;  // EOB
+    }
+    for (;;) {
+      int32_t coef = blk[kZigzag[k]];
+      if (coef) {
+        if (qd.decode(stats, stx + 2))
+          blk[kZigzag[k]] = coef < 0 ? coef + m1 : coef + p1;
+        break;
+      }
+      if (qd.decode(stats, stx + 1)) {
+        blk[kZigzag[k]] = qd.decode(&st.fixed, 0) ? m1 : p1;
+        break;
+      }
+      stx += 3;
+      ++k;
+      if (k > se) return 10;
+    }
     ++k;
   }
   return 0;
@@ -1816,6 +1854,107 @@ int64_t jd_decode_scan_arith(const uint8_t* data,
   return err.load();
 }
 
-int32_t jd_abi_version() { return 10; }
+
+// Progressive arithmetic DC scan (T.81 G.3.2): first pass is the
+// sequential DC procedure scaled by 2^al; refinement is one fixed-bin
+// decision per block setting bit al.  Mirror of entropy/arith.py
+// _dc_scan_arith; statistics reset per restart segment (F.1.4.1.1).
+int64_t jd_prog_dc_scan_arith(const uint8_t* data,
+                              const int64_t* seg_offsets,
+                              int32_t n_segments, int32_t first, int32_t al,
+                              int32_t interleaved, int32_t n_scan_comps,
+                              const int32_t* comp_h, const int32_t* comp_v,
+                              int32_t* const* planes,
+                              const int32_t* plane_cols,
+                              const int32_t* dc_tid,
+                              const int32_t* dc_l, const int32_t* dc_u,
+                              int64_t mcus_x, int64_t mcus_y,
+                              int64_t sc_rows, int64_t sc_cols,
+                              int64_t restart_interval) {
+  if (n_scan_comps < 1 || n_scan_comps > kMaxComps) return -1;
+  const int64_t n_mcus = interleaved ? mcus_x * mcus_y : sc_rows * sc_cols;
+  int64_t mcu = 0;
+  for (int s = 0; s < n_segments; ++s) {
+    QmDecoder qd;
+    qd.init(data, seg_offsets[s], seg_offsets[s + 1]);
+    ArithState st;
+    st.reset();
+    int64_t seg_mcus = restart_interval
+                           ? std::min<int64_t>(restart_interval, n_mcus - mcu)
+                           : n_mcus;
+    for (int64_t t = 0; t < seg_mcus; ++t, ++mcu) {
+      if (interleaved) {
+        int64_t my = mcu / mcus_x, mx = mcu % mcus_x;
+        for (int c = 0; c < n_scan_comps; ++c) {
+          for (int vv = 0; vv < comp_v[c]; ++vv) {
+            for (int hh = 0; hh < comp_h[c]; ++hh) {
+              int64_t row = my * comp_v[c] + vv, col = mx * comp_h[c] + hh;
+              int32_t* blk = planes[c] + (row * plane_cols[c] + col) * 64;
+              if (first) {
+                int32_t dcv;
+                int rc = arith_decode_dc(qd, st, dc_tid[c], c,
+                                         dc_l[dc_tid[c]], dc_u[dc_tid[c]],
+                                         &dcv);
+                if (rc) return rc;
+                blk[0] = dcv << al;
+              } else {
+                if (qd.decode(&st.fixed, 0)) blk[0] |= (int32_t(1) << al);
+              }
+            }
+          }
+        }
+      } else {
+        int64_t row = mcu / sc_cols, col = mcu % sc_cols;
+        int32_t* blk = planes[0] + (row * plane_cols[0] + col) * 64;
+        if (first) {
+          int32_t dcv;
+          int rc = arith_decode_dc(qd, st, dc_tid[0], 0,
+                                   dc_l[dc_tid[0]], dc_u[dc_tid[0]], &dcv);
+          if (rc) return rc;
+          blk[0] = dcv << al;
+        } else {
+          if (qd.decode(&st.fixed, 0)) blk[0] |= (int32_t(1) << al);
+        }
+      }
+    }
+  }
+  return mcu == n_mcus ? 0 : -4;
+}
+
+// Progressive arithmetic AC scan (G.3.3 first pass / G.3.4 refinement)
+// over a single component's unpadded block grid.  Mirror of
+// entropy/arith.py _ac_first_scan_arith / _ac_refine_scan_arith.
+int64_t jd_prog_ac_scan_arith(const uint8_t* data,
+                              const int64_t* seg_offsets,
+                              int32_t n_segments, int32_t ss, int32_t se,
+                              int32_t ah, int32_t al,
+                              int32_t* plane, int32_t plane_cols_,
+                              int32_t ac_tid, int32_t kx,
+                              int64_t rows, int64_t cols,
+                              int64_t restart_interval) {
+  const int64_t n_units = rows * cols;
+  int64_t unit = 0;
+  for (int s = 0; s < n_segments; ++s) {
+    QmDecoder qd;
+    qd.init(data, seg_offsets[s], seg_offsets[s + 1]);
+    ArithState st;
+    st.reset();
+    int64_t seg_units =
+        restart_interval ? std::min<int64_t>(restart_interval,
+                                             n_units - unit)
+                         : n_units;
+    for (int64_t t = 0; t < seg_units; ++t, ++unit) {
+      int64_t row = unit / cols, col = unit % cols;
+      int32_t* blk = plane + (row * int64_t(plane_cols_) + col) * 64;
+      int rc = ah == 0
+                   ? arith_decode_ac(qd, st, ac_tid, kx, blk, ss, se, al)
+                   : arith_ac_refine_block(qd, st, ac_tid, blk, ss, se, al);
+      if (rc) return rc;
+    }
+  }
+  return unit == n_units ? 0 : -4;
+}
+
+int32_t jd_abi_version() { return 11; }
 
 }  // extern "C"

@@ -237,3 +237,41 @@ def test_extra_restart_segment_raises():
                                   dtype=np.int64)
     with pytest.raises(JPEGError):
         decoder_mod.decode_to_planes(hdr)
+
+
+@pytest.mark.parametrize("samplings,dri", [
+    (((1, 1), (1, 1), (1, 1)), 0),
+    (((2, 2), (1, 1), (1, 1)), 0),
+    (((2, 1), (1, 2), (1, 1)), 4),
+])
+def test_native_progressive_arith_matches_python(samplings, dri):
+    """The C++ SOF10 decoder (jd_prog_dc/ac_scan_arith) is bit-identical
+    to the pure-Python implementation on every scan kind."""
+    from jpeg_decoder_tpu.entropy import arith, native
+
+    if not native.available():
+        pytest.skip("native backend not built")
+    blob, planes = encode(_rgb(12), samplings=samplings,
+                          restart_interval=dri, arithmetic=True,
+                          progressive=True)
+    hdr = parser.parse(blob)
+    nat = native.decode_progressive_arith(hdr)
+    py = arith._decode_progressive(hdr)
+    for a, b in zip(nat, py):
+        assert np.array_equal(a, b)
+    for a, p in zip(nat, planes):
+        assert np.array_equal(np.asarray(a).reshape(p.shape), p)
+
+
+def test_native_sequential_arith_matches_python():
+    from jpeg_decoder_tpu.entropy import arith, native
+
+    if not native.available():
+        pytest.skip("native backend not built")
+    blob, planes = encode(_rgb(13), samplings=((2, 2), (1, 1), (1, 1)),
+                          arithmetic=True, restart_interval=3,
+                          dac={"dc": {0: (1, 3)}, "ac": {1: 20}})
+    hdr = parser.parse(blob)
+    nat = native.decode_scan_arith(hdr, hdr.scans[0])
+    py = arith.decode_scan_baseline(hdr, hdr.scans[0])
+    assert np.array_equal(nat, py)

@@ -94,3 +94,35 @@ def test_truncated_stream_backend_parity():
         return
     got = entropy_flat.decode_scan_baseline(hdr, scan)
     assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_fuzz_random_streams_all_device_impls(seed):
+    """Property fuzz: random geometry/quality/DRI synthetic streams decode
+    bit-identically on python_ref, the flat loop, the lockstep decoder,
+    and (for DRI=0) the speculative chunk pipeline."""
+    from jpeg_decoder_tpu.ops import entropy_spec
+
+    rng = np.random.default_rng(1000 + seed)
+    h = int(rng.integers(16, 120))
+    w = int(rng.integers(16, 150))
+    legal = [((1, 1), (1, 1), (1, 1)), ((2, 2), (1, 1), (1, 1)),
+             ((2, 1), (1, 2), (1, 1)), ((1, 2), (2, 1), (1, 1)),
+             ((4, 1), (1, 1), (1, 1)), ((2, 2), (2, 1), (1, 1))]
+    sam = legal[int(rng.integers(len(legal)))]
+    dri = int(rng.integers(0, 9))
+    quality = int(rng.integers(30, 98))
+    rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+    blob, _ = encode(rgb, samplings=sam, restart_interval=dri,
+                     quality=quality)
+    hdr = parser.parse(blob)
+    scan = hdr.scans[0]
+    ref = python_ref.decode_scan_baseline(hdr, scan)
+    assert np.array_equal(
+        entropy_flat.decode_scan_baseline(hdr, scan, impl="lockstep"), ref)
+    assert np.array_equal(
+        entropy_flat.decode_scan_baseline(hdr, scan, impl="flat"), ref)
+    if dri == 0:
+        got = entropy_spec.decode_scan_speculative(
+            hdr, scan, chunk_bytes=int(rng.choice([512, 1024, 4096])))
+        assert np.array_equal(got, ref)
