@@ -157,7 +157,7 @@ def _spec_pipeline(pool, base_bits, nblocks, limits, luts2d, *,
 
 
 def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
-                            chunk_bytes: int = 4096,
+                            chunk_bytes: int = 2048,
                             ovf_bytes: int = 768,
                             max_chunks: int = 256,
                             as_device: bool = False):
