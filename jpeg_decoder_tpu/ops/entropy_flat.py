@@ -307,7 +307,9 @@ def decode_lockstep(words, base_bits, nblocks, bit_limits, luts2d, *,
         preds=jnp.zeros((S, n_comps), jnp.int32),
         out=jnp.zeros((max_blocks, S, 64), jnp.int32),
         starts=jnp.zeros((rec, S), jnp.int32),
+        valid=jnp.zeros((rec, S), jnp.bool_),
         n_mcus=jnp.zeros((S,), jnp.int32),
+        skip=jnp.zeros((S,), jnp.bool_),
         err=jnp.zeros((S,), jnp.bool_),
         done=jnp.zeros((S,), jnp.bool_),
     )
@@ -325,6 +327,17 @@ def decode_lockstep(words, base_bits, nblocks, bit_limits, luts2d, *,
         ac_row = jax.lax.dynamic_index_in_dim(luts2d, comp * 2 + 1,
                                               keepdims=False)
         active = ~(s["done"] | s["err"]) & (b < nblocks)
+        # Speculative error-restart (record mode): a lane whose junk
+        # speculation hits an invalid code does NOT park — it byte-aligns
+        # and idles to the next MCU slot, then speculates again.  Without
+        # this, one early-erroring misaligned lane leaves no trace for
+        # its neighbors to synchronize against and the whole image falls
+        # back to the host splice (measured on most corpus images).
+        # Restart safety: a decode from a TRUE position never errors on a
+        # valid stream, so aborted (tombstone) records exist only in the
+        # pre-sync garbage prefix and are never consumed by the splice —
+        # the `valid` bitmap additionally makes them unmatchable.
+        listen = (active & ~s["skip"]) if record_mcus else active
         pos_block_start = s["pos"]
 
         # ---- DC symbol (uniform: every lane is at coef 0) ----
@@ -345,13 +358,20 @@ def decode_lockstep(words, base_bits, nblocks, bit_limits, luts2d, *,
             pred_old = jax.lax.dynamic_slice(
                 s["preds"], (0, comp), (S, 1))[:, 0]
             dc_val = pred_old + diff
-            upd = active & ~bad
+            upd = listen & ~bad
             preds = jax.lax.dynamic_update_slice(
                 s["preds"],
                 jnp.where(upd, dc_val, pred_old)[:, None], (0, comp))
-        ok = active & ~bad
+        ok = listen & ~bad
         acc = jnp.where((lane64 == 0) & ok[:, None], dc_val[:, None], 0)
         adv = jnp.where(ok, length + size, 0)
+        if record_mcus:
+            abort_dc = listen & bad
+            align = (8 - (s["pos"].astype(jnp.uint32) & 7)) & 7
+            align = jnp.where(align == 0, 8, align)
+            adv = jnp.where(abort_dc, align, adv)
+        else:
+            abort_dc = jnp.zeros_like(bad)
         pos = s["pos"] + adv.astype(jnp.int32)
         cur, nxt, off, w_idx = consume(
             s["cur"], s["nxt"], s["off"], s["w_idx"], adv.astype(jnp.uint32))
@@ -387,51 +407,82 @@ def decode_lockstep(words, base_bits, nblocks, bit_limits, luts2d, *,
                              wpos + (csize > 0).astype(jnp.int32),
                              c["coef"])
             adv = jnp.where(live, length + csize, 0)
+            if record_mcus:
+                abort_now = bad & c["in"]
+                align = (8 - (c["pos"].astype(jnp.uint32) & 7)) & 7
+                align = jnp.where(align == 0, 8, align)
+                adv = jnp.where(abort_now, align, adv)
+                err = c["err"]
+                abort = c["abort"] | abort_now
+            else:
+                err = c["err"] | (bad & c["in"])
+                abort = c["abort"]
             pos = c["pos"] + adv.astype(jnp.int32)
             cur, nxt, off, w_idx = consume(
                 c["cur"], c["nxt"], c["off"], c["w_idx"],
                 adv.astype(jnp.uint32))
-            err = c["err"] | (bad & c["in"])
             in_next = live & ~is_eob & (coef < 64)
             return dict(cur=cur, nxt=nxt, off=off, w_idx=w_idx, pos=pos,
-                        coef=coef, acc=acc, err=err, **{"in": in_next})
+                        coef=coef, acc=acc, err=err, abort=abort,
+                        **{"in": in_next})
 
         ac0 = dict(cur=cur, nxt=nxt, off=off, w_idx=w_idx, pos=pos,
                    coef=jnp.where(ok, 1, 64), acc=acc,
-                   err=s["err"] | (bad & active))
+                   err=(s["err"] if record_mcus
+                        else s["err"] | (bad & active)),
+                   abort=abort_dc)
         ac0["in"] = ok
         ac = jax.lax.while_loop(ac_cond, ac_body, ac0)
 
         # ---- commit block b (uniform index: in-place slice update) ----
         out = jax.lax.dynamic_update_slice(s["out"], ac["acc"][None],
                                            (b, 0, 0))
-        completed = ok & ~(ac["err"] & ~s["err"])
-        mcu_done = completed & (k == bpm - 1)
+        boundary = k == bpm - 1
+        if record_mcus:
+            completed = ok & ~ac["abort"]
+            mcu_done = completed & boundary & ~s["skip"]
+            skip = (s["skip"] | ac["abort"]) & ~boundary
+        else:
+            completed = ok & ~(ac["err"] & ~s["err"])
+            mcu_done = completed & boundary
+            skip = s["skip"]
         end_pos = jnp.where(mcu_done, ac["pos"], s["end_pos"])
-        n_mcus = s["n_mcus"] + mcu_done
         if record_mcus:
             m = b // bpm
+            # Slot-indexed trace: every active lane's slot m records the
+            # MCU's start bit (at k==0) and, at the boundary, whether the
+            # whole MCU decoded (valid); aborted slots stay invalid.
             row_old = jax.lax.dynamic_slice(s["starts"], (m, 0), (1, S))
-            row = jnp.where((k == 0) & active, pos_block_start,
+            row = jnp.where((k == 0) & listen, pos_block_start,
                             row_old[0])
             starts = jax.lax.dynamic_update_slice(s["starts"], row[None],
                                                   (m, 0))
-            done = s["done"] | (mcu_done & (ac["pos"] >= bit_limits))
+            vrow_old = jax.lax.dynamic_slice(s["valid"], (m, 0), (1, S))
+            vrow = jnp.where(boundary, mcu_done, vrow_old[0])
+            valid = jax.lax.dynamic_update_slice(s["valid"], vrow[None],
+                                                 (m, 0))
+            n_mcus = s["n_mcus"] + (active & boundary)
+            done = s["done"] | (active & boundary
+                                & (ac["pos"] >= bit_limits))
         else:
             starts = s["starts"]
+            valid = s["valid"]
+            n_mcus = s["n_mcus"] + mcu_done
             done = s["done"]
 
         return dict(
             cur=ac["cur"], nxt=ac["nxt"], off=ac["off"], w_idx=ac["w_idx"],
             pos=ac["pos"], end_pos=end_pos, b=b + 1, preds=preds, out=out,
-            starts=starts, n_mcus=n_mcus, err=ac["err"], done=done)
+            starts=starts, valid=valid, n_mcus=n_mcus, skip=skip,
+            err=ac["err"], done=done)
 
     s = jax.lax.while_loop(outer_cond, outer_body, state)
     out = jnp.take(s["out"].transpose(1, 0, 2), jnp.asarray(ZIGZAG_INV),
                    axis=2)
     n_done = jnp.minimum(jnp.where(s["err"] | s["done"],
                                    s["n_mcus"] * bpm, nblocks), nblocks)
-    return (out, s["err"], n_done, s["starts"].T, s["n_mcus"], s["end_pos"])
+    return (out, s["err"], n_done, s["starts"].T, s["n_mcus"],
+            s["end_pos"], s["valid"].T)
 
 
 # ---------------------------------------------------------------------------
@@ -492,7 +543,7 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
     decode = decode_lockstep if impl == "lockstep" else decode_flat
     if impl == "lockstep":
         luts = luts.reshape(2 * len(hdr.components), 65536)
-    out, err, n_done, _, _, _ = decode(
+    out, err, n_done, *_ = decode(
         jnp.asarray(pool), jnp.asarray(base_bits), jnp.asarray(nblocks),
         jnp.full(base_bits.shape, 2**30, jnp.int32), jnp.asarray(luts),
         block_comp=block_comp, n_comps=len(hdr.components),

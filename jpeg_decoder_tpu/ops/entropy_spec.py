@@ -10,20 +10,35 @@ MCUs with overwhelming probability.
 
 Pipeline:
 
-  phase 1 (device, one ``decode_flat`` launch): the stream is split into
+  phase 1 (device, one lockstep launch): the stream is split into
     byte-aligned chunks; each lane decodes speculatively from its chunk
     start with DC as raw diffs, recording every speculative MCU's start
     bit and coefficients, continuing ``ovf_bytes`` past its chunk end
     (the overflow region where synchronization with the next lane's
-    trace happens).
-  phase 2 (host, O(n_mcus) cheap): splice — lane 0's records are exact;
-    for each lane the true entry bit must be one of its recorded starts
-    (self-sync), so its records from there on are the true decode.  Any
-    gap (failed sync / errored speculation) is filled by host sequential
-    decode, so correctness never depends on the speculation succeeding.
+    trace happens).  A lane whose junk speculation hits an invalid code
+    does not park: it byte-aligns and RETRIES at the next MCU slot
+    (error-restart), leaving an invalid tombstone record — without this,
+    one early-erroring misaligned lane leaves nothing to synchronize
+    against and whole images fall back to the host (measured on most of
+    the corpus).  Restart safety: a decode from a true position never
+    errors on a valid stream, so tombstones exist only in the pre-sync
+    garbage prefix and the splice never consumes them.
+  phase 2 (device): splice — a lax.scan over lanes with carry (true bit
+    position, MCUs emitted); lane 0's records are exact, and each lane's
+    true entry bit must be one of its VALID recorded starts (self-sync).
+    Phases 1+2+3 fuse into ONE program (single dispatch + one scalar
+    fetch).  If any sync fails (ok=False: extreme MCU-size skew beyond
+    the record caps, corrupt streams), the host splice with sequential
+    gap fill takes over, so correctness never depends on speculation.
   phase 3 (device): gather the true records into scan order and
     prefix-sum the DC diffs per component (jpeg.cpp:344-345 semantics)
     — the cross-chunk DC fix-up as one associative scan.
+
+tests/test_entropy_spec.py pins that the device splice SUCCEEDS (no
+host fallback) on every corpus image at several chunk sizes, plus exact
+output everywhere; prepare_spec_batch/_spec_pipeline_batch decode a
+whole batch of same-geometry images as one program
+(parallel/sharded.decode_batch_sharded).
 
 Output is bit-identical to entropy.python_ref (tests/test_entropy_spec.py).
 """
@@ -89,8 +104,8 @@ def _assemble(records, src, dc_luts_unused, *, block_comp, n_comps):
 
 
 @functools.partial(jax.jit, static_argnames=("n_mcus", "cap"))
-def _device_splice(starts, n_rec, end_pos, base_bits, *, n_mcus: int,
-                   cap: int):
+def _device_splice(starts, n_rec, end_pos, base_bits, valid, *,
+                   n_mcus: int, cap: int):
     """The splice as a lax.scan over lanes, entirely on device.
 
     In the no-gap case consumption is strictly lane-sequential (a lane's
@@ -103,10 +118,13 @@ def _device_splice(starts, n_rec, end_pos, base_bits, *, n_mcus: int,
 
     def step(carry, xs):
         bit, m = carry
-        st_row, cnt, ep = xs
+        st_row, cnt, ep, va = xs
         row = jnp.where(iota_cap < cnt, st_row, jnp.int32(2**30))
         j = jnp.searchsorted(row, bit).astype(jnp.int32)
-        found = (j < cnt) & (row[jnp.minimum(j, cap - 1)] == bit)
+        jc = jnp.minimum(j, cap - 1)
+        # A match must land on a VALID record: aborted-speculation slots
+        # (error-restart tombstones) carry a start bit but no decode.
+        found = (j < cnt) & (row[jc] == bit) & va[jc]
         take = jnp.where(found,
                          jnp.minimum(cnt - j, n_mcus - m), 0)
         bit2 = jnp.where(found & (m + take < n_mcus), ep, bit)
@@ -114,7 +132,7 @@ def _device_splice(starts, n_rec, end_pos, base_bits, *, n_mcus: int,
 
     (bit_end, m_end), (js, takes, m_starts) = jax.lax.scan(
         step, (base_bits[0], jnp.int32(0)),
-        (starts, n_rec.astype(jnp.int32), end_pos))
+        (starts, n_rec.astype(jnp.int32), end_pos, valid))
     ok = m_end >= n_mcus
 
     # Expand (j, take, m_start) per lane into src[m] = lane*cap + j + (m -
@@ -143,22 +161,23 @@ def _spec_pipeline(pool, base_bits, nblocks, limits, luts2d, *,
     box's tunnel makes every extra round trip cost more than the decode)."""
     bpm = len(block_comp)
     cap = max_mcus
-    out, err, n_done, starts, n_rec, end_pos = entropy_flat.decode_lockstep(
+    (out, err, n_done, starts, n_rec, end_pos,
+     valid) = entropy_flat.decode_lockstep(
         pool, base_bits, nblocks, limits, luts2d,
         block_comp=block_comp, n_comps=n_comps, max_blocks=max_blocks,
         dc_diff=True, record_mcus=1, max_mcus=cap, precision=precision)
-    src, ok = _device_splice(starts, n_rec, end_pos, base_bits,
+    src, ok = _device_splice(starts, n_rec, end_pos, base_bits, valid,
                              n_mcus=n_mcus, cap=cap)
     records = out.reshape(-1, bpm * 64)
     blocks = jnp.take(records, src, axis=0).reshape(n_mcus, bpm, 64)
     blocks = _dc_prefix_sum(blocks, block_comp, n_comps)
     return (blocks.reshape(n_mcus * bpm, 64), ok,
-            out, starts, n_rec, end_pos)
+            out, starts, n_rec, end_pos, valid)
 
 
 def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
                             chunk_bytes: int = 2048,
-                            ovf_bytes: int = 768,
+                            ovf_bytes: int = 1536,
                             max_chunks: int = 256,
                             as_device: bool = False):
     """Chunk-parallel device decode of a single-segment interleaved scan.
@@ -190,15 +209,14 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
     pad[:nbytes] = data
     pool = pad.view(">u4").astype(np.uint32)
 
-    # Record capacity per lane.  In block-lockstep the record index is the
-    # GLOBAL block slot, so the outer loop runs to the max active lane's
-    # block count — an oversized cap lets one degenerate lane (junk
-    # speculation emits tiny phantom MCUs) drag every lane through 4x the
-    # iterations.  Size it to expected + overflow share + slack; the rare
-    # chunk that outruns it resyncs via the host gap fill.
+    # Record capacity per lane: 8x the average + overflow share + slack.
+    # Flat image regions pack MCUs at a fraction of the average size
+    # (img.jpg's sky runs ~6 bytes/MCU vs a 35-byte average) and a lane
+    # whose records fill before its bit limit breaks the splice chain
+    # mid-chunk.  A generous cap costs memory (~10-15x the coefficient
+    # plane), NOT iterations — every lane stops at its bit limit.
     exp_mcus = -(-n_mcus // n_chunks)
-    cap = int(exp_mcus + (exp_mcus * ovf_bytes) // max(1, cb)
-              + max(8, exp_mcus // 4) + 2)
+    cap = int(8 * exp_mcus + (exp_mcus * ovf_bytes) // max(1, cb) + 96)
     base_bits = (starts_b * 8).astype(np.int32)
     limits = (np.minimum(ends_b + ovf_bytes, nbytes) * 8).astype(np.int32)
     # The last lane stops at the stream end (at most one phantom MCU from
@@ -206,7 +224,7 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
     limits[-1] = nbytes * 8
     luts = entropy_flat.merged_luts(hdr, scan)
 
-    blocks, ok, out, starts, n_rec, end_pos = _spec_pipeline(
+    blocks, ok, out, starts, n_rec, end_pos, valid = _spec_pipeline(
         jnp.asarray(pool), jnp.asarray(base_bits),
         jnp.full((n_chunks,), cap * bpm, jnp.int32),
         jnp.asarray(limits),
@@ -221,6 +239,7 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
     starts_np = np.asarray(starts)
     n_rec_np = np.asarray(n_rec).astype(np.int64)
     end_np = np.asarray(end_pos).astype(np.int64)
+    valid_np = np.asarray(valid)
     # A lane that errored mid-MCU still has valid completed records; a lane
     # that errored BEFORE its first record contributes nothing.
 
@@ -239,7 +258,8 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
         for ln in (lane, lane - 1):
             if 0 <= ln < n_chunks and n_rec_np[ln] > 0:
                 j = int(np.searchsorted(starts_np[ln, : n_rec_np[ln]], bit))
-                if j < n_rec_np[ln] and starts_np[ln, j] == bit:
+                if (j < n_rec_np[ln] and starts_np[ln, j] == bit
+                        and valid_np[ln, j]):
                     found = ln
                     break
         if found >= 0:
@@ -269,3 +289,97 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
     blocks = _assemble(records, jnp.asarray(src.astype(np.int32)), None,
                        block_comp=block_comp, n_comps=len(hdr.components))
     return blocks if as_device else np.asarray(blocks)
+
+
+# ---------------------------------------------------------------------------
+# Batched speculative decode: many same-geometry DRI=0 images, one program
+# ---------------------------------------------------------------------------
+
+def prepare_spec_batch(hdr: FrameHeader, scans: list, *,
+                       chunk_bytes: int = 2048, ovf_bytes: int = 1536,
+                       max_chunks: int = 64):
+    """Host prep for a batch of same-geometry single-segment scans.
+
+    Every image gets the same lane count C (its stream split into up to C
+    chunks; short streams leave trailing lanes inactive) so the batch is a
+    dense (B, C) lane grid.  Returns numpy arrays ready for
+    :func:`_spec_pipeline_batch`:
+      pools (B, W) uint32, base_rel (B, C) int32 bit offsets within the
+      image's pool row, limits_rel (B, C) int32, active (B, C) bool,
+      cap, C.
+    """
+    B = len(scans)
+    nbytes = [int(len(s.data)) for s in scans]
+    C = max(1, min(max_chunks, max(nbytes) // chunk_bytes))
+    lay = scan_layout(hdr)
+    exp_mcus = -(-lay.n_mcus // C)
+    # Record capacity per lane: 8x the average + overflow share + slack.
+    # Flat image regions pack MCUs at a fraction of the average size
+    # (img.jpg's sky runs ~6 bytes/MCU vs a 35-byte average) and a lane
+    # whose records fill before its bit limit breaks the splice chain
+    # mid-chunk.  A generous cap costs memory (~10-15x the coefficient
+    # plane), NOT iterations — every lane stops at its bit limit.
+    cap = int(8 * exp_mcus + (exp_mcus * ovf_bytes) // max(1, chunk_bytes)
+              + 96)
+    W = (max(nbytes) + 3) // 4 + 2
+    pools = np.zeros((B, W), np.uint32)
+    base_rel = np.zeros((B, C), np.int32)
+    limits_rel = np.zeros((B, C), np.int32)
+    active = np.zeros((B, C), bool)
+    for b, s in enumerate(scans):
+        n = nbytes[b]
+        data = np.asarray(s.data, np.uint8)
+        pad = np.zeros(W * 4, np.uint8)
+        pad[:n] = data
+        pools[b] = pad.view(">u4")
+        cb = max(1, -(-n // C))
+        starts = np.minimum(np.arange(C, dtype=np.int64) * cb, n)
+        ends = np.minimum(starts + cb, n)
+        act = starts < ends
+        base_rel[b] = (starts * 8).astype(np.int32)
+        lim = (np.minimum(ends + ovf_bytes, n) * 8).astype(np.int32)
+        # The image's last active lane decodes to its stream end.
+        if act.any():
+            lim[np.flatnonzero(act)[-1]] = n * 8
+        limits_rel[b] = lim
+        active[b] = act
+    return pools, base_rel, limits_rel, active, cap, C
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "n_comps", "cap", "n_mcus", "C",
+                     "precision"))
+def _spec_pipeline_batch(pools, base_rel, limits_rel, active, luts2d, *,
+                         block_comp, n_comps, cap, n_mcus, C,
+                         precision=8):
+    """Phase 1 + per-image device splice + assembly for a (B, C) lane
+    grid, as ONE program.  Returns (blocks (B, n_mcus*bpm, 64), ok (B,)).
+    Images whose splice fails (ok False) fall back per image on the host
+    (rare; see decode_scan_speculative)."""
+    B = pools.shape[0]
+    W = pools.shape[1]
+    bpm = len(block_comp)
+    img_base = (jnp.arange(B, dtype=jnp.int32) * (W * 32))[:, None]
+    base_abs = (img_base + base_rel).reshape(-1)
+    limits_abs = (img_base + limits_rel).reshape(-1)
+    nblocks = jnp.where(active.reshape(-1), cap * bpm, 0)
+    (out, err, n_done, starts, n_rec, end_pos,
+     valid) = entropy_flat.decode_lockstep(
+        pools.reshape(-1), base_abs, nblocks, limits_abs, luts2d,
+        block_comp=block_comp, n_comps=n_comps, max_blocks=cap * bpm,
+        dc_diff=True, record_mcus=1, max_mcus=cap, precision=precision)
+
+    src, ok = jax.vmap(
+        functools.partial(_device_splice, n_mcus=n_mcus, cap=cap))(
+        starts.reshape(B, C, cap), n_rec.reshape(B, C),
+        end_pos.reshape(B, C), base_abs.reshape(B, C),
+        valid.reshape(B, C, cap))
+
+    records = out.reshape(B, C * cap, bpm * 64)
+    blocks = jax.vmap(lambda r, s: jnp.take(r, s, axis=0))(records, src)
+    blocks = jax.vmap(
+        functools.partial(_dc_prefix_sum, block_comp=block_comp,
+                          n_comps=n_comps))(
+        blocks.reshape(B, n_mcus, bpm, 64))
+    return blocks.reshape(B, n_mcus * bpm, 64), ok

@@ -56,7 +56,7 @@ def _decode_segments_shmap(words, seg_nmcus, dc_luts, *,
         pool = words_l.reshape(-1)
         base = jnp.arange(s_local, dtype=jnp.int32) * (w * 32)
         nblocks = nmcus_l.astype(jnp.int32) * bpm
-        out, err, _, _, _, _ = entropy_flat.decode_lockstep(
+        out, err, _, _, _, _, _ = entropy_flat.decode_lockstep(
             pool, base, nblocks,
             jnp.full((s_local,), 2**30, jnp.int32), luts_l,
             block_comp=block_comp, n_comps=n_comps,
@@ -222,7 +222,7 @@ def _full_step(words, nm, luts, qtables, comp_srcs, *,
         pool = words_l.reshape(-1)
         base = jnp.arange(b_l * s_l, dtype=jnp.int32) * (w * 32)
         nblocks = nm_l.reshape(-1).astype(jnp.int32) * bpm
-        out, errf, _, _, _, _ = entropy_flat.decode_lockstep(
+        out, errf, _, _, _, _, _ = entropy_flat.decode_lockstep(
             pool, base, nblocks,
             jnp.full((b_l * s_l,), 2**30, jnp.int32), luts_l,
             block_comp=block_comp, n_comps=n_comps,
@@ -356,6 +356,7 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                     "decode_batch_sharded handles single-scan 8-bit "
                     "baseline Huffman frames; use BatchDecoder")
             words, nm, _bc, _mm, _lay = entropy_jax.prepare_scan(hdr, scan)
+            del _bc, _mm, _lay
             key = (hdr.width, hdr.height,
                    tuple((c.h, c.v) for c in hdr.components),
                    scan.restart_interval,
@@ -367,35 +368,85 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                                 for tid, spec in scan.ac_specs.items())),
                    tuple(sorted((tid, t.values.tobytes())
                                 for tid, t in hdr.quant_tables.items())))
-            groups.setdefault(key, []).append((i, hdr, words, nm))
+            groups.setdefault(key, []).append((i, hdr, scan, words, nm))
         except Exception as e:  # noqa: BLE001 — per-image isolation
             results[i] = BatchItem(index=i, header=None, rgb_batch=None,
                                    batch_index=-1, error=e)
 
     for key, items in groups.items():
         hdr0 = items[0][1]
-        s_max = max(len(nm) for *_, nm in items)
-        w_max = max(w.shape[1] for _, _, w, _ in items)
         B = len(items)
-        words_b = np.zeros((B, s_max, w_max), np.uint32)
-        nm_b = np.zeros((B, s_max), np.int64)
-        for k, (_, _, w, nm) in enumerate(items):
-            words_b[k, : w.shape[0], : w.shape[1]] = w
-            nm_b[k, : len(nm)] = nm
         try:
-            rgb_b, err_b = full_decode_step(
-                hdr0, words_b, nm_b, mesh, idct=idct, upsample=upsample)
-            err_np = np.asarray(err_b)
-            for k, (i, hdr, _, _) in enumerate(items):
+            if hdr0.scans[0].restart_interval:
+                # Restart streams: segments are the lanes; one sharded
+                # program over ('data', 'seg').
+                s_max = max(len(nm) for *_, nm in items)
+                w_max = max(w.shape[1] for *_, w, _ in items)
+                words_b = np.zeros((B, s_max, w_max), np.uint32)
+                nm_b = np.zeros((B, s_max), np.int64)
+                for k, (_, _, _, w, nm) in enumerate(items):
+                    words_b[k, : w.shape[0], : w.shape[1]] = w
+                    nm_b[k, : len(nm)] = nm
+                rgb_b, err_b = full_decode_step(
+                    hdr0, words_b, nm_b, mesh, idct=idct, upsample=upsample)
+                errs = [bool(e.any()) for e in np.asarray(err_b)]
+            else:
+                # DRI=0 streams: speculative chunk lanes, one program for
+                # the whole group (phase 1 + per-image device splice +
+                # assembly + batched pixel pipeline).
+                rgb_b = _spec_group_rgb(hdr0, [it[2] for it in items],
+                                        idct=idct, upsample=upsample)
+                errs = [False] * B
+            for k, (i, hdr, *_rest) in enumerate(items):
                 e = None
-                if err_np[k].any():
-                    e = JPEGError(
-                        f"device entropy decode failed in segments "
-                        f"{np.flatnonzero(err_np[k])[:8]}")
+                if errs[k]:
+                    e = JPEGError("device entropy decode failed")
                 results[i] = BatchItem(index=i, header=hdr, rgb_batch=rgb_b,
                                        batch_index=k, error=e)
         except Exception as e:  # noqa: BLE001
-            for i, hdr, _, _ in items:
+            for i, hdr, *_rest in items:
                 results[i] = BatchItem(index=i, header=hdr, rgb_batch=None,
                                        batch_index=-1, error=e)
     return results
+
+
+def _spec_group_rgb(hdr, scans, *, idct, upsample):
+    """RGB for a group of same-geometry DRI=0 blobs: batched speculative
+    chunk decode (ops/entropy_spec) + the batched pixel pipeline.  Images
+    whose device splice fails (extreme MCU-size skew) fall back per image
+    through the single-image speculative path."""
+    from ..models import decoder as decoder_mod
+    from ..models.batch import _batched_from_scan
+    from ..ops import entropy_spec
+
+    lay = scan_layout(hdr)
+    bpm = lay.blocks_per_mcu
+    block_comp = tuple(
+        ci for ci, c in enumerate(hdr.components) for _ in range(c.v * c.h))
+    pools, base, lim, act, cap, C = entropy_spec.prepare_spec_batch(
+        hdr, scans)
+    luts = entropy_flat.merged_luts(hdr, scans[0]).reshape(
+        2 * len(hdr.components), 65536)
+    blocks_b, ok = entropy_spec._spec_pipeline_batch(
+        jnp.asarray(pools), jnp.asarray(base), jnp.asarray(lim),
+        jnp.asarray(act), jnp.asarray(luts), block_comp=block_comp,
+        n_comps=len(hdr.components), cap=cap, n_mcus=lay.n_mcus, C=C,
+        precision=hdr.precision)
+    ok_np = np.asarray(ok)
+    for k in np.flatnonzero(~ok_np):
+        one = entropy_spec.decode_scan_speculative(
+            hdr, scans[int(k)], as_device=True)
+        blocks_b = blocks_b.at[int(k)].set(
+            one[: lay.n_mcus * bpm].astype(jnp.int32))
+    qt = np.stack([hdr.quant_tables[c.tq].values for c in hdr.components])
+    qtables_b = jnp.asarray(np.broadcast_to(
+        qt, (len(scans), *qt.shape)).copy())
+    comp_srcs = decoder_mod._comp_srcs_jax(lay)
+    samplings = tuple(
+        (hdr.v_max // c.v, hdr.h_max // c.h) for c in hdr.components)
+    return _batched_from_scan(
+        blocks_b, qtables_b, comp_srcs,
+        comp_shapes=tuple(lay.comp_shapes), height=hdr.height,
+        width=hdr.width, samplings=samplings, idct=idct,
+        upsample=upsample, color=hdr.colorspace,
+        precision=hdr.precision)

@@ -81,3 +81,60 @@ def test_rejects_restart_streams():
     hdr = parser.parse_file(corpus_path("img4.jpg"))
     with pytest.raises(JPEGError):
         entropy_spec.decode_scan_speculative(hdr, hdr.scans[0])
+
+
+@pytest.mark.parametrize("name", DRI0)
+@pytest.mark.parametrize("chunk", [1024, 2048, 4096])
+def test_device_splice_succeeds_no_fallback(name, chunk):
+    """The device splice must succeed on every corpus image — the host
+    splice is a correctness net, not the shipped path.  Pins the
+    error-restart speculation (an aborted lane byte-aligns and retries
+    instead of parking) and the skew-sized record caps; without them most
+    corpus images silently fell back to the host."""
+    from jpeg_decoder_tpu.ops import entropy_spec as es
+
+    hdr = parser.parse_file(corpus_path(name))
+    scan = hdr.scans[0]
+    flags = {}
+    orig = es._spec_pipeline
+
+    def capture(*a, **k):
+        r = orig(*a, **k)
+        flags["ok"] = bool(r[1])
+        return r
+
+    es._spec_pipeline = capture
+    try:
+        got = es.decode_scan_speculative(hdr, scan, chunk_bytes=chunk)
+    finally:
+        es._spec_pipeline = orig
+    assert flags["ok"], "device splice fell back to host"
+    assert np.array_equal(got, python_ref.decode_scan_baseline(hdr, scan))
+
+
+@pytest.mark.parametrize("name", DRI0)
+def test_spec_batch_pipeline(name):
+    """The batched speculative pipeline (one program for B images)
+    matches python_ref with every image's device splice succeeding."""
+    import jax.numpy as jnp
+
+    from jpeg_decoder_tpu.layout import scan_layout
+    from jpeg_decoder_tpu.ops import entropy_flat
+    from jpeg_decoder_tpu.ops import entropy_spec as es
+
+    hdr = parser.parse_file(corpus_path(name))
+    scans = [hdr.scans[0]] * 3
+    pools, base, lim, act, cap, C = es.prepare_spec_batch(hdr, scans)
+    luts = entropy_flat.merged_luts(hdr, hdr.scans[0]).reshape(
+        2 * len(hdr.components), 65536)
+    lay = scan_layout(hdr)
+    bc = tuple(ci for ci, c in enumerate(hdr.components)
+               for _ in range(c.v * c.h))
+    blocks, ok = es._spec_pipeline_batch(
+        jnp.asarray(pools), jnp.asarray(base), jnp.asarray(lim),
+        jnp.asarray(act), jnp.asarray(luts), block_comp=bc,
+        n_comps=len(hdr.components), cap=cap, n_mcus=lay.n_mcus, C=C)
+    assert np.asarray(ok).all()
+    ref = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
+    for b in np.asarray(blocks):
+        assert np.array_equal(b, ref)
