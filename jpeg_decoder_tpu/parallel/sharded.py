@@ -4,10 +4,11 @@ The reference is strictly single-threaded (SURVEY.md §2, "Parallelism");
 here segments and images are first-class parallel axes:
 
 * Entropy decode runs under ``shard_map`` over the ``seg`` mesh axis: each
-  device decodes its local shard of restart segments with the XLA decoder
-  (ops/entropy_jax) — zero cross-device traffic during the sequential hot
-  loop, because RSTn segments share no state (DC predictors reset,
-  jpeg.cpp:419-425).
+  device decodes its local shard of restart segments with the block-
+  lockstep decoder (ops/entropy_flat) — zero cross-device traffic during
+  the sequential hot loop, because RSTn segments share no state (DC
+  predictors reset, jpeg.cpp:419-425).  DRI=0 blobs decode via the
+  batched speculative path (ops/entropy_spec) in decode_batch_sharded.
 * Plane assembly (scan-order -> per-component planes) and the pixel pipeline
   run under ``jit`` with NamedSharding annotations; XLA inserts the
   all-to-all/all-gather collectives, which ride ICI on a real slice.
@@ -356,7 +357,6 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                     "decode_batch_sharded handles single-scan 8-bit "
                     "baseline Huffman frames; use BatchDecoder")
             words, nm, _bc, _mm, _lay = entropy_jax.prepare_scan(hdr, scan)
-            del _bc, _mm, _lay
             key = (hdr.width, hdr.height,
                    tuple((c.h, c.v) for c in hdr.components),
                    scan.restart_interval,

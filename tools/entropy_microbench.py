@@ -143,6 +143,59 @@ def main():
             print(f"spec {name:9s} single-lane reference: "
                   f"{dt*1e3:8.2f} ms -> {mp/dt:7.1f} MP/s", flush=True)
 
+    if "devbatch" in variants:
+        # End-to-end device-resident serving: blobs -> RGB, everything
+        # after parse+unstuff on device (speculative batch entropy +
+        # splice + assembly + pixel pipeline), chained in one program.
+        from jpeg_decoder_tpu.layout import scan_layout
+        from jpeg_decoder_tpu.models import decoder as decoder_mod
+        from jpeg_decoder_tpu.models.batch import _batched_from_scan
+        from jpeg_decoder_tpu.ops import entropy_spec
+
+        B = 8
+        for name in ("img.jpg", "img5.jpg"):
+            b = open(f"/root/reference/images/{name}", "rb").read()
+            h = parser.parse(b)
+            scans = [h.scans[0]] * B
+            mp = h.width * h.height / 1e6 * B
+            pools, base, lim, act, cap, C = entropy_spec.prepare_spec_batch(
+                h, scans)
+            from jpeg_decoder_tpu.ops import entropy_flat as ef
+
+            luts = jnp.asarray(ef.merged_luts(h, h.scans[0]).reshape(
+                2 * len(h.components), 65536))
+            lay = scan_layout(h)
+            bc = tuple(ci for ci, c in enumerate(h.components)
+                       for _ in range(c.v * c.h))
+            qt = np.stack([h.quant_tables[c.tq].values
+                           for c in h.components])
+            qt_b = jnp.asarray(np.broadcast_to(qt, (B, *qt.shape)).copy())
+            srcs = decoder_mod._comp_srcs_jax(lay)
+            samplings = tuple(
+                (h.v_max // c.v, h.h_max // c.h) for c in h.components)
+            pools_d = jnp.asarray(pools)
+            args2 = [jnp.asarray(x) for x in (base, lim, act)]
+
+            def step(acc, h=h, lay=lay, bc=bc, cap=cap, C=C,
+                     pools_d=pools_d, args2=args2, luts=luts, qt_b=qt_b,
+                     srcs=srcs, samplings=samplings):
+                p = jax.lax.optimization_barrier((pools_d, acc))[0]
+                blocks, ok = entropy_spec._spec_pipeline_batch(
+                    p, *args2, luts, block_comp=bc,
+                    n_comps=len(h.components), cap=cap,
+                    n_mcus=lay.n_mcus, C=C)
+                rgb = _batched_from_scan(
+                    blocks, qt_b, srcs, comp_shapes=tuple(lay.comp_shapes),
+                    height=h.height, width=h.width, samplings=samplings,
+                    idct="fast", upsample="fancy", color=h.colorspace)
+                return (rgb[0, 0, 0, 0].astype(jnp.int32)
+                        + ok.all().astype(jnp.int32))
+
+            dt, warm = timeit(step, args.iters)
+            print(f"devbatch {name:9s} B={B} lanes={B*C:4d}: "
+                  f"{dt*1e3:8.2f} ms -> {mp/dt:7.1f} MP/s "
+                  f"(blobs -> device RGB; warm {warm:.1f}s)", flush=True)
+
     blob = open("/root/reference/images/img4.jpg", "rb").read()
     hdr = parser.parse(blob)
     scan = hdr.scans[0]
