@@ -60,7 +60,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 11:
+        if lib.jd_abi_version() != 12:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_prog_dc_scan_arith.restype = ctypes.c_int64
         lib.jd_prog_dc_scan_arith.argtypes = [
@@ -72,7 +72,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # tid, l, u
             ctypes.c_int64, ctypes.c_int64,                    # mcus_x/y
             ctypes.c_int64, ctypes.c_int64,                    # sc_rows/cols
-            ctypes.c_int64,                                    # restart
+            ctypes.c_int64, ctypes.c_int32,                    # restart, nthr
         ]
         lib.jd_prog_ac_scan_arith.restype = ctypes.c_int64
         lib.jd_prog_ac_scan_arith.argtypes = [
@@ -82,6 +82,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_int32,                   # plane, cols
             ctypes.c_int32, ctypes.c_int32,                    # ac_tid, kx
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,    # rows,cols,ri
+            ctypes.c_int32,                                    # n_threads
         ]
         lib.jd_decode_scan_arith.restype = ctypes.c_int64
         lib.jd_decode_scan_arith.argtypes = [
@@ -105,6 +106,17 @@ def _load():
             ctypes.c_int64, ctypes.c_int64,     # n_mcus, restart_interval
             ctypes.c_void_p, ctypes.c_int32,    # out, n_threads
         ]
+        lib.jd_decode_scan_resilient.restype = ctypes.c_int64
+        lib.jd_decode_scan_resilient.argtypes = [
+            ctypes.c_void_p,                    # data
+            ctypes.c_void_p, ctypes.c_int32,    # seg_offsets, n_segments
+            ctypes.c_int32,                     # n_comps
+            ctypes.c_void_p, ctypes.c_void_p,   # h, v
+            ctypes.c_void_p, ctypes.c_void_p,   # dc_luts, ac_luts
+            ctypes.c_int64, ctypes.c_int64,     # n_mcus, restart_interval
+            ctypes.c_void_p, ctypes.c_void_p,   # out, seg_err
+            ctypes.c_int32,                     # n_threads
+        ]
         lib.jd_decode_scan_speculative.restype = ctypes.c_int64
         lib.jd_decode_scan_speculative.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,    # data, data_len
@@ -125,7 +137,7 @@ def _load():
             ctypes.c_void_p,                                   # dc_luts
             ctypes.c_int64, ctypes.c_int64,                    # mcus_x, mcus_y
             ctypes.c_int64, ctypes.c_int64,                    # sc_rows, sc_cols
-            ctypes.c_int64,                                    # restart
+            ctypes.c_int64, ctypes.c_int32,                    # restart, nthr
         ]
         lib.jd_prog_ac_scan.restype = ctypes.c_int64
         lib.jd_prog_ac_scan.argtypes = [
@@ -134,6 +146,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_int32,                   # plane, cols
             ctypes.c_void_p,                                   # ac_lut
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,    # rows, cols, ri
+            ctypes.c_int32,                                    # n_threads
         ]
         lib.jd_decode_scan_packed.restype = ctypes.c_int64
         lib.jd_decode_scan_packed.argtypes = [
@@ -319,6 +332,49 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
     return out
 
 
+def decode_scan_resilient(hdr: FrameHeader, scan: ScanHeader,
+                          n_threads: int | None = None) -> np.ndarray:
+    """Best-effort decode of a scan whose restart-segment count disagrees
+    with DRI or whose segments are corrupt (native mirror of
+    python_ref.decode_scan_resilient — identical output, asserted by
+    tests/test_fuzz.py).  Segment-threaded: a corrupt stream in a serving
+    batch costs the same as a clean one, not a ~100x Python fallback
+    (VERDICT r2 item 6)."""
+    lib = _load()
+    if hdr.precision != 8:
+        raise JPEGError(
+            "native backend decodes 8-bit frames only; 12-bit extended "
+            "frames use the python/jax backends")
+    lay = scan_layout(hdr)
+    comps = hdr.components
+    # Big zero tail: garbage speculation near a segment end may overrun by
+    # up to one MCU (~bpm * 209 bytes) before the per-MCU bound check
+    # fires; the Python reader clamps reads to zeros, so the pad makes the
+    # native reader see the same zero bits.
+    data = np.concatenate([scan.data, np.zeros(16384, np.uint8)])
+    seg_offsets = np.ascontiguousarray(scan.seg_offsets, dtype=np.int64)
+    n_segments = len(seg_offsets) - 1
+    h = np.array([c.h for c in comps], np.int32)
+    v = np.array([c.v for c in comps], np.int32)
+    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
+    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
+    PtrArray = ctypes.c_void_p * len(comps)
+    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
+    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+    out = np.zeros((lay.total_blocks, 64), dtype=np.int32)
+    seg_err = np.zeros(max(1, n_segments), np.uint8)
+    if n_threads is None:
+        n_threads = min(_NCPU, max(1, n_segments))
+    rc = lib.jd_decode_scan_resilient(
+        data.ctypes.data, seg_offsets.ctypes.data, n_segments,
+        len(comps), h.ctypes.data, v.ctypes.data, dc_ptrs, ac_ptrs,
+        lay.n_mcus, scan.restart_interval, out.ctypes.data,
+        seg_err.ctypes.data, n_threads)
+    if rc != 0:
+        raise JPEGError(f"native resilient decode failed (code {rc})")
+    return out
+
+
 def decode_scan_arith(hdr: FrameHeader, scan: ScanHeader,
                       n_threads: int | None = None) -> np.ndarray:
     """Decode a sequential arithmetic (SOF9) interleaved scan natively.
@@ -384,12 +440,13 @@ def decode_progressive_arith(hdr: FrameHeader) -> list:
         cols = hdr.mcus_x * hdr.components[ci].h
         planes.append(np.zeros((rows, cols, 64), np.int32))
 
-    for scan in hdr.scans:
+    def run_scan(scan):
         data = _padded(scan)
         seg_offsets = np.ascontiguousarray(scan.seg_offsets, np.int64)
         n_segments = len(seg_offsets) - 1
         ri = scan.restart_interval
         first = 1 if scan.ah == 0 else 0
+        n_threads = min(_NCPU, max(1, n_segments))
         dc_cond = getattr(scan, "dc_cond", None) or {}
         ac_cond = getattr(scan, "ac_cond", None) or {}
         dc_l = np.zeros(4, np.int32)
@@ -420,7 +477,7 @@ def decode_progressive_arith(hdr: FrameHeader) -> list:
                 comp_h.ctypes.data, comp_v.ctypes.data,
                 plane_ptrs, plane_cols.ctypes.data,
                 dc_tid.ctypes.data, dc_l.ctypes.data, dc_u.ctypes.data,
-                hdr.mcus_x, hdr.mcus_y, sc_rows, sc_cols, ri)
+                hdr.mcus_x, hdr.mcus_y, sc_rows, sc_cols, ri, n_threads)
         else:
             if len(scan.comp_indices) != 1:
                 raise JPEGError(
@@ -433,10 +490,25 @@ def decode_progressive_arith(hdr: FrameHeader) -> list:
                 data.ctypes.data, seg_offsets.ctypes.data, n_segments,
                 scan.ss, scan.se, scan.ah, scan.al,
                 planes[ci].ctypes.data, planes[ci].shape[1],
-                tid, kx, rows, cols, ri)
+                tid, kx, rows, cols, ri, n_threads)
         if rc != 0:
             raise JPEGError(
                 f"native arithmetic progressive scan failed (code {rc})")
+
+    chains = _scan_chains(hdr)
+
+    def run_chain(scans):
+        for scan in scans:
+            run_scan(scan)
+
+    if len(chains) > 1 and _NCPU > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(_NCPU * 2, len(chains))) as ex:
+            list(ex.map(run_chain, chains))
+    else:
+        for scans in chains:
+            run_chain(scans)
     return planes
 
 
@@ -751,15 +823,90 @@ def decode_scan_slots(hdr: FrameHeader, scan: ScanHeader, cap: int = 16,
                 esc_idx[:e].copy(), esc_val[:e].copy())
 
 
+def _run_prog_scan(lib, hdr: FrameHeader, planes: list, scan) -> None:
+    """One progressive Huffman scan into caller-owned planes (segment-
+    threaded in the C call; restart segments are independent, T.81 G.2)."""
+    from ..layout import comp_dims_unpadded
+
+    data = _padded(scan)
+    seg_offsets = np.ascontiguousarray(scan.seg_offsets, np.int64)
+    n_segments = len(seg_offsets) - 1
+    ri = scan.restart_interval
+    first = 1 if scan.ah == 0 else 0
+    n_threads = min(_NCPU, max(1, n_segments))
+    if scan.ss == 0:
+        if scan.se != 0:
+            raise JPEGError("progressive: DC scan must have Se=0")
+        nsc = len(scan.comp_indices)
+        interleaved = 1 if nsc > 1 else 0
+        comps = [hdr.components[ci] for ci in scan.comp_indices]
+        comp_h = np.array([c.h for c in comps], np.int32)
+        comp_v = np.array([c.v for c in comps], np.int32)
+        plane_ptrs = (ctypes.c_void_p * nsc)(
+            *[planes[ci].ctypes.data for ci in scan.comp_indices])
+        plane_cols = np.array(
+            [planes[ci].shape[1] for ci in scan.comp_indices], np.int32)
+        if first:
+            luts = [_lut16(scan.dc_specs[scan.dc_table_ids[k]])
+                    for k in range(nsc)]
+        else:
+            luts = [np.zeros(1, np.int16)] * nsc  # unused
+        lut_ptrs = (ctypes.c_void_p * nsc)(
+            *[a.ctypes.data for a in luts])
+        if interleaved:
+            sc_rows = sc_cols = 0
+        else:
+            sc_rows, sc_cols = comp_dims_unpadded(
+                hdr, scan.comp_indices[0])
+        rc = lib.jd_prog_dc_scan(
+            data.ctypes.data, seg_offsets.ctypes.data, n_segments,
+            first, scan.al, interleaved, nsc,
+            comp_h.ctypes.data, comp_v.ctypes.data,
+            plane_ptrs, plane_cols.ctypes.data, lut_ptrs,
+            hdr.mcus_x, hdr.mcus_y, sc_rows, sc_cols, ri, n_threads)
+    else:
+        if len(scan.comp_indices) != 1:
+            raise JPEGError(
+                "progressive: AC scans must be single-component")
+        ci = scan.comp_indices[0]
+        rows, cols = comp_dims_unpadded(hdr, ci)
+        lut = _lut16(scan.ac_specs[scan.ac_table_ids[0]])
+        rc = lib.jd_prog_ac_scan(
+            data.ctypes.data, seg_offsets.ctypes.data, n_segments,
+            first, scan.ss, scan.se, scan.al,
+            planes[ci].ctypes.data, planes[ci].shape[1],
+            lut.ctypes.data, rows, cols, ri, n_threads)
+    if rc != 0:
+        raise JPEGError(f"native progressive scan failed (code {rc})")
+
+
+def _scan_chains(hdr: FrameHeader) -> list:
+    """Partition a progressive frame's scans into independent chains.
+
+    Scans write disjoint coefficient sets: DC scans touch only k=0, AC
+    scans a single component's k>=1 band; refinements depend only on
+    earlier scans of the SAME component/band.  So (all DC scans, in file
+    order) and (each component's AC scans, in file order) are mutually
+    independent chains — they run on parallel host threads, recovering
+    scan-level parallelism even for DRI=0 progressive streams (where
+    segment sharding has nothing to shard).  Order within a chain is
+    preserved, so output is identical to the sequential loop."""
+    chains: dict = {}
+    for scan in hdr.scans:
+        key = "dc" if scan.ss == 0 else ("ac", scan.comp_indices[0])
+        chains.setdefault(key, []).append(scan)
+    return list(chains.values())
+
+
 def decode_progressive(hdr: FrameHeader) -> list:
     """Native fast path for progressive frames (T.81 G.2): per-scan C++
-    decoders mutate caller-owned per-component planes.
+    decoders mutate caller-owned per-component planes; independent scan
+    chains (DC / per-component AC) run on parallel threads and each scan
+    is additionally segment-threaded.
 
     Output identical to entropy.progressive.decode_progressive (asserted in
     tests/test_progressive_native.py).
     """
-    from ..layout import comp_dims_unpadded
-
     lib = _load()
     planes = []
     for ci in range(len(hdr.components)):
@@ -767,54 +914,18 @@ def decode_progressive(hdr: FrameHeader) -> list:
         cols = hdr.mcus_x * hdr.components[ci].h
         planes.append(np.zeros((rows, cols, 64), np.int32))
 
-    for scan in hdr.scans:
-        data = _padded(scan)
-        seg_offsets = np.ascontiguousarray(scan.seg_offsets, np.int64)
-        n_segments = len(seg_offsets) - 1
-        ri = scan.restart_interval
-        first = 1 if scan.ah == 0 else 0
-        if scan.ss == 0:
-            if scan.se != 0:
-                raise JPEGError("progressive: DC scan must have Se=0")
-            nsc = len(scan.comp_indices)
-            interleaved = 1 if nsc > 1 else 0
-            comps = [hdr.components[ci] for ci in scan.comp_indices]
-            comp_h = np.array([c.h for c in comps], np.int32)
-            comp_v = np.array([c.v for c in comps], np.int32)
-            plane_ptrs = (ctypes.c_void_p * nsc)(
-                *[planes[ci].ctypes.data for ci in scan.comp_indices])
-            plane_cols = np.array(
-                [planes[ci].shape[1] for ci in scan.comp_indices], np.int32)
-            if first:
-                luts = [_lut16(scan.dc_specs[scan.dc_table_ids[k]])
-                        for k in range(nsc)]
-            else:
-                luts = [np.zeros(1, np.int16)] * nsc  # unused
-            lut_ptrs = (ctypes.c_void_p * nsc)(
-                *[a.ctypes.data for a in luts])
-            if interleaved:
-                sc_rows = sc_cols = 0
-            else:
-                sc_rows, sc_cols = comp_dims_unpadded(
-                    hdr, scan.comp_indices[0])
-            rc = lib.jd_prog_dc_scan(
-                data.ctypes.data, seg_offsets.ctypes.data, n_segments,
-                first, scan.al, interleaved, nsc,
-                comp_h.ctypes.data, comp_v.ctypes.data,
-                plane_ptrs, plane_cols.ctypes.data, lut_ptrs,
-                hdr.mcus_x, hdr.mcus_y, sc_rows, sc_cols, ri)
-        else:
-            if len(scan.comp_indices) != 1:
-                raise JPEGError(
-                    "progressive: AC scans must be single-component")
-            ci = scan.comp_indices[0]
-            rows, cols = comp_dims_unpadded(hdr, ci)
-            lut = _lut16(scan.ac_specs[scan.ac_table_ids[0]])
-            rc = lib.jd_prog_ac_scan(
-                data.ctypes.data, seg_offsets.ctypes.data, n_segments,
-                first, scan.ss, scan.se, scan.al,
-                planes[ci].ctypes.data, planes[ci].shape[1],
-                lut.ctypes.data, rows, cols, ri)
-        if rc != 0:
-            raise JPEGError(f"native progressive scan failed (code {rc})")
+    chains = _scan_chains(hdr)
+
+    def run_chain(scans):
+        for scan in scans:
+            _run_prog_scan(lib, hdr, planes, scan)
+
+    if len(chains) > 1 and _NCPU > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(_NCPU * 2, len(chains))) as ex:
+            list(ex.map(run_chain, chains))
+    else:
+        for scans in chains:
+            run_chain(scans)
     return planes

@@ -223,6 +223,45 @@ inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
   return 0;
 }
 
+// Run per-segment bodies over a worker pool: seg_fn(s) returns 0 or an
+// error code; the first failure wins and is returned as (s << 8) | rc.
+// Restart segments share no decoder state (DC predictors / arithmetic
+// statistics reset at RSTn, jpeg.cpp:419-425 / T.81 F.1.4.1.1), so every
+// scan type threads the same way.
+template <typename F>
+static int64_t run_segments(int32_t n_segments, int32_t n_threads,
+                            F&& seg_fn) {
+  if (n_threads <= 1 || n_segments <= 1) {
+    for (int s = 0; s < n_segments; ++s) {
+      int rc = seg_fn(s);
+      if (rc) return (int64_t(s) << 8) | rc;
+    }
+    return 0;
+  }
+  std::atomic<int64_t> err{0};
+  std::atomic<int> next{0};
+  int nt = std::min<int>(n_threads, n_segments);
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    workers.emplace_back([&]() {
+      for (;;) {
+        int s = next.fetch_add(1);
+        if (s >= n_segments || err.load()) return;
+        int rc = seg_fn(s);
+        if (rc) {
+          int64_t e = (int64_t(s) << 8) | rc;
+          int64_t zero = 0;
+          err.compare_exchange_strong(zero, e);
+          return;
+        }
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return err.load();
+}
+
 struct ScanJob {
   const uint8_t* data;
   const int64_t* seg_offsets;  // n_segments + 1 entries, bytes
@@ -814,6 +853,81 @@ int64_t jd_decode_scan(const uint8_t* data,
   }
   for (auto& w : workers) w.join();
   return err.load();
+}
+
+// Resilient (best-effort) scan decode for streams whose restart-segment
+// count disagrees with DRI, or whose segments contain corrupt entropy data.
+// Native mirror of entropy/python_ref.py decode_scan_resilient (libjpeg-
+// style policy, vs the reference's exit(1) at the first error): marker
+// positions are ground truth — segment s covers MCUs [s*DRI, (s+1)*DRI);
+// surplus segments are ignored, missing segments leave their MCUs zero,
+// and a decode error inside a segment zero-fills the partial MCU and
+// resynchronizes at the next restart marker.  Segment-threaded like
+// jd_decode_scan (a corrupt stream costs the same as a clean one, not a
+// fallback to the oracle-grade Python path).
+//
+// data must carry a LARGE zero tail (>= 16384 bytes): garbage speculation
+// near a segment end may overrun by up to one MCU before the per-MCU
+// bound check fires (the Python reader clamps reads to zeros; the pad
+// makes the C++ reader see the same zeros).
+// out: (n_mcus * bpm, 64) int32, caller-zeroed.
+// seg_err: per-segment first error code (0 = clean), caller-zeroed.
+// Returns 0 (resilient decode never fails), or -1/-2 on bad parameters.
+int64_t jd_decode_scan_resilient(const uint8_t* data,
+                                 const int64_t* seg_offsets,
+                                 int32_t n_segments, int32_t n_comps,
+                                 const int32_t* h, const int32_t* v,
+                                 const int16_t* const* dc_luts,
+                                 const int32_t* const* ac_luts,
+                                 int64_t n_mcus, int64_t restart_interval,
+                                 int32_t* out, uint8_t* seg_err,
+                                 int32_t n_threads) {
+  if (n_comps < 1 || n_comps > kMaxComps) return -1;
+  ScanJob job;
+  job.data = data;
+  job.seg_offsets = seg_offsets;
+  job.n_segments = n_segments;
+  job.n_comps = n_comps;
+  job.n_mcus = n_mcus;
+  job.restart_interval = restart_interval;
+  job.out = out;
+  int bpm = 0;
+  for (int ci = 0; ci < n_comps; ++ci) {
+    job.comps[ci] = CompSpec{int(h[ci]), int(v[ci]), dc_luts[ci], ac_luts[ci]};
+    for (int b = 0; b < h[ci] * v[ci]; ++b) {
+      if (bpm >= kMaxComps * 16) return -2;
+      job.block_comp[bpm++] = ci;
+    }
+  }
+  job.blocks_per_mcu = bpm;
+  const int64_t ri = restart_interval ? restart_interval : n_mcus;
+  const int64_t mcu_words = int64_t(bpm) * 64;
+
+  run_segments(n_segments, n_threads, [&](int s) -> int {
+    const int64_t first = int64_t(s) * ri;
+    if (first >= n_mcus) return 0;  // surplus segment: ignored
+    const int64_t seg_mcus = std::min<int64_t>(ri, n_mcus - first);
+    const int64_t end_bits = seg_offsets[s + 1] * 8;
+    BitReader br{data, seg_offsets[s] * 8, end_bits};
+    int32_t preds[kMaxComps] = {0, 0, 0, 0};
+    for (int64_t m = first; m < first + seg_mcus; ++m) {
+      if (br.pos > end_bits) break;  // segment bits exhausted: rest zero
+      int32_t* base = out + m * mcu_words;
+      for (int k = 0; k < bpm; ++k) {
+        int ci = job.block_comp[k];
+        const CompSpec& c = job.comps[ci];
+        int rc = decode_block(br, c.dc_lut, c.ac_lut, base + k * 64,
+                              preds[ci]);
+        if (rc) {
+          std::memset(base, 0, size_t(mcu_words) * sizeof(int32_t));
+          seg_err[s] = uint8_t(rc);
+          return 0;  // resync at the next restart marker
+        }
+      }
+    }
+    return 0;
+  });
+  return 0;
 }
 
 // Packed-wire-format decode: emits int16 DC plane + int8 AC plane + sparse
@@ -1538,17 +1652,20 @@ int64_t jd_prog_dc_scan(const uint8_t* data, const int64_t* seg_offsets,
                         const int16_t* const* dc_luts,
                         int64_t mcus_x, int64_t mcus_y,
                         int64_t sc_rows, int64_t sc_cols,
-                        int64_t restart_interval) {
+                        int64_t restart_interval, int32_t n_threads) {
   if (n_scan_comps < 1 || n_scan_comps > kMaxComps) return -1;
   const int64_t n_mcus = interleaved ? mcus_x * mcus_y : sc_rows * sc_cols;
-  int64_t mcu = 0;
-  for (int s = 0; s < n_segments; ++s) {
+  if (!restart_interval && n_segments != 1) return -4;
+  const int64_t ri = restart_interval ? restart_interval : n_mcus;
+  if (int64_t(n_segments) * ri < n_mcus) return -4;  // missing segments
+  return run_segments(n_segments, n_threads, [&](int s) -> int {
+    const int64_t seg_first = int64_t(s) * ri;
+    if (seg_first >= n_mcus) return 0;  // surplus segment: nothing to do
+    const int64_t seg_mcus = std::min<int64_t>(ri, n_mcus - seg_first);
     BitReader br{data, seg_offsets[s] * 8, seg_offsets[s + 1] * 8};
     int32_t preds[kMaxComps] = {0, 0, 0, 0};
-    int64_t seg_mcus = restart_interval
-                           ? std::min<int64_t>(restart_interval, n_mcus - mcu)
-                           : n_mcus;
-    for (int64_t t = 0; t < seg_mcus; ++t, ++mcu) {
+    for (int64_t t = 0; t < seg_mcus; ++t) {
+      const int64_t mcu = seg_first + t;
       if (interleaved) {
         int64_t my = mcu / mcus_x, mx = mcu % mcus_x;
         for (int c = 0; c < n_scan_comps; ++c) {
@@ -1592,8 +1709,8 @@ int64_t jd_prog_dc_scan(const uint8_t* data, const int64_t* seg_offsets,
       }
       if (br.pos > br.end) return 6;  // truncated scan
     }
-  }
-  return mcu == n_mcus ? 0 : -4;
+    return 0;
+  });
 }
 
 // AC scans: always single-component over the unpadded (rows x cols) grid.
@@ -1603,11 +1720,16 @@ int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
                         int32_t* plane, int32_t plane_cols,
                         const int16_t* ac_lut,
                         int64_t rows, int64_t cols,
-                        int64_t restart_interval) {
+                        int64_t restart_interval, int32_t n_threads) {
   const int64_t n_mcus = rows * cols;
   const int32_t p1 = 1 << al;
-  int64_t mcu = 0;
-  for (int s = 0; s < n_segments; ++s) {
+  if (!restart_interval && n_segments != 1) return -4;
+  const int64_t ri = restart_interval ? restart_interval : n_mcus;
+  if (int64_t(n_segments) * ri < n_mcus) return -4;  // missing segments
+  return run_segments(n_segments, n_threads, [&](int s) -> int {
+    const int64_t seg_first = int64_t(s) * ri;
+    if (seg_first >= n_mcus) return 0;  // surplus segment: nothing to do
+    const int64_t seg_mcus = std::min<int64_t>(ri, n_mcus - seg_first);
     BitReader br{data, seg_offsets[s] * 8, seg_offsets[s + 1] * 8};
     // Register-resident bit window (see decode_block): refill when fewer
     // than 31 valid bits remain (max per step: 16-bit code + 14 EOB-run
@@ -1629,10 +1751,8 @@ int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
       return v;
     };
     int64_t eobrun = 0;
-    int64_t seg_mcus = restart_interval
-                           ? std::min<int64_t>(restart_interval, n_mcus - mcu)
-                           : n_mcus;
-    for (int64_t t = 0; t < seg_mcus; ++t, ++mcu) {
+    for (int64_t t = 0; t < seg_mcus; ++t) {
+      const int64_t mcu = seg_first + t;
       int64_t row = mcu / cols, col = mcu % cols;
       int32_t* blk = plane + (row * int64_t(plane_cols) + col) * 64;
       if (first) {
@@ -1723,8 +1843,8 @@ int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
       }
       if (br.pos > br.end) return 6;  // truncated scan
     }
-  }
-  return mcu == n_mcus ? 0 : -4;
+    return 0;
+  });
 }
 
 // Entropy-region byte unstuffer (reference: JPEGFile::readImageData,
@@ -1870,19 +1990,22 @@ int64_t jd_prog_dc_scan_arith(const uint8_t* data,
                               const int32_t* dc_l, const int32_t* dc_u,
                               int64_t mcus_x, int64_t mcus_y,
                               int64_t sc_rows, int64_t sc_cols,
-                              int64_t restart_interval) {
+                              int64_t restart_interval, int32_t n_threads) {
   if (n_scan_comps < 1 || n_scan_comps > kMaxComps) return -1;
   const int64_t n_mcus = interleaved ? mcus_x * mcus_y : sc_rows * sc_cols;
-  int64_t mcu = 0;
-  for (int s = 0; s < n_segments; ++s) {
+  if (!restart_interval && n_segments != 1) return -4;
+  const int64_t ri = restart_interval ? restart_interval : n_mcus;
+  if (int64_t(n_segments) * ri < n_mcus) return -4;  // missing segments
+  return run_segments(n_segments, n_threads, [&](int s) -> int {
+    const int64_t seg_first = int64_t(s) * ri;
+    if (seg_first >= n_mcus) return 0;  // surplus segment: nothing to do
+    const int64_t seg_mcus = std::min<int64_t>(ri, n_mcus - seg_first);
     QmDecoder qd;
     qd.init(data, seg_offsets[s], seg_offsets[s + 1]);
     ArithState st;
     st.reset();
-    int64_t seg_mcus = restart_interval
-                           ? std::min<int64_t>(restart_interval, n_mcus - mcu)
-                           : n_mcus;
-    for (int64_t t = 0; t < seg_mcus; ++t, ++mcu) {
+    for (int64_t t = 0; t < seg_mcus; ++t) {
+      const int64_t mcu = seg_first + t;
       if (interleaved) {
         int64_t my = mcu / mcus_x, mx = mcu % mcus_x;
         for (int c = 0; c < n_scan_comps; ++c) {
@@ -1917,8 +2040,8 @@ int64_t jd_prog_dc_scan_arith(const uint8_t* data,
         }
       }
     }
-  }
-  return mcu == n_mcus ? 0 : -4;
+    return 0;
+  });
 }
 
 // Progressive arithmetic AC scan (G.3.3 first pass / G.3.4 refinement)
@@ -1931,19 +2054,21 @@ int64_t jd_prog_ac_scan_arith(const uint8_t* data,
                               int32_t* plane, int32_t plane_cols_,
                               int32_t ac_tid, int32_t kx,
                               int64_t rows, int64_t cols,
-                              int64_t restart_interval) {
+                              int64_t restart_interval, int32_t n_threads) {
   const int64_t n_units = rows * cols;
-  int64_t unit = 0;
-  for (int s = 0; s < n_segments; ++s) {
+  if (!restart_interval && n_segments != 1) return -4;
+  const int64_t ri = restart_interval ? restart_interval : n_units;
+  if (int64_t(n_segments) * ri < n_units) return -4;  // missing segments
+  return run_segments(n_segments, n_threads, [&](int s) -> int {
+    const int64_t seg_first = int64_t(s) * ri;
+    if (seg_first >= n_units) return 0;  // surplus segment: nothing to do
+    const int64_t seg_units = std::min<int64_t>(ri, n_units - seg_first);
     QmDecoder qd;
     qd.init(data, seg_offsets[s], seg_offsets[s + 1]);
     ArithState st;
     st.reset();
-    int64_t seg_units =
-        restart_interval ? std::min<int64_t>(restart_interval,
-                                             n_units - unit)
-                         : n_units;
-    for (int64_t t = 0; t < seg_units; ++t, ++unit) {
+    for (int64_t t = 0; t < seg_units; ++t) {
+      const int64_t unit = seg_first + t;
       int64_t row = unit / cols, col = unit % cols;
       int32_t* blk = plane + (row * int64_t(plane_cols_) + col) * 64;
       int rc = ah == 0
@@ -1951,10 +2076,10 @@ int64_t jd_prog_ac_scan_arith(const uint8_t* data,
                    : arith_ac_refine_block(qd, st, ac_tid, blk, ss, se, al);
       if (rc) return rc;
     }
-  }
-  return unit == n_units ? 0 : -4;
+    return 0;
+  });
 }
 
-int32_t jd_abi_version() { return 11; }
+int32_t jd_abi_version() { return 12; }
 
 }  // extern "C"

@@ -121,12 +121,23 @@ def _decode_scan_robust(hdr: FrameHeader, scan, entropy: str):
     if segment_mismatch(hdr, scan):
         import logging
 
-        from ..entropy import python_ref
-
         logging.getLogger(__name__).warning(
             "restart-segment count %d disagrees with DRI %d; "
             "resynchronizing on marker positions (best-effort decode)",
             len(scan.seg_offsets) - 1, scan.restart_interval)
+        # Native resilient decode keeps corrupt streams at clean-stream
+        # cost in a serving batch (VERDICT r2 item 6); the Python path is
+        # the oracle and the non-8-bit fallback.
+        if entropy in ("auto", "native", "speculative") and hdr.precision == 8:
+            try:
+                from ..entropy import native
+
+                if native.available():
+                    return native.decode_scan_resilient(hdr, scan)
+            except Exception:  # noqa: BLE001
+                pass
+        from ..entropy import python_ref
+
         return python_ref.decode_scan_resilient(hdr, scan)
     return _entropy_backend(entropy)(hdr, scan)
 
