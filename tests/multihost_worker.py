@@ -69,7 +69,7 @@ for name, blob in geometry_workload():
     lay = layout_mod.scan_layout(hdr)
     words, nm, _bc, _mm, _lay = entropy_jax.prepare_scan(hdr, hdr.scans[0])
     t0 = time.perf_counter()
-    rgb, err = sharded.full_decode_step(
+    rgb, err, _err_img = sharded.full_decode_step(
         hdr, np.stack([words] * batch), np.stack([nm] * batch), mesh,
         idct="fast", upsample="nn")
     jax.block_until_ready(rgb)

