@@ -31,7 +31,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--format", choices=["png", "bmp", "ppm"], default="png")
     p.add_argument("--entropy", default="auto",
                    choices=["auto", "python", "native", "speculative",
-                            "jax", "jax-v1", "pallas"],
+                            "jax", "pallas"],
                    help="entropy-decode backend")
     p.add_argument("--idct", default="fast",
                    choices=["exact", "fast", "kron", "pallas"],

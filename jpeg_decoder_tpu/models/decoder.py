@@ -46,8 +46,6 @@ def _entropy_backend(name: str):
     * ``jax``     — on-device block-lockstep decoder (ops/entropy_flat):
       restart segments decode as parallel lanes; DRI=0 streams decode via
       the speculative chunk-parallel path (ops/entropy_spec).
-    * ``jax-v1``  — the first-generation vmapped XLA decoder (kept for
-      comparison; ~4x slower than ``jax`` on the v5e).
     * ``speculative`` — native C++ with chunk-parallel self-synchronizing
       decode for DRI=0 streams (segment-threaded otherwise).
     * ``pallas``  — on-device Pallas kernel (VMEM-resident LUTs/stream).
@@ -80,9 +78,6 @@ def _entropy_backend(name: str):
             return entropy_flat.decode_scan_baseline(
                 hdr, scan, as_device=True)
         return device
-    if name == "jax-v1":
-        from ..ops import entropy_jax
-        return entropy_jax.decode_scan_baseline
     if name == "pallas":
         from ..ops import entropy_pallas
         return entropy_pallas.decode_scan_baseline

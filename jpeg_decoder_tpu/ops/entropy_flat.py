@@ -1,7 +1,7 @@
 """Flat symbol-loop on-device entropy decode (JAX/XLA, lane-batched).
 
 Second-generation device decoder (VERDICT r1 item 1) replacing the nested
-MCU-loop/AC-while structure of :mod:`ops.entropy_jax` with ONE batched
+MCU-loop/AC-while structure of the v1 decoder (tools/entropy_jax_v1.py) with ONE batched
 while-loop in which every iteration decodes exactly one Huffman symbol on
 every lane:
 

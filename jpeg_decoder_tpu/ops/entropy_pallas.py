@@ -1,6 +1,6 @@
 """Pallas TPU kernel for Huffman entropy decode (segment-grid variant).
 
-Same algorithm as :mod:`jpeg_decoder_tpu.ops.entropy_jax` (16-bit LUT probe,
+Same algorithm as :mod:`jpeg_decoder_tpu.ops.entropy_flat` (16-bit LUT probe,
 one-hot zig-zag accumulation, DC predictor carry, per-segment independence)
 but expressed as a Pallas kernel so the 2^16 decode LUTs and the packed
 bitstream words are VMEM-resident: every probe is an on-chip dynamic slice
@@ -16,7 +16,7 @@ tools/pallas_mosaic_repro.py).
 
 Grid: one program per restart segment.  Output blocks live in a VMEM tile
 per segment, so this kernel targets restart-interval streams (the sharding-
-friendly case); DRI=0 whole-image streams fall back to entropy_jax (their
+friendly case); DRI=0 whole-image streams fall back to entropy_flat (their
 single segment has no parallelism to exploit anyway, and its output tile
 would exceed VMEM).
 
@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..types import FrameHeader, JPEGError, ScanHeader, ZIGZAG_INV
-from . import entropy_jax
+from . import entropy_flat, scan_prep
 
 # VMEM budget for one segment's output tile (blocks * 64 * 4B).
 _MAX_TILE_BYTES = 2 * 1024 * 1024
@@ -240,12 +240,12 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
     Falls back to the XLA decoder for streams whose per-segment output tile
     exceeds the VMEM budget (DRI=0 whole-image scans).
     """
-    words, nm, block_comp, max_mcus, lay = entropy_jax.prepare_scan(hdr, scan)
+    words, nm, block_comp, max_mcus, lay = scan_prep.prepare_scan(hdr, scan)
     bpm = len(block_comp)
     tile_bytes = max_mcus * bpm * 64 * 4
     if tile_bytes > _MAX_TILE_BYTES:
-        return entropy_jax.decode_scan_baseline(hdr, scan)
-    dc, ac = entropy_jax.luts_for_scan(hdr, scan)
+        return entropy_flat.decode_scan_baseline(hdr, scan)
+    dc, ac = scan_prep.luts_for_scan(hdr, scan)
     luts = np.empty((2 * len(hdr.components), 1 << 16), np.int32)
     for ci in range(len(hdr.components)):
         luts[2 * ci] = dc[ci]
@@ -268,7 +268,7 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
         logging.getLogger(__name__).warning(
             "pallas entropy kernel unavailable (%s); falling back to the "
             "XLA segment decoder", type(e).__name__)
-        return entropy_jax.decode_scan_baseline(hdr, scan)
+        return entropy_flat.decode_scan_baseline(hdr, scan)
     if bool(np.asarray(err).any()):
         bad = np.flatnonzero(np.asarray(err))
         raise JPEGError(

@@ -26,7 +26,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..layout import scan_layout
-from ..ops import entropy_flat, entropy_jax, pixel as pixel_ops
+from ..ops import entropy_flat, pixel as pixel_ops
+from ..ops import scan_prep
 from ..types import FrameHeader, JPEGError, ScanHeader
 
 
@@ -102,7 +103,7 @@ def decode_scan_sharded(hdr: FrameHeader, scan: ScanHeader,
     Output identical to every other entropy backend (tests/test_sharding.py
     asserts equality with python_ref).
     """
-    words, nm, block_comp, max_mcus, lay = entropy_jax.prepare_scan(hdr, scan)
+    words, nm, block_comp, max_mcus, lay = scan_prep.prepare_scan(hdr, scan)
     luts = entropy_flat.merged_luts(hdr, scan).reshape(
         2 * len(hdr.components), 65536)
 
@@ -531,7 +532,7 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
     from ..io import parser
     from ..models import decoder as decoder_mod
     from ..models.batch import BatchItem
-    from ..ops import entropy_jax
+
 
     results: list = [None] * len(blobs)
     groups: dict[tuple, list] = {}
@@ -569,7 +570,7 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
         try:
             if hdr0.scans[0].restart_interval:
                 # Restart streams: segments are the lanes.
-                prepped = [entropy_jax.prepare_scan(hdr, scan)[:2]
+                prepped = [scan_prep.prepare_scan(hdr, scan)[:2]
                            for _, hdr, scan in items]
                 s_max = max(len(nm) for _, nm in prepped)
                 w_max = max(w.shape[1] for w, _ in prepped)

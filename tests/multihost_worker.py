@@ -42,7 +42,8 @@ import numpy as np  # noqa: E402
 
 from jpeg_decoder_tpu.entropy import python_ref  # noqa: E402
 from jpeg_decoder_tpu.io import parser  # noqa: E402
-from jpeg_decoder_tpu.ops import entropy_jax, pixel as pixel_ops  # noqa: E402
+from jpeg_decoder_tpu.ops import pixel as pixel_ops  # noqa: E402
+from jpeg_decoder_tpu.ops import scan_prep  # noqa: E402
 from jpeg_decoder_tpu.parallel import sharded  # noqa: E402
 from jpeg_decoder_tpu import layout as layout_mod  # noqa: E402
 
@@ -67,7 +68,7 @@ ok = True
 for name, blob in geometry_workload():
     hdr = parser.parse(blob)
     lay = layout_mod.scan_layout(hdr)
-    words, nm, _bc, _mm, _lay = entropy_jax.prepare_scan(hdr, hdr.scans[0])
+    words, nm, _bc, _mm, _lay = scan_prep.prepare_scan(hdr, hdr.scans[0])
     t0 = time.perf_counter()
     rgb, err, _err_img = sharded.full_decode_step(
         hdr, np.stack([words] * batch), np.stack([nm] * batch), mesh,

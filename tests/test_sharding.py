@@ -12,7 +12,7 @@ from conftest import corpus_path
 from jpeg_decoder_tpu import decode
 from jpeg_decoder_tpu.entropy import python_ref
 from jpeg_decoder_tpu.io import parser
-from jpeg_decoder_tpu.ops import entropy_jax
+from jpeg_decoder_tpu.ops import scan_prep
 from jpeg_decoder_tpu.parallel import mesh as mesh_mod
 from jpeg_decoder_tpu.parallel import sharded
 
@@ -65,7 +65,7 @@ def test_synthetic_dri_variants(mesh18, blocks):
 
 def test_full_step_batch_matches_single(mesh24):
     hdr = parser.parse_file(corpus_path("img4.jpg"))
-    words, nm, _bc, _mm, _lay = entropy_jax.prepare_scan(hdr, hdr.scans[0])
+    words, nm, _bc, _mm, _lay = scan_prep.prepare_scan(hdr, hdr.scans[0])
     batch = 5  # not divisible by 'data' axis: exercises batch padding
     rgb, err, _err_img = sharded.full_decode_step(
         hdr, np.stack([words] * batch), np.stack([nm] * batch), mesh24,

@@ -1,56 +1,36 @@
-"""On-device Huffman entropy decode (JAX/XLA, segment-vectorized).
+"""First-generation on-device entropy decoder (ablation harness only).
 
-TPU-native re-architecture of the reference's sequential hot loop
-(decodeHuffman / decodeMCUComponent / getNextSymbol, jpeg.cpp:300-446):
+Historical v1 of the device Huffman decode: a per-segment decoder (fori
+over MCUs, unrolled blocks, while over AC symbols) vmapped over segments.
+Superseded in the production package by the block-lockstep decoder
+(jpeg_decoder_tpu.ops.entropy_flat) which measured ~4-24x faster on the
+v5e (see docs/ARCHITECTURE.md "three generations"); kept here so the
+ablation story stays reproducible (tools/entropy_microbench.py --v1).
 
-* The per-bit linear code search (jpeg.cpp:300-320) becomes an O(1) probe of
-  a flat 2^16 LUT (built host-side, uploaded once per table).
-* The bitstream is packed into big-endian uint32 words; the bit cursor is a
-  scalar; peeking 16 bits costs two dynamic-slice loads + shifts.
-* Restart segments are independent (DC predictors reset + byte alignment at
-  RSTn, jpeg.cpp:419-425), so the decoder is written for ONE segment and
-  ``vmap``-ed: every while-loop iteration then steps ALL segments in
-  parallel as vector ops — segments are the vectorization axis on-device and
-  the sharding axis across devices (see parallel/sharded.py).
-* Coefficients are accumulated in zig-zag order via one-hot adds (no
-  scatter), and de-zigzagged at the end with a single static gather.
-
-All loop bounds are static (MAX MCUs per segment; AC loop bounded by 64) —
-no data-dependent Python control flow, as XLA requires.  Corrupt streams set
-a per-segment error flag instead of diverging.
-
-The output is bit-identical to entropy.python_ref / entropy.native
-(asserted in tests/test_entropy_jax.py).
+Output is bit-identical to entropy.python_ref / entropy.native (asserted
+in tests/test_entropy_jax.py).
 """
 
 from __future__ import annotations
 
 import functools
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..huffman import build_lut
-from ..layout import scan_layout
-from ..types import FrameHeader, JPEGError, ScanHeader, ZIGZAG_INV
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def pack_words(data: np.ndarray) -> np.ndarray:
-    """Pack unstuffed bytes into big-endian uint32 words (host side)."""
-    n = len(data)
-    padded = np.zeros((n + 3 + 8) // 4 * 4, dtype=np.uint8)
-    padded[:n] = data
-    return padded.view(">u4").astype(np.uint32)
+from jpeg_decoder_tpu.ops.scan_prep import (  # noqa: E402
+    luts_for_scan, prepare_scan)
+from jpeg_decoder_tpu.types import (  # noqa: E402
+    FrameHeader, JPEGError, ScanHeader, ZIGZAG_INV)
 
 
 def _peek32(words: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Next 32 bits at absolute bit position ``pos`` as uint32.
-
-    One fetch serves both the 16-bit LUT probe (top half) and the value
-    bits that follow the code (up to 16 more bits) — halving the number of
-    dynamic gathers per symbol vs a peek-per-field design.
-    """
+    """Next 32 bits at absolute bit position ``pos`` as uint32."""
     w = (pos >> 5).astype(jnp.int32)
     off = (pos & 31).astype(jnp.uint32)
     w0 = jax.lax.dynamic_index_in_dim(words, w, keepdims=False)
@@ -68,11 +48,7 @@ def _extend(value: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
 
 
 def _decode_block(words, pos, pred, dc_lut, ac_lut, err):
-    """Decode one 8x8 block.  Returns (pos, pred, block_zz(64,), err).
-
-    ``block_zz`` holds coefficients in ZIG-ZAG order; the caller applies the
-    static de-zigzag permutation afterwards.
-    """
+    """Decode one 8x8 block.  Returns (pos, pred, block_zz(64,), err)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (64,), 0)
 
     # ---- DC (parity: jpeg.cpp:324-345) ----
@@ -82,8 +58,6 @@ def _decode_block(words, pos, pred, dc_lut, ac_lut, err):
     length = (entry & 31).astype(jnp.uint32)
     size = (entry >> 5).astype(jnp.uint32)
     err = err | (entry == 0) | (size > 11)
-    # Value bits follow the code inside the same 32-bit window
-    # (length + size <= 16 + 11 <= 32).
     raw = jnp.where(
         size == 0, jnp.uint32(0),
         (window << length) >> (32 - jnp.maximum(size, 1))).astype(jnp.int32)
@@ -130,13 +104,7 @@ def _decode_block(words, pos, pred, dc_lut, ac_lut, err):
 
 def make_segment_decoder(block_comp: tuple[int, ...], n_comps: int,
                          max_mcus: int):
-    """Build a single-segment decoder for a fixed scan geometry.
-
-    ``block_comp``: static component index of each within-MCU block (scan
-    order, parity with jpeg.cpp:426-442).  Returns a function
-    ``(words, n_mcus, dc_luts(n_comps,65536), ac_luts) -> (out, err)`` where
-    ``out`` is (max_mcus*bpm, 64) int32 natural order.
-    """
+    """Build a single-segment decoder for a fixed scan geometry."""
     bpm = len(block_comp)
 
     def decode_segment(words, n_mcus, dc_luts, ac_luts):
@@ -164,7 +132,6 @@ def make_segment_decoder(block_comp: tuple[int, ...], n_comps: int,
 
         pos, preds, out, err = jax.lax.fori_loop(
             0, max_mcus, mcu_body, (pos, preds, out, err))
-        # De-zigzag: out holds zig-zag-order rows; natural[p] = zz[ZZ_INV[p]].
         out = jnp.take(out, jnp.asarray(ZIGZAG_INV), axis=1)
         return out, err
 
@@ -176,61 +143,14 @@ def make_segment_decoder(block_comp: tuple[int, ...], n_comps: int,
 def decode_segments(words, seg_nmcus, dc_luts, ac_luts, *,
                     block_comp: tuple[int, ...], n_comps: int,
                     max_mcus: int):
-    """vmapped multi-segment decode.
-
-    Args:
-      words: (n_segments, seg_words) uint32 big-endian packed streams,
-        each segment starting at bit 0 of its row.
-      seg_nmcus: (n_segments,) int32 MCU count per segment.
-      dc_luts/ac_luts: (n_comps, 65536) int32 decode LUTs (per component).
-    Returns (out, err): (n_segments, max_mcus*bpm, 64) int32 and
-      (n_segments,) bool error flags.
-    """
+    """vmapped multi-segment decode (v1)."""
     decoder = make_segment_decoder(block_comp, n_comps, max_mcus)
     return jax.vmap(decoder, in_axes=(0, 0, None, None))(
         words, seg_nmcus, dc_luts, ac_luts)
 
 
-# ---------------------------------------------------------------------------
-# Host-facing wrapper with the common backend signature
-# ---------------------------------------------------------------------------
-
-def prepare_scan(hdr: FrameHeader, scan: ScanHeader):
-    """Host prep: per-segment packed words + geometry (NumPy, cheap)."""
-    lay = scan_layout(hdr)
-    ri = scan.restart_interval
-    n_mcus = lay.n_mcus
-    seg_offsets = scan.seg_offsets
-    n_segments = len(seg_offsets) - 1
-    expected = -(-n_mcus // ri) if ri else 1
-    if n_segments != expected:
-        raise JPEGError(
-            f"restart-segment count {n_segments} does not match DRI {ri}")
-    max_mcus = ri if ri else n_mcus
-    seg_lens = np.diff(seg_offsets)
-    seg_words = int(max(1, -(-int(seg_lens.max()) // 4) + 2))
-    words = np.zeros((n_segments, seg_words), np.uint32)
-    data = scan.data
-    for s in range(n_segments):
-        seg = data[seg_offsets[s]: seg_offsets[s + 1]]
-        words[s, : (len(seg) + 3) // 4] = pack_words(seg)[: (len(seg) + 3) // 4]
-    nm = np.full((n_segments,), max_mcus, np.int32)
-    if ri:
-        nm[-1] = n_mcus - ri * (n_segments - 1)
-    block_comp = tuple(
-        ci for ci, c in enumerate(hdr.components) for _ in range(c.v * c.h))
-    return words, nm, block_comp, max_mcus, lay
-
-
-def luts_for_scan(hdr: FrameHeader, scan: ScanHeader):
-    dc = np.stack([build_lut(scan.dc_specs[c.td]) for c in hdr.components])
-    ac = np.stack([build_lut(scan.ac_specs[c.ta]) for c in hdr.components])
-    return dc, ac
-
-
 def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader) -> np.ndarray:
-    """Common-backend-signature wrapper: returns (total_blocks, 64) int32
-    scan-order natural-layout coefficients (same as python_ref/native)."""
+    """Common-backend-signature wrapper (v1, ablation only)."""
     words, nm, block_comp, max_mcus, lay = prepare_scan(hdr, scan)
     dc, ac = luts_for_scan(hdr, scan)
     out, err = decode_segments(

@@ -50,7 +50,8 @@ def main():
         print("cache unavailable:", e, file=sys.stderr)
 
     from jpeg_decoder_tpu.io import parser
-    from jpeg_decoder_tpu.ops import entropy_flat, entropy_jax
+    import entropy_jax_v1
+    from jpeg_decoder_tpu.ops import entropy_flat, scan_prep
 
     print("device:", jax.devices()[0], flush=True)
     variants = args.variants.split(",")
@@ -262,9 +263,9 @@ def main():
         if "pallas" in variants:
             from jpeg_decoder_tpu.ops import entropy_pallas
 
-            words, nm, bc1, max_mcus, lay = entropy_jax.prepare_scan(
+            words, nm, bc1, max_mcus, lay = scan_prep.prepare_scan(
                 hdr, scan)
-            dc, ac = entropy_jax.luts_for_scan(hdr, scan)
+            dc, ac = scan_prep.luts_for_scan(hdr, scan)
             luts = np.empty((2 * len(hdr.components), 1 << 16), np.int32)
             for ci in range(len(hdr.components)):
                 luts[2 * ci] = dc[ci]
@@ -289,18 +290,18 @@ def main():
                   f"(warm {warm:.1f}s)", flush=True)
 
         if "v1" in variants:
-            words, nm, bc1, max_mcus, lay = entropy_jax.prepare_scan(
+            words, nm, bc1, max_mcus, lay = scan_prep.prepare_scan(
                 hdr, scan)
             words_r = np.concatenate([words] * rep)
             nm_r = np.concatenate([nm] * rep)
-            dc, ac = entropy_jax.luts_for_scan(hdr, scan)
+            dc, ac = scan_prep.luts_for_scan(hdr, scan)
             words_d = jnp.asarray(words_r)
             nm_d = jnp.asarray(nm_r)
             dc_d, ac_d = jnp.asarray(dc), jnp.asarray(ac)
 
             def step_v1(acc):
                 w = jax.lax.optimization_barrier((words_d, acc))[0]
-                out, err = entropy_jax.decode_segments(
+                out, err = entropy_jax_v1.decode_segments(
                     w, nm_d, dc_d, ac_d, block_comp=bc1,
                     n_comps=len(hdr.components), max_mcus=max_mcus)
                 return out[0, 0, 0] + err.sum()

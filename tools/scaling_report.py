@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from jpeg_decoder_tpu import decode  # noqa: E402
 from jpeg_decoder_tpu.io import parser  # noqa: E402
-from jpeg_decoder_tpu.ops import entropy_jax  # noqa: E402
+from jpeg_decoder_tpu.ops import scan_prep  # noqa: E402
 from jpeg_decoder_tpu.parallel import mesh as mesh_mod, sharded  # noqa: E402
 
 
@@ -48,7 +48,7 @@ def make_workload():
 def main():
     blob = make_workload()
     hdr = parser.parse(blob)
-    words, nm, _bc, _mm, lay = entropy_jax.prepare_scan(hdr, hdr.scans[0])
+    words, nm, _bc, _mm, lay = scan_prep.prepare_scan(hdr, hdr.scans[0])
     batch = 4
     words_b = np.stack([words] * batch)
     nm_b = np.stack([nm] * batch)
