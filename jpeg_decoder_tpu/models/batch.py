@@ -49,6 +49,51 @@ def _batched_from_scan(blocks_b, qtables_b, comp_srcs, *, comp_shapes,
     return jax.vmap(one)(blocks_b, qtables_b)
 
 
+def _planes_from_blocks_dyn(blocks, geom, *, comp_shapes, comp_hv, bpm):
+    """Per-image plane assembly with the gather map built ON DEVICE from
+    the image's dynamic geometry (geometry bucketing: one compiled program
+    serves every image size in the bucket).
+
+    ``blocks``: (n_blk_bucket, 64) scan-order blocks, true blocks a prefix.
+    ``geom``: (4,) int32 = (mcus_x, mcus_y, height, width), traced.
+    ``comp_shapes``: static BUCKET plane dims per component;
+    ``comp_hv``: static (h, v) sampling factors per component.
+    Cells beyond the image's true plane extent read zero blocks (take
+    mode='fill'), reproducing layout.scan_layout's comp_src maps inside
+    the true region (pinned by tests/test_batch_bucketing.py)."""
+    mcus_x = geom[0]
+    mcus_y = geom[1]
+    n_blk = blocks.shape[0]
+    planes = []
+    k0 = 0
+    for (R, C_), (h, v) in zip(comp_shapes, comp_hv):
+        r = jax.lax.broadcasted_iota(jnp.int32, (R, C_), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (R, C_), 1)
+        src = ((r // v) * mcus_x + (c // h)) * bpm \
+            + (k0 + (r % v) * h + (c % h))
+        valid = (r < mcus_y * v) & (c < mcus_x * h)
+        src = jnp.where(valid, src, n_blk).reshape(-1)
+        planes.append(jnp.take(blocks, src, axis=0, mode="fill",
+                               fill_value=0).reshape(R, C_, 64))
+        k0 += h * v
+    return tuple(planes)
+
+
+def _rgb_one_dyn(blocks, qt, geom, *, comp_shapes, comp_hv, height, width,
+                 samplings, idct, upsample, color, precision):
+    """blocks (n_blk_bucket, 64) + dynamic geometry -> bucket-size RGB;
+    pixels inside (geom height, width) are exact, the rest is padding the
+    consumer crops (models.batch.BatchItem.rgb)."""
+    bpm = sum(h * v for h, v in comp_hv)
+    planes = _planes_from_blocks_dyn(
+        blocks, geom, comp_shapes=comp_shapes, comp_hv=comp_hv, bpm=bpm)
+    qts = tuple(qt[i] for i in range(len(comp_shapes)))
+    return pixel_ops.pixel_pipeline_impl(
+        planes, qts, height=height, width=width, samplings=samplings,
+        idct=idct, upsample=upsample, color=color, precision=precision,
+        true_dims=(geom[2], geom[3]))
+
+
 def pack_blocks(blocks: np.ndarray):
     """Compact lossless wire format for quantized coefficients.
 
@@ -171,12 +216,12 @@ _SLOT_CAP = 16
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample",
-    "color", "precision"))
+    "comp_shapes", "comp_hv", "height", "width", "samplings", "idct",
+    "upsample", "color", "precision"))
 def _batched_from_slots(dc16_b, pos_b, val_b, ov_idx_b, ov_val_b,
-                        esc_idx_b, esc_val_b, qtables_b, comp_srcs, *,
-                        comp_shapes, height, width, samplings, idct,
-                        upsample, color="auto", precision=8):
+                        esc_idx_b, esc_val_b, qtables_b, geom_b, *,
+                        comp_shapes, comp_hv, height, width, samplings,
+                        idct, upsample, color="auto", precision=8):
     """Slot-wire batch: one-hot compare-and-sum per block, no big scatter.
 
     Padding: empty slots are (0, 0) — position 0 never matches an AC
@@ -184,7 +229,7 @@ def _batched_from_slots(dc16_b, pos_b, val_b, ov_idx_b, ov_val_b,
 
     lane = jnp.arange(1, 64, dtype=jnp.int32)  # AC lanes only
 
-    def one(dc16, pos, val, ov_idx, ov_val, esc_idx, esc_val, qt):
+    def one(dc16, pos, val, ov_idx, ov_val, esc_idx, esc_val, qt, geom):
         n = dc16.shape[0]
         p = pos.astype(jnp.int32)
         v = val.astype(jnp.int32)
@@ -196,32 +241,29 @@ def _batched_from_slots(dc16_b, pos_b, val_b, ov_idx_b, ov_val_b,
         flat = flat.at[ov_idx].set(ov_val.astype(jnp.int32), mode="drop")
         flat = flat.at[esc_idx].set(esc_val.astype(jnp.int32), mode="drop")
         blocks = flat.reshape(n, 64)
-        planes = tuple(
-            jnp.take(blocks, src, axis=0).reshape(rows, cols, 64)
-            for src, (rows, cols) in zip(comp_srcs, comp_shapes))
-        qts = tuple(qt[i] for i in range(len(comp_shapes)))
-        return pixel_ops.pixel_pipeline_impl(
-            planes, qts, height=height, width=width,
-            samplings=samplings, idct=idct, upsample=upsample,
-            color=color, precision=precision)
+        return _rgb_one_dyn(
+            blocks, qt, geom, comp_shapes=comp_shapes, comp_hv=comp_hv,
+            height=height, width=width, samplings=samplings, idct=idct,
+            upsample=upsample, color=color, precision=precision)
 
     return jax.vmap(one)(dc16_b, pos_b, val_b, ov_idx_b, ov_val_b,
-                         esc_idx_b, esc_val_b, qtables_b)
+                         esc_idx_b, esc_val_b, qtables_b, geom_b)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample",
-    "color", "precision"))
+    "comp_shapes", "comp_hv", "height", "width", "samplings", "idct",
+    "upsample", "color", "precision"))
 def _batched_from_nibble(dc16_b, e_b, ov_b, esc_idx_b, esc_val_b,
-                         qtables_b, comp_srcs, *, comp_shapes, height,
-                         width, samplings, idct, upsample, color="auto", precision=8):
+                         qtables_b, geom_b, *, comp_shapes, comp_hv,
+                         height, width, samplings, idct, upsample,
+                         color="auto", precision=8):
     """Nibble-wire batch: decode entry bytes, cumsum advances, scatter-add.
 
     Padding: 0x00 filler entries advance 0 and write 0; all-filler rows
     cumsum to -1 (dropped); ov pads are never ranked; escape pads are out
     of range (dropped)."""
 
-    def one(dc16, e, ov, esc_idx, esc_val, qt):
+    def one(dc16, e, ov, esc_idx, esc_val, qt, geom):
         n = dc16.shape[0]
         ei = e.astype(jnp.int32)
         g, vcode = ei >> 4, ei & 15
@@ -235,25 +277,22 @@ def _batched_from_nibble(dc16_b, e_b, ov_b, esc_idx_b, esc_val_b,
         flat = flat.at[idx].add(vals, mode="drop")
         flat = flat.at[esc_idx].set(esc_val.astype(jnp.int32), mode="drop")
         blocks = flat.reshape(n, 64).at[:, 0].set(dc16.astype(jnp.int32))
-        planes = tuple(
-            jnp.take(blocks, src, axis=0).reshape(rows, cols, 64)
-            for src, (rows, cols) in zip(comp_srcs, comp_shapes))
-        qts = tuple(qt[i] for i in range(len(comp_shapes)))
-        return pixel_ops.pixel_pipeline_impl(
-            planes, qts, height=height, width=width,
-            samplings=samplings, idct=idct, upsample=upsample,
-            color=color, precision=precision)
+        return _rgb_one_dyn(
+            blocks, qt, geom, comp_shapes=comp_shapes, comp_hv=comp_hv,
+            height=height, width=width, samplings=samplings, idct=idct,
+            upsample=upsample, color=color, precision=precision)
 
     return jax.vmap(one)(dc16_b, e_b, ov_b, esc_idx_b, esc_val_b,
-                         qtables_b)
+                         qtables_b, geom_b)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample",
-    "color", "precision"))
+    "comp_shapes", "comp_hv", "height", "width", "samplings", "idct",
+    "upsample", "color", "precision"))
 def _batched_from_sparse(dc16_b, gaps_b, vals_b, esc_idx_b, esc_val_b,
-                         qtables_b, comp_srcs, *, comp_shapes, height,
-                         width, samplings, idct, upsample, color="auto", precision=8):
+                         qtables_b, geom_b, *, comp_shapes, comp_hv,
+                         height, width, samplings, idct, upsample,
+                         color="auto", precision=8):
     """Sparse-wire batch: cumsum the gaps, scatter-add the values.
 
     Padding conventions (all dropped/no-op on device): gap=0,val=0 fillers
@@ -262,53 +301,47 @@ def _batched_from_sparse(dc16_b, gaps_b, vals_b, esc_idx_b, esc_val_b,
     all-filler row cumsums to index -1, dropped by mode='drop'; escape
     pads use index n*64 (out of range, dropped)."""
 
-    def one(dc16, gaps, vals, esc_idx, esc_val, qt):
+    def one(dc16, gaps, vals, esc_idx, esc_val, qt, geom):
         n = dc16.shape[0]
         idx = jnp.cumsum(gaps.astype(jnp.int32)) - 1
         flat = jnp.zeros((n * 64,), jnp.int32)
         flat = flat.at[idx].add(vals.astype(jnp.int32), mode="drop")
         flat = flat.at[esc_idx].set(esc_val.astype(jnp.int32), mode="drop")
         blocks = flat.reshape(n, 64).at[:, 0].set(dc16.astype(jnp.int32))
-        planes = tuple(
-            jnp.take(blocks, src, axis=0).reshape(rows, cols, 64)
-            for src, (rows, cols) in zip(comp_srcs, comp_shapes))
-        qts = tuple(qt[i] for i in range(len(comp_shapes)))
-        return pixel_ops.pixel_pipeline_impl(
-            planes, qts, height=height, width=width,
-            samplings=samplings, idct=idct, upsample=upsample,
-            color=color, precision=precision)
+        return _rgb_one_dyn(
+            blocks, qt, geom, comp_shapes=comp_shapes, comp_hv=comp_hv,
+            height=height, width=width, samplings=samplings, idct=idct,
+            upsample=upsample, color=color, precision=precision)
 
     return jax.vmap(one)(dc16_b, gaps_b, vals_b, esc_idx_b, esc_val_b,
-                         qtables_b)
+                         qtables_b, geom_b)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "comp_shapes", "height", "width", "samplings", "idct", "upsample",
-    "color", "precision"))
+    "comp_shapes", "comp_hv", "height", "width", "samplings", "idct",
+    "upsample", "color", "precision"))
 def _batched_from_packed(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b,
-                         comp_srcs, *, comp_shapes, height, width,
-                         samplings, idct, upsample, color="auto", precision=8):
+                         geom_b, *, comp_shapes, comp_hv, height, width,
+                         samplings, idct, upsample, color="auto",
+                         precision=8):
     """Packed-wire-format batch: unpack on device, then the usual pipeline.
 
     esc_idx_b is padded with out-of-range indices (dropped by the scatter).
     """
 
-    def one(dc16, ac8, esc_idx, esc_val, qt):
+    def one(dc16, ac8, esc_idx, esc_val, qt, geom):
         n = ac8.shape[0]
         flat = ac8.astype(jnp.int32).reshape(-1)
         flat = flat.at[esc_idx].set(esc_val.astype(jnp.int32), mode="drop")
         blocks = flat.reshape(n, 64)
         blocks = blocks.at[:, 0].set(dc16.astype(jnp.int32))
-        planes = tuple(
-            jnp.take(blocks, src, axis=0).reshape(rows, cols, 64)
-            for src, (rows, cols) in zip(comp_srcs, comp_shapes))
-        qts = tuple(qt[i] for i in range(len(comp_shapes)))
-        return pixel_ops.pixel_pipeline_impl(
-            planes, qts, height=height, width=width,
-            samplings=samplings, idct=idct, upsample=upsample,
-            color=color, precision=precision)
+        return _rgb_one_dyn(
+            blocks, qt, geom, comp_shapes=comp_shapes, comp_hv=comp_hv,
+            height=height, width=width, samplings=samplings, idct=idct,
+            upsample=upsample, color=color, precision=precision)
 
-    return jax.vmap(one)(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b)
+    return jax.vmap(one)(dc16_b, ac8_b, esc_idx_b, esc_val_b, qtables_b,
+                         geom_b)
 
 
 def _bucket(n: int, min_size: int = 256) -> int:
@@ -321,6 +354,16 @@ def _bucket(n: int, min_size: int = 256) -> int:
     n = max(n, min_size)
     step = 1 << max((n - 1).bit_length() - 4, 0)
     return -(-n // step) * step
+
+
+def _bucket_pow2(n: int) -> int:
+    """Next power of two (geometry buckets: MCU grid dims round up so a
+    serving corpus of arbitrary image sizes compiles O(log sizes) pixel
+    programs, not one per distinct size — VERDICT r2 item 7).  The pixel
+    pipeline is ~50x faster than host entropy, so padded pixel compute is
+    nearly free; wire bytes stay proportional to TRUE content (the sparse
+    formats ship only real nonzeros)."""
+    return 1 << max(0, (n - 1).bit_length())
 
 
 @dataclasses.dataclass
@@ -340,8 +383,15 @@ class BatchItem:
         """This image's (H, W, 3) RGB.  Materialized lazily: slicing a
         device array dispatches a program, which is cheap locally but
         costly per-item through remote-TPU tunnels — batch consumers should
-        use ``rgb_batch`` directly."""
-        return self.rgb_batch[self.batch_index]
+        use ``rgb_batch`` directly (its rows may carry geometry-bucket
+        padding beyond (header.height, header.width); this crop removes
+        it)."""
+        row = self.rgb_batch[self.batch_index]
+        if (self.header is not None
+                and row.shape[:2] != (self.header.height,
+                                      self.header.width)):
+            row = row[: self.header.height, : self.header.width]
+        return row
 
 
 class BatchDecoder:
@@ -349,13 +399,17 @@ class BatchDecoder:
 
     def __init__(self, *, entropy: str = "auto", idct: str = "fast",
                  upsample: str = "fancy", device=None,
-                 host_threads: int | None = None, wire: str = "nibble"):
+                 host_threads: int | None = None, wire: str = "nibble",
+                 bucket: str | None = "pow2"):
         if wire not in ("nibble", "sparse", "packed", "slots"):
             raise ValueError(f"unknown wire format {wire!r}")
+        if bucket not in (None, "pow2"):
+            raise ValueError(f"unknown bucket mode {bucket!r}")
         self.entropy = entropy
         self.idct = idct
         self.upsample = upsample
         self.wire = wire
+        self.bucket = bucket
         self.device = device
         self._pool = ThreadPoolExecutor(host_threads or 2)
         self._device_pool = ThreadPoolExecutor(2)
@@ -462,7 +516,11 @@ class BatchDecoder:
         debug = os.environ.get("JD_BATCH_DEBUG")
         t0 = time.perf_counter()
 
-        # Group by geometry (and table-independent pipeline signature).
+        # Group by geometry BUCKET (pow-2 MCU-grid dims by default) and
+        # table-independent pipeline signature: a serving corpus of
+        # arbitrary image sizes compiles O(buckets) device programs, not
+        # one per distinct size (VERDICT r2 item 7).  Per-image true
+        # geometry rides along as a dynamic (mcus_x, mcus_y, H, W) row.
         groups: dict[tuple, list[int]] = {}
         for i, (hdr, _) in enumerate(host_out):
             if isinstance(hdr, Exception):
@@ -470,37 +528,52 @@ class BatchDecoder:
                     index=base + i, header=None, rgb_batch=None,
                     batch_index=-1, error=hdr)
                 continue
-            key = (hdr.width, hdr.height,
+            if self.bucket == "pow2":
+                mxb, myb = _bucket_pow2(hdr.mcus_x), _bucket_pow2(hdr.mcus_y)
+            else:
+                mxb, myb = hdr.mcus_x, hdr.mcus_y
+            key = (mxb, myb,
                    tuple((c.h, c.v) for c in hdr.components),
                    hdr.colorspace, hdr.precision)
             groups.setdefault(key, []).append(i)
 
         def run_group(key_idxs):
             key, idxs = key_idxs
+            mxb, myb, comp_hv, color, precision = key
             hdr0 = host_out[idxs[0]][0]
-            lay = layout_mod.scan_layout(hdr0)
-            comp_srcs = decoder_mod._comp_srcs_jax(lay)
-            samplings = tuple((hdr0.v_max // c.v, hdr0.h_max // c.h)
-                              for c in hdr0.components)
+            h_max = max(h for h, _ in comp_hv)
+            v_max = max(v for _, v in comp_hv)
+            bpm = sum(h * v for h, v in comp_hv)
+            height_b, width_b = myb * 8 * v_max, mxb * 8 * h_max
+            comp_shapes = tuple((myb * v, mxb * h) for h, v in comp_hv)
+            samplings = tuple((v_max // v, h_max // h) for h, v in comp_hv)
+            n_blk = mxb * myb * bpm            # bucket block capacity
             packs = [host_out[i][1] for i in idxs]
             wire = self.wire
-            dc_b = np.stack([p[0] for p in packs])
-            n_coef = dc_b.shape[1] * 64
+            b = len(packs)
+            n_coef = n_blk * 64
+            geom_b = np.stack([
+                np.array([host_out[i][0].mcus_x, host_out[i][0].mcus_y,
+                          host_out[i][0].height, host_out[i][0].width],
+                         np.int32) for i in idxs])
+            # True blocks are a prefix of the bucket block range, so every
+            # wire stream's flat indices stay valid after row padding.
+            dc_b = np.zeros((b, n_blk), np.int16)
+            for k, p in enumerate(packs):
+                dc_b[k, : len(p[0])] = p[0]
             if wire == "slots":
                 # Slot arrays are (N, C) with per-image C: pad slots to
                 # the group max capacity with (0, 0) empties; overflow
                 # lists pad with out-of-range indices (dropped).
                 cmax = max(p[1].shape[1] for p in packs)
-                b = len(packs)
-                n_blk = dc_b.shape[1]
                 pos_b = np.zeros((b, n_blk, cmax), np.uint8)
                 valp_b = np.zeros((b, n_blk, cmax), np.int8)
                 omax = _bucket(max(len(p[3]) for p in packs), min_size=64)
                 ovi_b = np.full((b, omax), n_coef, np.int32)
                 ovv_b = np.zeros((b, omax), np.int16)
                 for k, p in enumerate(packs):
-                    pos_b[k, :, :p[1].shape[1]] = p[1]
-                    valp_b[k, :, :p[2].shape[1]] = p[2]
+                    pos_b[k, :p[1].shape[0], :p[1].shape[1]] = p[1]
+                    valp_b[k, :p[2].shape[0], :p[2].shape[1]] = p[2]
                     ovi_b[k, :len(p[3])] = p[3]
                     ovv_b[k, :len(p[4])] = p[4]
                 ac_parts, ei_at, ev_at = (pos_b, valp_b, ovi_b, ovv_b), 5, 6
@@ -510,8 +583,8 @@ class BatchDecoder:
                 # (0x00 entries / 0 values are no-ops).
                 kmax = _bucket(max(len(p[1]) for p in packs))
                 omax = _bucket(max(len(p[2]) for p in packs), min_size=64)
-                e_b = np.zeros((len(packs), kmax), np.uint8)
-                o_b = np.zeros((len(packs), omax), np.int8)
+                e_b = np.zeros((b, kmax), np.uint8)
+                o_b = np.zeros((b, omax), np.int8)
                 for k, p in enumerate(packs):
                     e_b[k, :len(p[1])] = p[1]
                     o_b[k, :len(p[2])] = p[2]
@@ -520,20 +593,22 @@ class BatchDecoder:
                 # Sparse (gap, val) streams are ragged: pad to the group
                 # max (bucketed) with (0, 0) no-op fillers.
                 kmax = _bucket(max(len(p[1]) for p in packs))
-                g_b = np.zeros((len(packs), kmax), np.uint8)
-                v_b = np.zeros((len(packs), kmax), np.int8)
+                g_b = np.zeros((b, kmax), np.uint8)
+                v_b = np.zeros((b, kmax), np.int8)
                 for k, p in enumerate(packs):
                     g_b[k, :len(p[1])] = p[1]
                     v_b[k, :len(p[2])] = p[2]
                 ac_parts, ei_at, ev_at = (g_b, v_b), 3, 4
             else:
-                ac_b = np.stack([p[1] for p in packs])
+                ac_b = np.zeros((b, n_blk, 64), np.int8)
+                for k, p in enumerate(packs):
+                    ac_b[k, : p[1].shape[0]] = p[1]
                 ac_parts, ei_at, ev_at = (ac_b,), 2, 3
             # Escape lists are ragged: pad each to the group max (bucketed)
             # with out-of-range indices, dropped by the device-side scatter.
             emax = _bucket(max(len(p[ei_at]) for p in packs), min_size=64)
-            ei_b = np.full((len(packs), emax), n_coef, np.int32)
-            ev_b = np.zeros((len(packs), emax), np.int16)
+            ei_b = np.full((b, emax), n_coef, np.int32)
+            ev_b = np.zeros((b, emax), np.int16)
             for k, p in enumerate(packs):
                 ei_b[k, :len(p[ei_at])] = p[ei_at]
                 ev_b[k, :len(p[ev_at])] = p[ev_at]
@@ -554,8 +629,9 @@ class BatchDecoder:
                 ei_b = padb(ei_b, fill=n_coef)
                 qtables_b = np.pad(
                     qtables_b, [(0, bp - b0), (0, 0), (0, 0)], mode="edge")
+                geom_b = np.pad(geom_b, [(0, bp - b0), (0, 0)], mode="edge")
             arrs = [jnp.asarray(x) for x in (dc_b, *ac_parts, ei_b, ev_b,
-                                             qtables_b)]
+                                             qtables_b, geom_b)]
             if self.device is not None:
                 arrs = [jax.device_put(x, self.device) for x in arrs]
             fn = {"slots": _batched_from_slots,
@@ -563,11 +639,11 @@ class BatchDecoder:
                   "sparse": _batched_from_sparse,
                   "packed": _batched_from_packed}[wire]
             rgb_b = fn(
-                *arrs, comp_srcs,
-                comp_shapes=tuple(lay.comp_shapes),
-                height=hdr0.height, width=hdr0.width,
+                *arrs,
+                comp_shapes=comp_shapes, comp_hv=comp_hv,
+                height=height_b, width=width_b,
                 samplings=samplings, idct=self.idct, upsample=self.upsample,
-                color=hdr0.colorspace, precision=hdr0.precision)
+                color=color, precision=precision)
             for k, i in enumerate(idxs):
                 results[base + i] = BatchItem(
                     index=base + i, header=host_out[i][0],

@@ -172,7 +172,33 @@ def _interleave(a: jnp.ndarray, b: jnp.ndarray, axis: int) -> jnp.ndarray:
     return stacked.reshape(shape)
 
 
-def upsample_fancy(plane: jnp.ndarray, vy: int, vx: int) -> jnp.ndarray:
+def _shift_down(x: jnp.ndarray, edge_rows) -> jnp.ndarray:
+    """Row i+1 of ``x`` with edge replication at the LAST VALID row.
+
+    ``edge_rows``: the valid row count — the static array height, or a
+    traced scalar < height when the plane carries geometry-bucket padding
+    (the filter must replicate at the true image edge, not the pad edge).
+    """
+    down = jnp.concatenate([x[1:], x[-1:]], axis=0)
+    if edge_rows is None or (isinstance(edge_rows, int)
+                             and edge_rows == x.shape[0]):
+        return down
+    iota = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+    return jnp.where(iota + 1 >= edge_rows, x, down)
+
+
+def _shift_right(x: jnp.ndarray, edge_cols) -> jnp.ndarray:
+    """Column j+1 of ``x`` with edge replication at the last valid column."""
+    right = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    if edge_cols is None or (isinstance(edge_cols, int)
+                             and edge_cols == x.shape[1]):
+        return right
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1]), 1)
+    return jnp.where(iota + 1 >= edge_cols, x, right)
+
+
+def upsample_fancy(plane: jnp.ndarray, vy: int, vx: int,
+                   edge=None) -> jnp.ndarray:
     """libjpeg-style 'fancy' triangular chroma upsampling (jdsample.c
     semantics, re-derived): 3:1 triangle filter with centered sample grid.
 
@@ -180,10 +206,16 @@ def upsample_fancy(plane: jnp.ndarray, vy: int, vx: int) -> jnp.ndarray:
     commutes exactly through the integer rounding because 4*128 and 16*128
     are multiples of the rounding divisors.
 
+    ``edge``: optional traced (rows, cols) true sample extent when the
+    plane is geometry-bucket padded — the triangle filter's edge
+    replication then happens at the TRUE image edge (bit-exact with the
+    unpadded pipeline inside the true region; see BatchDecoder bucketing).
+
     Capability beyond the reference (which fuses nearest-neighbor only,
     jpeg.cpp:517-520); enables tight conformance vs PIL/libjpeg output.
     """
     x = plane.astype(jnp.int32)
+    e_r, e_c = edge if edge is not None else (None, None)
     # libjpeg's fancy path exists only for the (2,1)/(1,2)/(2,2) ratios
     # (jdsample.c); ANY other ratio — including mixed ones like (2,4) —
     # falls back to plain replication on both axes (int_upsample).
@@ -193,25 +225,25 @@ def upsample_fancy(plane: jnp.ndarray, vy: int, vx: int) -> jnp.ndarray:
         return upsample_nn(plane, vy, vx).astype(jnp.int32)
     if vy == 2 and vx == 2:
         up = jnp.concatenate([x[:1], x[:-1]], axis=0)
-        down = jnp.concatenate([x[1:], x[-1:]], axis=0)
+        down = _shift_down(x, e_r)
         rows_a = 3 * x + up      # contributes to output row 2i
         rows_b = 3 * x + down    # contributes to output row 2i+1
         cols = _interleave(rows_a, rows_b, axis=0)  # (2r, c), 0..1020 scale
         left = jnp.concatenate([cols[:, :1], cols[:, :-1]], axis=1)
-        right = jnp.concatenate([cols[:, 1:], cols[:, -1:]], axis=1)
+        right = _shift_right(cols, e_c)
         even = (3 * cols + left + 8) >> 4
         odd = (3 * cols + right + 7) >> 4
         return _interleave(even, odd, axis=1)
     out = x
     if vy == 2:
         up = jnp.concatenate([out[:1], out[:-1]], axis=0)
-        down = jnp.concatenate([out[1:], out[-1:]], axis=0)
+        down = _shift_down(out, e_r)
         even = (3 * out + up + 1) >> 2
         odd = (3 * out + down + 2) >> 2
         out = _interleave(even, odd, axis=0)
     if vx == 2:
         left = jnp.concatenate([out[:, :1], out[:, :-1]], axis=1)
-        right = jnp.concatenate([out[:, 1:], out[:, -1:]], axis=1)
+        right = _shift_right(out, e_c)
         even = (3 * out + left + 1) >> 2
         odd = (3 * out + right + 2) >> 2
         out = _interleave(even, odd, axis=1)
@@ -295,7 +327,8 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
                         upsample: str = "nn",
                         color: str = "auto",
                         out_cmyk: bool = False,
-                        precision: int = 8) -> jnp.ndarray:
+                        precision: int = 8,
+                        true_dims=None) -> jnp.ndarray:
     """Full pixel pipeline on per-component coefficient planes.
 
     Args:
@@ -310,6 +343,13 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
         "ycbcr", "rgb" (stored as-is), "ycck", or "cmyk".
       out_cmyk: for 4-component sources, return the (H, W, 4) CMYK plane
         (PIL-inverted convention) instead of converting to RGB.
+      true_dims: optional traced (true_height, true_width) scalars when
+        ``height``/``width`` are GEOMETRY-BUCKET dims and the planes carry
+        zero-padding blocks beyond the image's real extent (BatchDecoder
+        bucketing: one compiled program serves many image sizes).  The
+        fancy upsampler's edge replication then happens at the true
+        image edge, so pixels inside (true_height, true_width) are
+        bit-identical to the unpadded pipeline; the caller crops.
 
     Returns (height, width, 3) uint8 RGB (or (H, W, 4) CMYK).
     """
@@ -324,7 +364,6 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
                 "arithmetic XLA 'kron' form on backend %r",
                 _jax.default_backend())
             idct = "kron"  # Pallas IDCT is TPU-only; same arithmetic
-    up_fn = upsample_nn if upsample == "nn" else upsample_fancy
     pix = []
     for plane, q, (vy, vx) in zip(planes, qtables, samplings):
         rows, cols = plane.shape[0], plane.shape[1]
@@ -350,7 +389,14 @@ def pixel_pipeline_impl(planes, qtables, *, height: int, width: int,
             # scans do not even code those blocks — and the fancy
             # filter's edge replication must happen at the true edge.
             img = img[: -(-height // vy), : -(-width // vx)]
-            img = up_fn(img, vy, vx)
+            if upsample == "nn":
+                img = upsample_nn(img, vy, vx)
+            else:
+                edge = None
+                if true_dims is not None:
+                    th, tw = true_dims
+                    edge = ((th + vy - 1) // vy, (tw + vx - 1) // vx)
+                img = upsample_fancy(img, vy, vx, edge=edge)
         pix.append(img)
     if color == "auto":
         color = {1: "gray", 3: "ycbcr", 4: "cmyk"}.get(len(pix), "ycbcr")
