@@ -452,15 +452,22 @@ def decode_lockstep(words, base_bits, nblocks, bit_limits, luts2d, *,
             # Slot-indexed trace: every active lane's slot m records the
             # MCU's start bit (at k==0) and, at the boundary, whether the
             # whole MCU decoded (valid); aborted slots stay invalid.
-            row_old = jax.lax.dynamic_slice(s["starts"], (m, 0), (1, S))
-            row = jnp.where((k == 0) & listen, pos_block_start,
-                            row_old[0])
-            starts = jax.lax.dynamic_update_slice(s["starts"], row[None],
-                                                  (m, 0))
-            vrow_old = jax.lax.dynamic_slice(s["valid"], (m, 0), (1, S))
-            vrow = jnp.where(boundary, mcu_done, vrow_old[0])
-            valid = jax.lax.dynamic_update_slice(s["valid"], vrow[None],
-                                                 (m, 0))
+            # The writes are lax.cond-gated on the uniform scalars k==0 /
+            # boundary: each (rec, S) trace array is touched once per MCU
+            # instead of once per block (slot m is written exactly once,
+            # so no read-modify is needed either) — the ungated form cost
+            # a measurable slice of the record-mode iteration.
+            starts = jax.lax.cond(
+                k == 0,
+                lambda st: jax.lax.dynamic_update_slice(
+                    st, jnp.where(listen, pos_block_start, 0)[None],
+                    (m, 0)),
+                lambda st: st, s["starts"])
+            valid = jax.lax.cond(
+                boundary,
+                lambda vd: jax.lax.dynamic_update_slice(
+                    vd, mcu_done[None], (m, 0)),
+                lambda vd: vd, s["valid"])
             n_mcus = s["n_mcus"] + (active & boundary)
             done = s["done"] | (active & boundary
                                 & (ac["pos"] >= bit_limits))

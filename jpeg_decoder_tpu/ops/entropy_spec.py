@@ -177,7 +177,7 @@ def _spec_pipeline(pool, base_bits, nblocks, limits, luts2d, *,
 
 def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
                             chunk_bytes: int = 2048,
-                            ovf_bytes: int = 1536,
+                            ovf_bytes: int | None = None,
                             max_chunks: int = 256,
                             as_device: bool = False):
     """Chunk-parallel device decode of a single-segment interleaved scan.
@@ -198,6 +198,8 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
         ci for ci, c in enumerate(hdr.components) for _ in range(c.v * c.h))
     data = np.asarray(scan.data, np.uint8)
     nbytes = int(len(data))
+    if ovf_bytes is None:
+        ovf_bytes = _adaptive_ovf(nbytes, n_mcus)
 
     n_chunks = max(1, min(max_chunks, nbytes // chunk_bytes))
     cb = -(-nbytes // n_chunks)
@@ -295,9 +297,22 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader, *,
 # Batched speculative decode: many same-geometry DRI=0 images, one program
 # ---------------------------------------------------------------------------
 
+def _adaptive_ovf(n_bytes: int, n_mcus: int) -> int:
+    """Overflow-window bytes: the splice needs each lane to decode past
+    the NEXT lane's self-sync point, and the sync distance scales with the
+    stream's average MCU byte size (junk speculation near a chunk start
+    burns ~10 garbage 'MCUs' before locking on).  Corpus thresholds from
+    tools/spec_param_sweep*.py: ~7-8x the average breaks the splice,
+    ~10-11x holds; 13x is the margin of record.  Every lane redundantly
+    decodes its overflow window, so oversizing it taxes the whole kernel
+    (the r2-era fixed 1536 B cost ~1.3x on small-MCU streams)."""
+    avg = n_bytes / max(1, n_mcus)
+    return int(min(1536, max(512, 13 * avg)))
+
+
 def prepare_spec_batch(hdr: FrameHeader, scans: list, *,
-                       chunk_bytes: int = 2048, ovf_bytes: int = 1536,
-                       max_chunks: int = 64):
+                       chunk_bytes: int = 2048, ovf_bytes: int | None = None,
+                       max_chunks: int = 128):
     """Host prep for a batch of same-geometry single-segment scans.
 
     Every image gets the same lane count C (its stream split into up to C
@@ -310,8 +325,14 @@ def prepare_spec_batch(hdr: FrameHeader, scans: list, *,
     """
     B = len(scans)
     nbytes = [int(len(s.data)) for s in scans]
-    C = max(1, min(max_chunks, max(nbytes) // chunk_bytes))
     lay = scan_layout(hdr)
+    if ovf_bytes is None:
+        ovf_bytes = _adaptive_ovf(max(nbytes), lay.n_mcus)
+    # Lanes-per-image scale INVERSELY with batch: the kernel saturates
+    # around ~1-2k total lanes (tools/spec_param_sweep2.py), and beyond
+    # that extra chunks only add per-lane overflow redundancy.
+    max_chunks = max(16, min(max_chunks, 2048 // max(1, B)))
+    C = max(1, min(max_chunks, max(nbytes) // chunk_bytes))
     exp_mcus = -(-lay.n_mcus // C)
     # Record capacity per lane: 8x the average + overflow share + slack.
     # Flat image regions pack MCUs at a fraction of the average size
