@@ -160,11 +160,15 @@ def main() -> int:
     # ---- correctness spot check FIRST (before heavy transfers: this box's
     # tunnel degrades device->host fetches after large H2D traffic).
     # All-host expected value (numpy float64 pipeline) vs a device crop,
-    # compared on device — only a scalar crosses back.  Watchdog-guarded:
-    # a wedged fetch must not hang the benchmark.
+    # compared on device — only a scalar crosses back.  The numpy crop is
+    # computed OUTSIDE the watchdog (host work cannot wedge) and the
+    # device part gets a generous window plus one retry, so the artifact
+    # of record carries in-run correctness evidence (VERDICT r2 item 3a).
+    log("spot check: computing numpy reference crop...")
+    expected = _numpy_reference_crop(blobs[1], 32)
+    exp_j = jax.device_put(jnp.asarray(expected), dev)
+
     def spot_check():
-        log("spot check: computing numpy reference crop...")
-        expected = _numpy_reference_crop(blobs[1], 32)
         small = bd.decode([blobs[1]])
         k = small[0].batch_index
 
@@ -174,17 +178,24 @@ def main() -> int:
                 batch, (k, 0, 0, 0), (1, 32, 32, 3))[0].astype(jnp.int32)
             return jnp.max(jnp.abs(crop - exp.astype(jnp.int32)))
 
-        return int(_maxdiff(small[0].rgb_batch,
-                            jax.device_put(jnp.asarray(expected), dev)))
+        return int(_maxdiff(small[0].rgb_batch, exp_j))
 
-    try:
-        fut = ThreadPoolExecutor(1).submit(spot_check)
-        md = fut.result(timeout=60)
-        assert md <= 2, f"bench output mismatch (max diff {md})"
-        log(f"correctness spot check passed (max diff {md})")
-    except TimeoutError:
-        log("spot check SKIPPED: device fetch wedged (tunnel artifact); "
-            "correctness is covered by the test suite")
+    spot_ok = None
+    pool = ThreadPoolExecutor(2)
+    for attempt in range(2):
+        try:
+            md = pool.submit(spot_check).result(timeout=150)
+            assert md <= 2, f"bench output mismatch (max diff {md})"
+            log(f"correctness spot check passed (max diff {md})")
+            spot_ok = True
+            break
+        except TimeoutError:
+            log(f"spot check attempt {attempt + 1} timed out "
+                "(tunnel artifact); retrying" if attempt == 0 else
+                "spot check SKIPPED after retry: device fetch wedged; "
+                "correctness is covered by the test suite")
+            spot_ok = False
+            time.sleep(10)
 
     # ---- warmup: compile every geometry-bucket program at workload batch
     # size (BatchDecoder buckets batch dims) ----
@@ -209,13 +220,56 @@ def main() -> int:
         f" -> best {value:.1f} MP/s (to device-resident RGB)")
 
     # ---- stage breakdown (persisted into the JSON line: VERDICT r1
-    # item 6 — the captured artifact must carry the evidence, not just
-    # stderr) ----
+    # item 6 / r2 item 3b — the captured artifact must carry the
+    # attribution, not just stderr) ----
     t0 = time.perf_counter()
     host_payloads = [bd._host_one(blob) for blob in blobs]
     host_dt = time.perf_counter() - t0
     host_mps = total_mp / host_dt
     log(f"host stage alone: {host_mps:.1f} MP/s (1 thread)")
+
+    # Device wave alone (host payloads precomputed): packing + H2D +
+    # dispatch + device compute for one corpus pass — the stage the wave
+    # pipeline must hide behind host entropy.
+    wave_res = [None] * len(blobs)
+    bd._decode_wave(host_payloads, wave_res, 0)   # warm any new programs
+    t0 = time.perf_counter()
+    wave_res = [None] * len(blobs)
+    bd._decode_wave(host_payloads, wave_res, 0)
+    sync([r for r in wave_res if r and r.rgb_batch is not None])
+    device_wave_ms = (time.perf_counter() - t0) * 1e3
+    log(f"device wave alone (pack+H2D+compute): {device_wave_ms:.0f} ms "
+        f"for {total_mp:.2f} MP -> {total_mp/(device_wave_ms/1e3):.1f} MP/s")
+
+    # Tunnel H2D bandwidth probe (4 MB): attributes transfer vs compute.
+    probe = np.zeros(4 << 20, np.uint8)
+    jax.device_put(probe, dev).block_until_ready()
+    t0 = time.perf_counter()
+    jax.device_put(probe, dev).block_until_ready()
+    h2d_mbps = probe.nbytes / 1e6 / (time.perf_counter() - t0)
+    log(f"H2D tunnel probe: {h2d_mbps:.0f} MB/s")
+
+    # Progressive decode (BASELINE configs[3]): native host entropy stage
+    # on the 12 MP progressive sample (chain-parallel + segment-threaded).
+    prog_mps = None
+    try:
+        from jpeg_decoder_tpu.entropy import native as native_mod
+
+        ppath = "/root/reference/images/prograssive-sample.jpg"
+        if native_mod.available() and os.path.exists(ppath):
+            phdr = parser.parse_file(ppath)
+            pmp = phdr.width * phdr.height / 1e6
+            native_mod.decode_progressive(phdr)  # warm LUT caches
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                native_mod.decode_progressive(phdr)
+                best = min(best, time.perf_counter() - t0)
+            prog_mps = pmp / best
+            log(f"progressive host entropy ({pmp:.1f} MP sample): "
+                f"{prog_mps:.1f} MP/s")
+    except Exception as e:  # noqa: BLE001
+        log("progressive measurement failed:", e)
 
     # Wire density: bytes shipped host->device per pixel (nibble wire).
     wire_bytes = 0
@@ -227,6 +281,51 @@ def main() -> int:
         except Exception:  # noqa: BLE001
             pass
     wire_bpp = wire_bytes / (total_mp * 1e6) if wire_bytes else None
+
+    # ---- fully device-resident path (decode_batch_sharded): blobs ->
+    # device RGB with entropy decode ON DEVICE (VERDICT r2 item 1's
+    # number of record; the host-entropy path above is the default
+    # serving path on CPU-rich hosts) ----
+    dev_path_mps = dev_path_host_ms = None
+    try:
+        from jax.sharding import Mesh
+
+        from jpeg_decoder_tpu.parallel import sharded as sharded_mod
+
+        mesh = Mesh(np.array([dev]).reshape(1, 1), ("data", "seg"))
+        drounds = int(os.environ.get("BENCH_DEVICE_ROUNDS", "16"))
+        dwork = blobs * drounds
+        dmp = total_mp * drounds
+
+        def run_devpath():
+            items = sharded_mod.decode_batch_sharded(dwork, mesh)
+            sync([i for i in items if i.rgb_batch is not None])
+            return items
+
+        run_devpath()  # warm (compiles)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_devpath()
+            best = min(best, time.perf_counter() - t0)
+        dev_path_mps = dmp / best
+        # Host-attributable share: parse + unstuff + lane prep only.
+        from jpeg_decoder_tpu.ops import entropy_spec as espec
+        from jpeg_decoder_tpu.ops import scan_prep as sprep
+
+        t0 = time.perf_counter()
+        for blob in dwork:
+            hdr = parser.parse(blob)
+            if hdr.restart_interval:
+                sprep.prepare_scan(hdr, hdr.scans[0])
+            else:
+                espec.prepare_spec_batch(hdr, [hdr.scans[0]])
+        dev_path_host_ms = (time.perf_counter() - t0) * 1e3
+        log(f"device-resident path: {dev_path_mps:.1f} MP/s "
+            f"({dmp:.1f} MP best of 3; host prep {dev_path_host_ms:.0f} ms"
+            f" of {best*1e3:.0f} ms — remainder is H2D + device programs)")
+    except Exception as e:  # noqa: BLE001
+        log("device-path measurement failed:", e)
 
     ref_mps = measure_reference_mps()
     log(f"reference C++ single-core: "
@@ -240,7 +339,16 @@ def main() -> int:
         "vs_baseline": round(value / ref_mps, 2) if ref_mps else None,
         "median_mps": round(ROUNDS * total_mp / med, 2),
         "passes_s": [round(d, 2) for d in dts],
+        "correctness_spot_check": spot_ok,
         "host_stage_mps_1thread": round(host_mps, 1),
+        "device_wave_ms": round(device_wave_ms, 1),
+        "h2d_probe_mbps": round(h2d_mbps, 1),
+        "progressive_host_entropy_mps": (
+            round(prog_mps, 1) if prog_mps else None),
+        "device_path_mps": (
+            round(dev_path_mps, 2) if dev_path_mps else None),
+        "device_path_host_prep_ms": (
+            round(dev_path_host_ms, 1) if dev_path_host_ms else None),
         "wire_bytes_per_px": round(wire_bpp, 3) if wire_bpp else None,
         "reference_mps": round(ref_mps, 1) if ref_mps else None,
         "wire": wire,
