@@ -33,7 +33,7 @@ jax.config.update("jax_platforms", "cpu")
 
 from jpeg_decoder_tpu import decode  # noqa: E402
 from jpeg_decoder_tpu.io import parser  # noqa: E402
-from jpeg_decoder_tpu.ops import entropy_jax  # noqa: E402
+from jpeg_decoder_tpu.ops import scan_prep  # noqa: E402
 from jpeg_decoder_tpu.parallel import mesh as mesh_mod  # noqa: E402
 from jpeg_decoder_tpu.parallel import sharded  # noqa: E402
 
@@ -49,12 +49,12 @@ def main():
     mesh = mesh_mod.make_mesh(shape, ("data", "seg"))
     print(f"mesh: {dict(mesh.shape)} over {N} devices")
 
-    words, nm, _bc, _mm, _lay = entropy_jax.prepare_scan(hdr, scan)
+    words, nm, _bc, _mm, _lay = scan_prep.prepare_scan(hdr, scan)
     batch = 4
-    rgb, err = sharded.full_decode_step(
+    rgb, err, err_img = sharded.full_decode_step(
         hdr, np.stack([words] * batch), np.stack([nm] * batch), mesh,
         idct="fast", upsample="nn")
-    assert not bool(np.asarray(err).any())
+    assert not bool(np.asarray(err_img).any())
 
     ref = decode(path, entropy="python", idct="fast", upsample="nn").rgb
     assert np.array_equal(np.asarray(rgb)[0], np.asarray(ref))
