@@ -30,7 +30,7 @@ def build_argparser() -> argparse.ArgumentParser:
                         "default: alongside input as .png")
     p.add_argument("--format", choices=["png", "bmp", "ppm"], default="png")
     p.add_argument("--entropy", default="auto",
-                   choices=["auto", "python", "native", "speculative",
+                   choices=["auto", "python", "native", "speculative", "hybrid",
                             "jax", "pallas"],
                    help="entropy-decode backend")
     p.add_argument("--idct", default="fast",

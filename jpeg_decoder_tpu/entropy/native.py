@@ -60,7 +60,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 12:
+        if lib.jd_abi_version() != 13:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_prog_dc_scan_arith.restype = ctypes.c_int64
         lib.jd_prog_dc_scan_arith.argtypes = [
@@ -126,6 +126,15 @@ def _load():
             ctypes.c_int64,                     # n_mcus
             ctypes.c_void_p, ctypes.c_int32,    # out, n_threads
             ctypes.c_int32,                     # n_chunks
+        ]
+        lib.jd_skeleton_scan.restype = ctypes.c_int64
+        lib.jd_skeleton_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,    # data, data_len
+            ctypes.c_int32,                     # n_comps
+            ctypes.c_void_p, ctypes.c_void_p,   # h, v
+            ctypes.c_void_p, ctypes.c_void_p,   # dc_luts, ac_luts
+            ctypes.c_int64, ctypes.c_int64,     # n_mcus, stride
+            ctypes.c_void_p,                    # out_bits
         ]
         lib.jd_prog_dc_scan.restype = ctypes.c_int64
         lib.jd_prog_dc_scan.argtypes = [
@@ -543,6 +552,43 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader,
         out.ctypes.data, n_threads, n_chunks)
     if rc != 0:
         raise JPEGError(f"speculative entropy decode failed (code {rc})")
+    return out
+
+
+def skeleton_scan(hdr: FrameHeader, scan: ScanHeader,
+                  stride: int) -> np.ndarray:
+    """Position-only Huffman pass over a DRI=0 interleaved baseline scan.
+
+    Decodes every symbol (exact lengths) but stores nothing; returns the
+    absolute start BIT of every ``stride``-th MCU as a
+    (ceil(n_mcus / stride),) int64 array.  The host half of the hybrid
+    device decode (ops.entropy_spec.prepare_hybrid_batch): device lanes
+    then extract coefficients from TRUE MCU starts, with none of the
+    speculative path's overflow-window or chunk-skew overheads.
+    Raises JPEGError on malformed streams (callers fall back)."""
+    lib = _load()
+    lay = scan_layout(hdr)
+    comps = hdr.components
+    if len(scan.seg_offsets) != 2:
+        raise JPEGError("skeleton scan requires a single-segment scan")
+    if hdr.precision != 8:
+        raise JPEGError("native backend decodes 8-bit frames only")
+    data = _padded(scan)
+    h = np.array([c.h for c in comps], np.int32)
+    v = np.array([c.v for c in comps], np.int32)
+    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
+    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
+    PtrArray = ctypes.c_void_p * len(comps)
+    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
+    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+    n_out = -(-lay.n_mcus // stride)
+    out = np.zeros(n_out, dtype=np.int64)
+    rc = lib.jd_skeleton_scan(
+        data.ctypes.data, len(scan.data),
+        len(comps), h.ctypes.data, v.ctypes.data,
+        dc_ptrs, ac_ptrs, lay.n_mcus, stride, out.ctypes.data)
+    if rc != 0:
+        raise JPEGError(f"skeleton scan failed (code {rc})")
     return out
 
 

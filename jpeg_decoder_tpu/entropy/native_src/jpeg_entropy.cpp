@@ -223,6 +223,67 @@ inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
   return 0;
 }
 
+// Position-only block decode: advance the bit reader over one 8x8 block
+// without storing any coefficient.  Same symbol semantics and error codes
+// as decode_block; this is the per-block body of the skeleton scan (hybrid
+// device decode: the host locates TRUE MCU start bits, the device extracts
+// coefficients from them with zero speculation overhead).
+inline int skip_block(BitReader& br, const LutEntry* dc_lut,
+                      const int32_t* ac_lut) {
+  uint64_t w = br.window();
+  int avail = 64 - int(br.pos & 7);
+  LutEntry t = dc_lut[w >> 48];
+  int len = t & 31;
+  if (len == 0) return 1;
+  int size = t >> 5;
+  if (size > 11) return 2;
+  br.pos += len + size;
+  w <<= len + size;
+  avail -= len + size;
+
+  int i = 1;
+  while (i < 64) {
+    if (avail < 27) {
+      w = br.window();
+      avail = 64 - int(br.pos & 7);
+    }
+    int32_t e = ac_lut[w >> 48];
+    if (e == 0) return 3;
+    if (__builtin_expect(e & 32, 0)) {  // slow path, see decode_block
+      int sym = (e >> 13) & 0xFF;
+      len = e & 31;
+      int run = (sym == 0xF0) ? 16 : (sym >> 4);
+      int csize = sym & 0x0F;
+      if (i + run > 64 || (csize != 0 && i + run >= 64)) return 4;
+      i += run;
+      if (csize) {
+        if (csize > 10) return 5;
+        ++i;
+      }
+      br.pos += len + csize;
+      w <<= len + csize;
+      avail -= len + csize;
+      continue;
+    }
+    const int bits = e & 31;
+    br.pos += bits;
+    w <<= bits;
+    avail -= bits;
+    const int32_t val = e >> 13;
+    const int run = (e >> 7) & 63;
+    if (val == 0) {
+      if (run == 63) break;  // EOB
+      i += run;              // ZRL
+      if (i > 64) return 4;
+      continue;
+    }
+    i += run;
+    if (i > 63) return 4;
+    ++i;
+  }
+  return 0;
+}
+
 // Run per-segment bodies over a worker pool: seg_fn(s) returns 0 or an
 // error code; the first failure wins and is returned as (s << 8) | rc.
 // Restart segments share no decoder state (DC predictors / arithmetic
@@ -779,6 +840,47 @@ int64_t jd_decode_scan_speculative(const uint8_t* data, int64_t data_len,
         base[k * 64] = preds[ci];
       }
     }
+  }
+  return 0;
+}
+
+// Skeleton scan of a DRI=0 interleaved baseline scan: decode every Huffman
+// symbol but store nothing, recording the absolute start BIT of every
+// `stride`-th MCU into out_bits (ceil(n_mcus / stride) entries).  This is
+// the host half of the hybrid device decode: positions are exact (full
+// symbol-length decode), so device lanes extract coefficients from TRUE
+// MCU starts — no speculative overflow windows, no chunk-skew idling, no
+// splice.  The position scan is inherently serial (each symbol's start
+// depends on the previous symbol's length) but does no coefficient stores,
+// so it runs well above the full host decode rate; batches of images
+// thread at the Python layer.
+// Returns 0 on success, else the decode_block error code of the failing
+// MCU (the caller falls back to the speculative or host path).
+int64_t jd_skeleton_scan(const uint8_t* data, int64_t data_len,
+                         int32_t n_comps,
+                         const int32_t* h, const int32_t* v,
+                         const int16_t* const* dc_luts,
+                         const int32_t* const* ac_luts,
+                         int64_t n_mcus, int64_t stride,
+                         int64_t* out_bits) {
+  if (n_comps < 1 || n_comps > kMaxComps || stride < 1) return -1;
+  int bpm = 0;
+  int block_comp[kMaxComps * 16];
+  for (int ci = 0; ci < n_comps; ++ci)
+    for (int b = 0; b < h[ci] * v[ci]; ++b) {
+      if (bpm >= kMaxComps * 16) return -2;
+      block_comp[bpm++] = ci;
+    }
+  BitReader br{data, 0, data_len * 8};
+  int64_t lane = 0;
+  for (int64_t m = 0; m < n_mcus; ++m) {
+    if (m % stride == 0) out_bits[lane++] = br.pos;
+    for (int k = 0; k < bpm; ++k) {
+      int ci = block_comp[k];
+      int rc = skip_block(br, dc_luts[ci], ac_luts[ci]);
+      if (rc) return rc;
+    }
+    if (br.pos > data_len * 8 + 64) return 6;  // ran past the stream
   }
   return 0;
 }
@@ -2080,6 +2182,6 @@ int64_t jd_prog_ac_scan_arith(const uint8_t* data,
   });
 }
 
-int32_t jd_abi_version() { return 12; }
+int32_t jd_abi_version() { return 13; }
 
 }  // extern "C"

@@ -48,6 +48,10 @@ def _entropy_backend(name: str):
       the speculative chunk-parallel path (ops/entropy_spec).
     * ``speculative`` — native C++ with chunk-parallel self-synchronizing
       decode for DRI=0 streams (segment-threaded otherwise).
+    * ``hybrid``  — host skeleton scan (native, position-only) + on-device
+      lanes decoding from TRUE MCU starts: the fastest device path for
+      DRI=0 streams (no speculative overflow/skew tax); restart streams
+      take the plain lockstep path.
     * ``pallas``  — on-device Pallas kernel (VMEM-resident LUTs/stream).
     * ``auto``    — native if built, else python.
     """
@@ -78,6 +82,16 @@ def _entropy_backend(name: str):
             return entropy_flat.decode_scan_baseline(
                 hdr, scan, as_device=True)
         return device
+    if name == "hybrid":
+        from ..ops import entropy_flat, entropy_spec
+
+        def hybrid(hdr, scan):
+            if len(scan.seg_offsets) == 2 and not scan.restart_interval:
+                return entropy_spec.decode_scan_hybrid(hdr, scan,
+                                                       as_device=True)
+            return entropy_flat.decode_scan_baseline(
+                hdr, scan, as_device=True)
+        return hybrid
     if name == "pallas":
         from ..ops import entropy_pallas
         return entropy_pallas.decode_scan_baseline

@@ -1,6 +1,22 @@
-"""Device-side speculative chunk-parallel entropy decode for DRI=0 streams.
+"""Device-side chunk-parallel entropy decode for DRI=0 streams.
 
-TPU lane lift of the host C++ scheme (jd_decode_scan_speculative,
+Two strategies share this module:
+
+* **Hybrid** (`decode_scan_hybrid` / `prepare_hybrid_batch`): a native
+  host *skeleton scan* (jd_skeleton_scan — full Huffman symbol-length
+  decode, no coefficient stores, 250-430 MP/s/thread) records the TRUE
+  start bit of every stride-th MCU; device lanes then decode exactly
+  `stride` MCUs each from true starts.  Perfect lane balance, no
+  redundant decode, no splice — the DRI=0 device path runs at the
+  restart-segment rate.  Needs the native lib and host cycles.
+* **Speculative** (`decode_scan_speculative` / `prepare_spec_batch`,
+  below): zero host cycles beyond parse+unstuff — lanes start at
+  arbitrary byte boundaries and self-synchronize.  Pays an
+  overflow-window redundancy (~1.2-1.3x) and equal-byte chunk skew
+  (1.4-4x measured) the hybrid path does not.
+
+Speculative design notes: TPU lane lift of the host C++ scheme
+(jd_decode_scan_speculative,
 entropy/native_src/jpeg_entropy.cpp:260-500; SURVEY §7 hard-part 1's
 stretch goal): a JPEG stream without restart markers has a single
 entropy-coded segment the RSTn path cannot shard, but Huffman streams
@@ -365,6 +381,140 @@ def prepare_spec_batch(hdr: FrameHeader, scans: list, *,
         limits_rel[b] = lim
         active[b] = act
     return pools, base_rel, limits_rel, active, cap, C
+
+
+# ---------------------------------------------------------------------------
+# Hybrid decode: host skeleton scan -> device lanes from TRUE MCU starts
+# ---------------------------------------------------------------------------
+#
+# The speculative path pays two taxes the lockstep kernel itself does not
+# have: every lane redundantly decodes an overflow window (~1.2-1.3x), and
+# equal-BYTE chunks give unequal MCU counts, so the lockstep trip count is
+# set by the flattest lane (measured 1.4-4x the average on the corpus).
+# The hybrid path removes both: a native host *skeleton scan*
+# (jd_skeleton_scan — full Huffman symbol-length decode, no coefficient
+# stores, 250-430 MP/s/thread vs 150-260 for the full host decode) records
+# the TRUE start bit of every stride-th MCU, and each device lane decodes
+# exactly `stride` MCUs from a true start (DC as raw diffs + one prefix
+# sum, as in the speculative path).  No overflow, no skew, no splice, no
+# record mode — the DRI=0 device path runs at the restart-segment rate.
+
+
+def prepare_hybrid_batch(hdr: FrameHeader, scans: list, *,
+                         max_lanes_total: int = 2048,
+                         max_chunks: int = 256, threads: int | None = None):
+    """Host prep for the hybrid device decode of same-geometry DRI=0 scans.
+
+    Runs the native skeleton scan per image (threaded across images) and
+    returns (pools (B, W) uint32, starts_rel (B, C) int32 TRUE start bits,
+    nm_lane (B, C) int32 MCUs per lane, stride, C, skel_ok (B,) bool).
+    Images whose skeleton scan fails (corrupt streams) get all-inactive
+    lanes (nm=0) and skel_ok False — callers patch them via the
+    speculative/host fallback chain.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..entropy import native
+
+    B = len(scans)
+    lay = scan_layout(hdr)
+    n_mcus = lay.n_mcus
+    # Lane count: saturate the kernel (~1-2k total lanes, see
+    # tools/spec_param_sweep2.py) without exceeding it per batch.
+    C = max(1, min(max_chunks, max_lanes_total // max(1, B), n_mcus))
+    stride = -(-n_mcus // C)
+    C = -(-n_mcus // stride)
+
+    nbytes = [int(len(s.data)) for s in scans]
+    W = (max(nbytes) + 3) // 4 + 2
+    pools = np.zeros((B, W), np.uint32)
+    starts_rel = np.zeros((B, C), np.int32)
+    nm_lane = np.zeros((B, C), np.int32)
+    skel_ok = np.zeros(B, bool)
+
+    def prep_one(b):
+        s = scans[b]
+        n = nbytes[b]
+        data = np.asarray(s.data, np.uint8)
+        pad = np.zeros(W * 4, np.uint8)
+        pad[:n] = data
+        pools[b] = pad.view(">u4")
+        try:
+            bits = native.skeleton_scan(hdr, s, stride)
+        except JPEGError:
+            return  # skel_ok stays False; lanes stay inactive
+        starts_rel[b, : len(bits)] = bits.astype(np.int32)
+        nm_lane[b, : len(bits)] = stride
+        nm_lane[b, len(bits) - 1] = n_mcus - stride * (len(bits) - 1)
+        skel_ok[b] = True
+
+    if B > 1 and (threads is None or threads > 1):
+        with ThreadPoolExecutor(threads or min(4, B)) as ex:
+            list(ex.map(prep_one, range(B)))
+    else:
+        for b in range(B):
+            prep_one(b)
+    return pools, starts_rel, nm_lane, stride, C, skel_ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "n_comps", "stride", "n_mcus", "C",
+                     "precision"))
+def _hybrid_pipeline_batch(pools, starts_rel, nm_lane, luts2d, *,
+                           block_comp, n_comps, stride, n_mcus, C,
+                           precision=8):
+    """Device half of the hybrid decode for a (B, C) lane grid, one
+    program: lockstep decode from TRUE starts + DC prefix sum.  Returns
+    (blocks (B, n_mcus*bpm, 64), err (B,))."""
+    B = pools.shape[0]
+    W = pools.shape[1]
+    bpm = len(block_comp)
+    img_base = (jnp.arange(B, dtype=jnp.int32) * (W * 32))[:, None]
+    base_abs = (img_base + starts_rel).reshape(-1)
+    nblocks = (nm_lane * bpm).reshape(-1)
+    out, err, n_done, *_ = entropy_flat.decode_lockstep(
+        pools.reshape(-1), base_abs, nblocks,
+        jnp.full((B * C,), 2**30, jnp.int32), luts2d,
+        block_comp=block_comp, n_comps=n_comps,
+        max_blocks=stride * bpm, dc_diff=True, precision=precision)
+    bad = (err | (n_done < nblocks)).reshape(B, C).any(axis=1)
+    # Lanes 0..C-2 decode exactly `stride` MCUs and lane C-1 the remainder,
+    # so flattening lane slots restores scan order directly (no gather).
+    blocks = out.reshape(B, C * stride * bpm, 64)[:, : n_mcus * bpm]
+    blocks = jax.vmap(
+        functools.partial(_dc_prefix_sum, block_comp=block_comp,
+                          n_comps=n_comps))(
+        blocks.reshape(B, n_mcus, bpm, 64))
+    return blocks.reshape(B, n_mcus * bpm, 64), bad
+
+
+def decode_scan_hybrid(hdr: FrameHeader, scan: ScanHeader, *,
+                       as_device: bool = False,
+                       max_lanes_total: int = 2048):
+    """Single-image hybrid decode (host skeleton -> device true-start
+    lanes).  Same contract as every entropy backend: (total_blocks, 64)
+    int32 scan-order natural-order coefficients."""
+    if len(scan.seg_offsets) != 2:
+        raise JPEGError("hybrid decode expects a single segment (DRI=0); "
+                        "use the segment path otherwise")
+    lay = scan_layout(hdr)
+    block_comp = tuple(
+        ci for ci, c in enumerate(hdr.components) for _ in range(c.v * c.h))
+    pools, starts_rel, nm_lane, stride, C, skel_ok = prepare_hybrid_batch(
+        hdr, [scan], max_lanes_total=max_lanes_total, threads=1)
+    if not skel_ok[0]:
+        raise JPEGError("skeleton scan failed (corrupt stream)")
+    luts = entropy_flat.merged_luts(hdr, scan)
+    blocks, bad = _hybrid_pipeline_batch(
+        jnp.asarray(pools), jnp.asarray(starts_rel), jnp.asarray(nm_lane),
+        jnp.asarray(luts.reshape(2 * len(hdr.components), 65536)),
+        block_comp=block_comp, n_comps=len(hdr.components), stride=stride,
+        n_mcus=lay.n_mcus, C=C, precision=hdr.precision)
+    if bool(np.asarray(bad)[0]):
+        raise JPEGError("hybrid device decode failed")
+    blocks = blocks[0]
+    return blocks if as_device else np.asarray(blocks)
 
 
 @functools.partial(

@@ -18,6 +18,7 @@ here segments and images are first-class parallel axes:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -406,6 +407,119 @@ def _spec_full_step(pools, base_rel, limits_rel, active, luts, qtables,
     return rgb, ok
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "n_comps", "stride", "n_mcus", "C",
+                     "precision", "comp_shapes", "samplings", "height",
+                     "width", "idct", "upsample", "color", "mesh_holder"))
+def _hybrid_full_step(pools, starts_rel, nm_lane, luts, qtables,
+                      comp_srcs, *, block_comp, n_comps, stride, n_mcus, C,
+                      precision, comp_shapes, samplings, height, width,
+                      idct, upsample, color, mesh_holder):
+    """Hybrid DRI=0 group decode as ONE sharded program: device lanes
+    decode from TRUE MCU starts (host skeleton scan, jd_skeleton_scan), so
+    there is no overflow window, no chunk-skew idling and no splice — the
+    DRI=0 path runs at the restart-segment rate.  Lanes shard over
+    ('data', 'seg') exactly like restart segments; the DC prefix sum and
+    pixel pipeline run under jit with XLA-inserted collectives.  One
+    dispatch, one (B,) ok fetch."""
+    from ..ops.entropy_spec import _dc_prefix_sum
+
+    mesh = mesh_holder.mesh
+    B, W = pools.shape
+    bpm = len(block_comp)
+
+    def local(pools_l, starts_l, nm_l, luts_l):
+        b_l, c_l = starts_l.shape
+        w = pools_l.shape[1]
+        img_base = (jnp.arange(b_l, dtype=jnp.int32) * (w * 32))[:, None]
+        base_abs = (img_base + starts_l).reshape(-1)
+        nblocks = (nm_l * bpm).reshape(-1)
+        out, err, n_done, *_ = entropy_flat.decode_lockstep(
+            pools_l.reshape(-1), base_abs, nblocks,
+            jnp.full((b_l * c_l,), 2**30, jnp.int32), luts_l,
+            block_comp=block_comp, n_comps=n_comps,
+            max_blocks=stride * bpm, dc_diff=True, precision=precision)
+        bad = (err | (n_done < nblocks)).reshape(b_l, c_l)
+        return out.reshape(b_l, c_l, stride * bpm, 64), bad
+
+    out, bad = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data", "seg"), P("data", "seg"),
+                  P(None, None)),
+        out_specs=(P("data", "seg", None, None), P("data", "seg")),
+        check_vma=False,
+    )(pools, starts_rel, nm_lane, luts)
+
+    # Lanes 0..C-2 hold exactly `stride` MCUs and the last active lane the
+    # remainder (padded lanes decode nothing), so flattening lane slots
+    # restores scan order with no gather.
+    blocks = out.reshape(B, C * stride * bpm, 64)[:, : n_mcus * bpm]
+    blocks = jax.vmap(
+        functools.partial(_dc_prefix_sum, block_comp=block_comp,
+                          n_comps=n_comps))(
+        blocks.reshape(B, n_mcus, bpm, 64)).reshape(B, n_mcus * bpm, 64)
+
+    def pixel_one(blocks_i):
+        planes = tuple(
+            jnp.take(blocks_i, src_c, axis=0).reshape(rows, cols, 64)
+            for src_c, (rows, cols) in zip(comp_srcs, comp_shapes))
+        return pixel_ops.pixel_pipeline_impl(
+            planes, qtables, height=height, width=width,
+            samplings=samplings, idct=idct, upsample=upsample,
+            color=color, precision=precision)
+
+    rgb = jax.vmap(pixel_one)(blocks)
+    return rgb, ~bad.any(axis=1)
+
+
+def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
+    """Dispatch (without blocking) one DRI=0 group through the hybrid
+    pipeline (host skeleton scan -> device true-start lanes).  Returns
+    (rgb (B, H, W, 3) device, ok (B,) numpy-combinable device flags) —
+    rows whose skeleton scan failed are dispatched with inactive lanes and
+    reported not-ok for the speculative/host fallback."""
+    from ..models import decoder as decoder_mod
+    from ..ops import entropy_spec
+
+    lay = scan_layout(hdr)
+    block_comp = tuple(
+        ci for ci, c in enumerate(hdr.components) for _ in range(c.v * c.h))
+    pools, starts, nm_lane, stride, C, skel_ok = \
+        entropy_spec.prepare_hybrid_batch(hdr, scans)
+    luts = entropy_flat.merged_luts(hdr, scans[0]).reshape(
+        2 * len(hdr.components), 65536)
+    qtables = tuple(jnp.asarray(hdr.quant_tables[c.tq].values)
+                    for c in hdr.components)
+    comp_srcs = decoder_mod._comp_srcs_jax(lay)
+    samplings = tuple(
+        (hdr.v_max // c.v, hdr.h_max // c.h) for c in hdr.components)
+
+    b0 = len(scans)
+    bp = -(-b0 // mesh.shape["data"]) * mesh.shape["data"]
+    cp = -(-C // mesh.shape["seg"]) * mesh.shape["seg"]
+    pools = _pad_to(pools, bp, 0)
+    starts = _pad_to(_pad_to(starts, bp, 0), cp, 1)
+    nm_lane = _pad_to(_pad_to(nm_lane, bp, 0), cp, 1)
+
+    pools_j = jax.device_put(jnp.asarray(pools),
+                             NamedSharding(mesh, P("data", None)))
+    lane_sh = NamedSharding(mesh, P("data", "seg"))
+    starts_j = jax.device_put(jnp.asarray(starts), lane_sh)
+    nm_j = jax.device_put(jnp.asarray(nm_lane), lane_sh)
+    luts_j = jax.device_put(jnp.asarray(luts),
+                            NamedSharding(mesh, P(None, None)))
+
+    rgb, ok = _hybrid_full_step(
+        pools_j, starts_j, nm_j, luts_j, qtables, comp_srcs,
+        block_comp=block_comp, n_comps=len(hdr.components), stride=stride,
+        n_mcus=lay.n_mcus, C=cp, precision=hdr.precision,
+        comp_shapes=tuple(lay.comp_shapes), samplings=samplings,
+        height=hdr.height, width=hdr.width, idct=idct, upsample=upsample,
+        color=hdr.colorspace, mesh_holder=_MeshHolder(mesh))
+    return rgb[:b0], ok[:b0], skel_ok
+
+
 def _spec_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
     """Dispatch (without blocking) one DRI=0 group through the sharded
     speculative pipeline.  Returns (rgb (B, H, W, 3) device, ok (B,)
@@ -468,19 +582,27 @@ def _spec_group_rgb(hdr, scans, mesh: Mesh | None = None, *, idct,
                     ("data", "seg"))
     rgb, ok = _spec_group_dispatch(hdr, scans, mesh, idct=idct,
                                    upsample=upsample)
-    return _spec_group_finalize(hdr, scans, rgb, np.asarray(ok),
-                                idct=idct, upsample=upsample)
+    rgb, errs = _spec_group_finalize(hdr, scans, rgb, np.asarray(ok),
+                                     idct=idct, upsample=upsample)
+    bad = [e for e in errs if e is not None]
+    if bad:
+        raise bad[0]
+    return rgb
 
 
 def _spec_group_finalize(hdr, scans, rgb, ok_np, *, idct, upsample):
-    """Patch rows whose device splice failed (rare: extreme MCU-size skew
-    or corrupt streams) via the single-image speculative path."""
+    """Patch rows whose device splice / skeleton scan failed (rare:
+    extreme MCU-size skew, corrupt streams) via the single-image
+    speculative path.  Failures stay PER-IMAGE: returns
+    (rgb, [error-or-None per image]) so one corrupt stream cannot sink
+    its whole geometry group."""
     from ..models import decoder as decoder_mod
     from ..models.batch import _batched_from_scan
     from ..ops import entropy_spec
 
+    errs: list = [None] * len(scans)
     if ok_np.all():
-        return rgb
+        return rgb, errs
     lay = scan_layout(hdr)
     bpm = lay.blocks_per_mcu
     comp_srcs = decoder_mod._comp_srcs_jax(lay)
@@ -489,8 +611,12 @@ def _spec_group_finalize(hdr, scans, rgb, ok_np, *, idct, upsample):
     qt = np.stack([hdr.quant_tables[c.tq].values for c in hdr.components])
     qt_j = jnp.asarray(qt)[None]
     for k in np.flatnonzero(~ok_np):
-        one = entropy_spec.decode_scan_speculative(
-            hdr, scans[int(k)], as_device=True)
+        try:
+            one = entropy_spec.decode_scan_speculative(
+                hdr, scans[int(k)], as_device=True)
+        except Exception as e:  # noqa: BLE001 — per-image isolation
+            errs[int(k)] = e
+            continue
         blocks1 = one[: lay.n_mcus * bpm].astype(jnp.int32)[None]
         rgb1 = _batched_from_scan(
             blocks1, qt_j, comp_srcs,
@@ -499,7 +625,7 @@ def _spec_group_finalize(hdr, scans, rgb, ok_np, *, idct, upsample):
             upsample=upsample, color=hdr.colorspace,
             precision=hdr.precision)
         rgb = rgb.at[int(k)].set(rgb1[0])
-    return rgb
+    return rgb, errs
 
 
 # ---------------------------------------------------------------------------
@@ -583,11 +709,24 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                     hdr0, words_b, nm_b, mesh, idct=idct, upsample=upsample)
                 dispatched.append((items, rgb_b, flags, None))
             else:
-                # DRI=0 streams: speculative chunk lanes over the mesh.
+                # DRI=0 streams: hybrid decode (host skeleton scan ->
+                # device lanes from TRUE MCU starts) when the native lib
+                # is present; speculative chunk lanes otherwise, or when
+                # JD_DEVICE_ENTROPY=spec forces the zero-host-cycles path.
+                from ..entropy import native as native_mod
+
                 scans = [it[2] for it in items]
-                rgb_b, ok = _spec_group_dispatch(
-                    hdr0, scans, mesh, idct=idct, upsample=upsample)
-                dispatched.append((items, rgb_b, ok, scans))
+                use_hybrid = (native_mod.available()
+                              and os.environ.get("JD_DEVICE_ENTROPY",
+                                                 "hybrid") != "spec")
+                if use_hybrid:
+                    rgb_b, ok, skel_ok = _hybrid_group_dispatch(
+                        hdr0, scans, mesh, idct=idct, upsample=upsample)
+                    dispatched.append((items, rgb_b, (ok, skel_ok), scans))
+                else:
+                    rgb_b, ok = _spec_group_dispatch(
+                        hdr0, scans, mesh, idct=idct, upsample=upsample)
+                    dispatched.append((items, rgb_b, ok, scans))
         except Exception as e:  # noqa: BLE001
             for i, hdr, _scan in items:
                 results[i] = BatchItem(index=i, header=hdr, rgb_batch=None,
@@ -597,20 +736,20 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
     for items, rgb_b, flags, scans in dispatched:
         hdr0 = items[0][1]
         try:
-            flags_np = np.asarray(flags)
             if scans is None:  # restart path: flags = per-image error
-                errs = [bool(f) for f in flags_np]
-            else:              # spec path: flags = splice ok
-                rgb_b = _spec_group_finalize(
-                    hdr0, scans, rgb_b, flags_np, idct=idct,
+                errs = [JPEGError("device entropy decode failed")
+                        if bool(f) else None for f in np.asarray(flags)]
+            else:
+                if isinstance(flags, tuple):   # hybrid: (device ok, skel ok)
+                    ok_np = np.asarray(flags[0]) & flags[1]
+                else:                          # spec: splice ok
+                    ok_np = np.asarray(flags)
+                rgb_b, errs = _spec_group_finalize(
+                    hdr0, scans, rgb_b, ok_np, idct=idct,
                     upsample=upsample)
-                errs = [False] * len(items)
             for k, (i, hdr, _scan) in enumerate(items):
-                e = None
-                if errs[k]:
-                    e = JPEGError("device entropy decode failed")
                 results[i] = BatchItem(index=i, header=hdr, rgb_batch=rgb_b,
-                                       batch_index=k, error=e)
+                                       batch_index=k, error=errs[k])
         except Exception as e:  # noqa: BLE001
             for i, hdr, _scan in items:
                 results[i] = BatchItem(index=i, header=hdr, rgb_batch=None,

@@ -14,7 +14,7 @@ import dataclasses
 class DecodeConfig:
     """Knobs for a decode pipeline instance."""
 
-    entropy: str = "auto"   # auto | python | native | speculative | jax | pallas
+    entropy: str = "auto"   # auto | python | native | speculative | hybrid | jax | pallas
     idct: str = "fast"         # exact | fast | kron | pallas
     upsample: str = "fancy"    # nn | fancy
     strict: bool = False       # eager pixel pipeline (bit-exact vs reference)
@@ -26,7 +26,7 @@ class DecodeConfig:
     mesh_shape: tuple[int, int] | None = None
 
     def validate(self) -> "DecodeConfig":
-        if self.entropy not in ("auto", "python", "native", "speculative",
+        if self.entropy not in ("auto", "python", "native", "speculative", "hybrid",
                                 "jax", "pallas"):
             raise ValueError(f"bad entropy backend {self.entropy!r}")
         if self.idct not in ("exact", "fast", "kron", "pallas"):

@@ -138,3 +138,99 @@ def test_spec_batch_pipeline(name):
     ref = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
     for b in np.asarray(blocks):
         assert np.array_equal(b, ref)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid decode: host skeleton scan -> device lanes from TRUE MCU starts
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", DRI0)
+def test_hybrid_corpus_bit_exact(name):
+    hdr = parser.parse_file(corpus_path(name))
+    scan = hdr.scans[0]
+    ref = python_ref.decode_scan_baseline(hdr, scan)
+    got = entropy_spec.decode_scan_hybrid(hdr, scan)
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("lanes", [1, 3, 64, 1000])
+def test_hybrid_lane_counts(lanes):
+    """Lane-count edge cases: 1 lane (degenerate), non-dividing counts
+    (remainder lane), and more lanes than saturating."""
+    hdr = parser.parse_file(corpus_path("img2.jpg"))
+    scan = hdr.scans[0]
+    ref = python_ref.decode_scan_baseline(hdr, scan)
+    got = entropy_spec.decode_scan_hybrid(hdr, scan,
+                                          max_lanes_total=lanes)
+    assert np.array_equal(got, ref)
+
+
+def test_hybrid_skeleton_positions_match_python():
+    """The native skeleton scan's recorded MCU start bits equal the ones
+    the pure-Python decoder passes through."""
+    from jpeg_decoder_tpu.entropy import native
+    from jpeg_decoder_tpu.huffman import build_lut
+    from jpeg_decoder_tpu.layout import scan_layout
+
+    hdr = parser.parse_file(corpus_path("img2.jpg"))
+    scan = hdr.scans[0]
+    lay = scan_layout(hdr)
+    stride = 7
+    bits = native.skeleton_scan(hdr, scan, stride)
+
+    reader = python_ref.BitReader(scan.data.tobytes())
+    dc_luts = {c.td: build_lut(scan.dc_specs[c.td]).tolist()
+               for c in hdr.components}
+    ac_luts = {c.ta: build_lut(scan.ac_specs[c.ta]).tolist()
+               for c in hdr.components}
+    block = np.zeros(64, np.int64)
+    expected = []
+    for m in range(lay.n_mcus):
+        if m % stride == 0:
+            expected.append(reader.pos)
+        for c in hdr.components:
+            for _ in range(c.v * c.h):
+                block[:] = 0
+                python_ref.decode_block(reader, dc_luts[c.td],
+                                        ac_luts[c.ta], block, 0, 11, 10)
+    assert list(bits) == expected
+
+
+def test_hybrid_batch_pipeline():
+    """The batched hybrid pipeline (one program for B images) matches
+    python_ref for every image."""
+    import jax.numpy as jnp
+
+    from jpeg_decoder_tpu.layout import scan_layout
+    from jpeg_decoder_tpu.ops import entropy_flat
+    from jpeg_decoder_tpu.ops import entropy_spec as es
+
+    hdr = parser.parse_file(corpus_path("img3.jpg"))
+    scans = [hdr.scans[0]] * 3
+    pools, starts, nm, stride, C, skel_ok = es.prepare_hybrid_batch(
+        hdr, scans)
+    assert skel_ok.all()
+    luts = entropy_flat.merged_luts(hdr, hdr.scans[0]).reshape(
+        2 * len(hdr.components), 65536)
+    lay = scan_layout(hdr)
+    bc = tuple(ci for ci, c in enumerate(hdr.components)
+               for _ in range(c.v * c.h))
+    blocks, bad = es._hybrid_pipeline_batch(
+        jnp.asarray(pools), jnp.asarray(starts), jnp.asarray(nm),
+        jnp.asarray(luts), block_comp=bc, n_comps=len(hdr.components),
+        stride=stride, n_mcus=lay.n_mcus, C=C)
+    assert not np.asarray(bad).any()
+    ref = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
+    for b in np.asarray(blocks):
+        assert np.array_equal(b, ref)
+
+
+def test_hybrid_corrupt_stream_raises():
+    """A corrupt stream fails the skeleton scan (host), not the device."""
+    hdr = parser.parse_file(corpus_path("img2.jpg"))
+    scan = hdr.scans[0]
+    bad = np.array(scan.data, np.uint8).copy()
+    bad[len(bad) // 2: len(bad) // 2 + 64] = 0xFF  # invalid prefix run
+    scan.data = bad
+    with pytest.raises(JPEGError):
+        entropy_spec.decode_scan_hybrid(hdr, scan)

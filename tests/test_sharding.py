@@ -151,3 +151,109 @@ def test_decode_batch_sharded(mesh18):
         assert np.array_equal(np.asarray(it.rgb), ref)
     items = decode_batch_sharded([blobs[0], b"garbage"], mesh18)
     assert items[0].error is None and items[1].error is not None
+
+
+def test_hybrid_lanes_sharded_across_devices(mesh24):
+    """Hybrid DRI=0 decode (host skeleton -> device true-start lanes):
+    lanes are PLACED across the mesh and output stays bit-exact."""
+    from jpeg_decoder_tpu import decode as decode_one
+    from jpeg_decoder_tpu.parallel.sharded import _hybrid_group_dispatch
+
+    blob = open(corpus_path("img.jpg"), "rb").read()
+    hdr = parser.parse(blob)
+    assert hdr.restart_interval == 0
+    scans = [parser.parse(blob).scans[0] for _ in range(3)]
+    rgb, ok, skel_ok = _hybrid_group_dispatch(hdr, scans, mesh24,
+                                              idct="fast", upsample="nn")
+    assert skel_ok.all() and bool(np.asarray(ok).all())
+    assert len(rgb.sharding.device_set) >= 2, rgb.sharding
+    ref = decode_one(blob, idct="fast", upsample="nn").rgb
+    got = np.asarray(rgb)
+    for i in range(3):
+        assert np.array_equal(got[i], ref), f"batch element {i}"
+
+
+def test_decode_batch_sharded_spec_forced(mesh24, monkeypatch):
+    """JD_DEVICE_ENTROPY=spec keeps the zero-host-cycles speculative path
+    selectable, bit-exact."""
+    from jpeg_decoder_tpu import decode as decode_one
+    from jpeg_decoder_tpu.parallel.sharded import decode_batch_sharded
+
+    monkeypatch.setenv("JD_DEVICE_ENTROPY", "spec")
+    blob = open(corpus_path("img2.jpg"), "rb").read()
+    items = decode_batch_sharded([blob] * 2, mesh24, idct="fast",
+                                 upsample="nn")
+    ref = decode_one(blob, idct="fast", upsample="nn").rgb
+    for it in items:
+        assert it.error is None
+        assert np.array_equal(np.asarray(it.rgb), ref)
+
+
+def _truncated_blob(blob: bytes) -> bytes:
+    """Remove the middle half of the entropy body (parseable, but the
+    skeleton scan detects the truncation)."""
+    sos = blob.find(b"\xff\xda")
+    body = sos + 2 + int.from_bytes(blob[sos + 2: sos + 4], "big")
+    eoi = blob.rfind(b"\xff\xd9")
+    cut_a = body + (eoi - body) // 4
+    cut_b = body + 3 * (eoi - body) // 4
+    return blob[:cut_a] + blob[cut_b:]
+
+
+def test_decode_batch_sharded_truncated_stream_best_effort(mesh18):
+    """A truncated DRI=0 stream falls off the hybrid path (the skeleton
+    scan detects the overrun) into the speculative chain, which decodes
+    best-effort — neighbors in the same geometry group stay exact."""
+    from jpeg_decoder_tpu import decode as decode_one
+    from jpeg_decoder_tpu.io.parser import parse
+    from jpeg_decoder_tpu.ops import entropy_spec
+    from jpeg_decoder_tpu.parallel.sharded import decode_batch_sharded
+
+    blob = open(corpus_path("img2.jpg"), "rb").read()
+    hdr = parse(blob)
+    bad_blob = _truncated_blob(blob)
+    assert parse(bad_blob).width == hdr.width  # same geometry group
+    bad_hdr = parse(bad_blob)
+    with pytest.raises(Exception):
+        entropy_spec.decode_scan_hybrid(bad_hdr, bad_hdr.scans[0])
+
+    items = decode_batch_sharded([blob, bad_blob, blob], mesh18,
+                                 idct="fast", upsample="nn")
+    ref = decode_one(blob, idct="fast", upsample="nn").rgb
+    assert items[0].error is None
+    assert np.array_equal(np.asarray(items[0].rgb), ref)
+    assert items[2].error is None
+    assert np.array_equal(np.asarray(items[2].rgb), ref)
+    # The truncated image decodes best-effort via the speculative chain
+    # (premature-EOF streams fill from zero bits, libjpeg-style).
+    assert items[1].error is None
+    assert np.asarray(items[1].rgb).shape == ref.shape
+
+
+def test_decode_batch_sharded_fallback_failure_isolated(mesh18,
+                                                       monkeypatch):
+    """If the per-image fallback itself raises, only that image errors —
+    the rest of its geometry group still decodes (per-image isolation in
+    _spec_group_finalize)."""
+    from jpeg_decoder_tpu import decode as decode_one
+    from jpeg_decoder_tpu.io.parser import parse
+    from jpeg_decoder_tpu.ops import entropy_spec
+    from jpeg_decoder_tpu.parallel.sharded import decode_batch_sharded
+    from jpeg_decoder_tpu.types import JPEGError
+
+    blob = open(corpus_path("img2.jpg"), "rb").read()
+    bad_blob = _truncated_blob(blob)
+    assert parse(bad_blob).width == parse(blob).width
+
+    def boom(*a, **k):
+        raise JPEGError("fallback failed (test)")
+
+    monkeypatch.setattr(entropy_spec, "decode_scan_speculative", boom)
+    items = decode_batch_sharded([blob, bad_blob, blob], mesh18,
+                                 idct="fast", upsample="nn")
+    ref = decode_one(blob, idct="fast", upsample="nn").rgb
+    assert items[0].error is None
+    assert np.array_equal(np.asarray(items[0].rgb), ref)
+    assert items[2].error is None
+    assert np.array_equal(np.asarray(items[2].rgb), ref)
+    assert items[1].error is not None, "failed fallback must fail alone"
