@@ -309,15 +309,20 @@ def main() -> int:
             run_devpath()
             best = min(best, time.perf_counter() - t0)
         dev_path_mps = dmp / best
-        # Host-attributable share: parse + unstuff + lane prep only.
+        # Host-attributable share: parse + unstuff + lane prep (hybrid
+        # skeleton scan for DRI=0 groups — what decode_batch_sharded runs).
+        from jpeg_decoder_tpu.entropy import native as native_mod
         from jpeg_decoder_tpu.ops import entropy_spec as espec
         from jpeg_decoder_tpu.ops import scan_prep as sprep
 
+        use_hybrid = native_mod.available()
         t0 = time.perf_counter()
         for blob in dwork:
             hdr = parser.parse(blob)
             if hdr.restart_interval:
                 sprep.prepare_scan(hdr, hdr.scans[0])
+            elif use_hybrid:
+                espec.prepare_hybrid_batch(hdr, [hdr.scans[0]], threads=1)
             else:
                 espec.prepare_spec_batch(hdr, [hdr.scans[0]])
         dev_path_host_ms = (time.perf_counter() - t0) * 1e3

@@ -49,20 +49,35 @@ def canonical_codes(spec: HuffmanSpec) -> tuple[np.ndarray, np.ndarray]:
     return codes, lengths
 
 
+_LUT16_CACHE: dict = {}
+_LUT32AC_CACHE: dict = {}
+
+
 def build_lut(spec: HuffmanSpec) -> np.ndarray:
     """Build the flat 2^16 decode LUT: ``lut[next16bits] = (symbol<<5)|len``.
 
     Every 16-bit window whose prefix equals a code maps to that code's
     (symbol, length).  Unreachable prefixes stay 0 (invalid).
     Returns an int32 array (int32 rather than uint16 for cheap device math).
+
+    Tables repeat across scans, images and serving batches, so builds are
+    memoized on the table bytes; the cached array is read-only (copy
+    before mutating).
     """
-    codes, lengths = canonical_codes(spec)
-    lut = np.zeros(LUT_SIZE, dtype=np.int32)
-    for code, length, symbol in zip(codes, lengths, spec.symbols):
-        shift = LUT_BITS - int(length)
-        lo = int(code) << shift
-        hi = lo + (1 << shift)
-        lut[lo:hi] = (int(symbol) << 5) | int(length)
+    key = (spec.counts.tobytes(), spec.symbols.tobytes())
+    lut = _LUT16_CACHE.get(key)
+    if lut is None:
+        codes, lengths = canonical_codes(spec)
+        lut = np.zeros(LUT_SIZE, dtype=np.int32)
+        for code, length, symbol in zip(codes, lengths, spec.symbols):
+            shift = LUT_BITS - int(length)
+            lo = int(code) << shift
+            hi = lo + (1 << shift)
+            lut[lo:hi] = (int(symbol) << 5) | int(length)
+        lut.flags.writeable = False
+        if len(_LUT16_CACHE) > 256:
+            _LUT16_CACHE.clear()
+        _LUT16_CACHE[key] = lut
     return lut
 
 
@@ -83,7 +98,13 @@ def build_ac_lut32(spec: HuffmanSpec) -> np.ndarray:
     invalid ``size > 10``) instead pack ``(symbol << 13) | 32 | code_len``
     and the decoder falls back to the two-step path.  ``e == 0`` marks an
     invalid prefix.
+
+    Memoized like :func:`build_lut`; the cached array is read-only.
     """
+    key = (spec.counts.tobytes(), spec.symbols.tobytes())
+    out = _LUT32AC_CACHE.get(key)
+    if out is not None:
+        return out
     lut16 = build_lut(spec)
     lens = (lut16 & 31).astype(np.int64)
     syms = ((lut16 >> 5) & 0xFF).astype(np.int64)
@@ -101,7 +122,12 @@ def build_ac_lut32(spec: HuffmanSpec) -> np.ndarray:
     e_fast = (value << 13) | (run << 7) | total
     e_slow = (syms << 13) | 32 | lens
     out = np.where(lens == 0, 0, np.where(fast, e_fast, e_slow))
-    return out.astype(np.int32)
+    out = out.astype(np.int32)
+    out.flags.writeable = False
+    if len(_LUT32AC_CACHE) > 256:
+        _LUT32AC_CACHE.clear()
+    _LUT32AC_CACHE[key] = out
+    return out
 
 
 def lut_symbol(entry: np.ndarray | int):

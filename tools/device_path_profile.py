@@ -138,6 +138,43 @@ def main():
     print(f"  ok fetch       {t_fetch*1e3:8.1f} ms (ok={ok_np.tolist()})")
     print(f"  whole group    {t_full_group*1e3:8.1f} ms "
           f"-> {mp/t_full_group:.1f} MP/s (spec+splice+pixel, warm)")
+
+    # ---- hybrid path split for the same group (skeleton + true starts) --
+    t0 = time.perf_counter()
+    hp_pools, hp_starts, hp_nm, stride, hC, skel_ok = \
+        entropy_spec.prepare_hybrid_batch(hdr, scans)
+    t_hprep = time.perf_counter() - t0
+    assert skel_ok.all()
+    bc = block_comp
+
+    def hrun():
+        return entropy_spec._hybrid_pipeline_batch(
+            jnp.asarray(hp_pools), jnp.asarray(hp_starts),
+            jnp.asarray(hp_nm), luts_j, block_comp=bc,
+            n_comps=len(hdr.components), stride=stride,
+            n_mcus=lay.n_mcus, C=hC, precision=hdr.precision)
+
+    t0 = time.perf_counter()
+    hb, hbad = hrun()
+    hb.block_until_ready()
+    t_hcompile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hb, hbad = hrun()
+    hb.block_until_ready()
+    t_hyb = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rgb, hok, _sk = sharded._hybrid_group_dispatch(
+        hdr, scans, mesh, idct="fast", upsample="fancy")
+    rgb.block_until_ready()
+    t_hfull = time.perf_counter() - t0
+    print(f"hybrid split (same group, B={rep} C={hC} stride={stride}):")
+    print(f"  skeleton+prep  {t_hprep*1e3:8.1f} ms "
+          f"-> {mp/t_hprep:.1f} MP/s host-side")
+    print(f"  hybrid program {t_hyb*1e3:8.1f} ms "
+          f"(first call incl compile+H2D: {t_hcompile*1e3:.0f} ms) "
+          f"-> {mp/t_hyb:.1f} MP/s")
+    print(f"  whole group    {t_hfull*1e3:8.1f} ms "
+          f"-> {mp/t_hfull:.1f} MP/s (prep+H2D+entropy+pixel, warm)")
     return 0
 
 
