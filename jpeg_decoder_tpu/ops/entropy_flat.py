@@ -74,11 +74,12 @@ def _window32(cur, nxt, off):
 @functools.partial(
     jax.jit,
     static_argnames=("block_comp", "n_comps", "max_blocks", "dc_diff",
-                     "record_mcus", "max_mcus", "precision"))
+                     "record_mcus", "max_mcus", "precision", "commit"))
 def decode_flat(words, base_bits, nblocks, bit_limits, luts, *,
                 block_comp: tuple[int, ...], n_comps: int, max_blocks: int,
                 dc_diff: bool = False, record_mcus: int = 0,
-                max_mcus: int = 0, precision: int = 8):
+                max_mcus: int = 0, precision: int = 8,
+                commit: str = "block"):
     """Batched flat-loop decode of S independent lanes.
 
     Args:
@@ -98,6 +99,12 @@ def decode_flat(words, base_bits, nblocks, bit_limits, luts, *,
         splicing, mirroring jd_decode_scan_speculative's phase 3).
       record_mcus / max_mcus: when > 0, also record the start bit of every
         decoded MCU (speculative trace) into a (S, max_mcus) buffer.
+      commit: "block" accumulates each block in an (S, 64) register tile
+        and scatters it on completion; "scalar" writes each decoded
+        coefficient straight into the output with a one-element-per-lane
+        scatter — no accumulator, no per-block commit (the cheaper mode
+        when per-op scatter overhead beats per-element cost; measured by
+        tools/entropy_ablation.py).
 
     Returns:
       out: (S, max_blocks, 64) int32, natural coefficient order.
@@ -193,19 +200,30 @@ def decode_flat(words, base_bits, nblocks, bit_limits, luts, *,
         write_idx = jnp.where(is_dc, 0, jnp.clip(wpos, 0, 63))
         value = jnp.where(is_dc, dc_val, val)
         do_write = active & ~bad & (is_dc | ((~is_eob) & (csize > 0)))
-        acc = s["acc"] + jnp.where(
-            do_write[:, None] & (lane64 == write_idx[:, None]),
-            value[:, None], 0)
 
         coef_next = jnp.where(
             is_dc, 1,
             jnp.where(is_eob, 64, wpos + (csize > 0).astype(jnp.int32)))
         block_done = active & ~bad & (~is_dc) & (coef_next >= 64)
 
-        # --- commit completed blocks (scatter; non-committing lanes drop)
-        tgt = jnp.where(block_done, s["blk"], max_blocks)
-        out = s["out"].at[lanes, tgt].add(acc, mode="drop")
-        acc = jnp.where(block_done[:, None], 0, acc)
+        if commit == "scalar":
+            # One coefficient per lane per iteration, straight to the
+            # output: no accumulator, no per-block commit scatter.
+            o2 = s["out"].reshape(S, max_blocks * 64)
+            cidx = jnp.where(do_write, s["blk"] * 64 + write_idx,
+                             max_blocks * 64)
+            out = o2.at[lanes, cidx].add(value, mode="drop",
+                                         unique_indices=True
+                                         ).reshape(S, max_blocks, 64)
+            acc = s["acc"]
+        else:
+            acc = s["acc"] + jnp.where(
+                do_write[:, None] & (lane64 == write_idx[:, None]),
+                value[:, None], 0)
+            # --- commit completed blocks (scatter; non-committers drop)
+            tgt = jnp.where(block_done, s["blk"], max_blocks)
+            out = s["out"].at[lanes, tgt].add(acc, mode="drop")
+            acc = jnp.where(block_done[:, None], 0, acc)
         blk = s["blk"] + block_done
         k_next = jnp.where(block_done, s["k"] + 1, s["k"])
         mcu_done = block_done & (k_next >= bpm)

@@ -457,6 +457,134 @@ def prepare_hybrid_batch(hdr: FrameHeader, scans: list, *,
     return pools, starts_rel, nm_lane, stride, C, skel_ok
 
 
+def prepare_hybrid_batch_balanced(hdr: FrameHeader, scans: list, *,
+                                  max_lanes_total: int = 2048,
+                                  max_chunks: int = 256,
+                                  threads: int | None = None,
+                                  cap_factor: int = 4):
+    """Byte-balanced hybrid prep: lanes get ~equal BYTES, not equal MCUs.
+
+    The lockstep kernel's trip count is Σ_slot max_lanes(symbols-in-slot)
+    — ~3.5x the balanced ideal on the corpus because a slot pays the
+    p99 block density over the lanes; a flat symbol loop's trip count is
+    max_lane(total symbols), which equal-BYTE lanes bring within ~1.1-1.4x
+    of ideal (bytes ∝ symbols).  The skeleton scan records every MCU
+    start, boundaries snap to MCU starts nearest the equal-byte targets
+    (lane size capped at ``cap_factor``x the mean to bound the padded
+    output buffer), and a host-built gather map restores scan order.
+
+    Returns (pools (B, W) uint32, starts_rel (B, C) int32, nm_lane (B, C)
+    int32, max_nm, C, src_idx (B, n_mcus*bpm) int32, skel_ok (B,) bool).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..entropy import native
+
+    B = len(scans)
+    lay = scan_layout(hdr)
+    n_mcus = lay.n_mcus
+    bpm = lay.blocks_per_mcu
+    C = max(1, min(max_chunks, max_lanes_total // max(1, B), n_mcus))
+    cap_nm = -(-n_mcus * cap_factor // C)
+
+    nbytes = [int(len(s.data)) for s in scans]
+    W = (max(nbytes) + 3) // 4 + 2
+    pools = np.zeros((B, W), np.uint32)
+    all_bits: list = [None] * B
+    skel_ok = np.zeros(B, bool)
+
+    def scan_one(b):
+        s = scans[b]
+        n = nbytes[b]
+        pad = np.zeros(W * 4, np.uint8)
+        pad[:n] = np.asarray(s.data, np.uint8)
+        pools[b] = pad.view(">u4")
+        try:
+            all_bits[b] = native.skeleton_scan(hdr, s, 1)
+        except JPEGError:
+            return
+        skel_ok[b] = True
+
+    if B > 1 and (threads is None or threads > 1):
+        with ThreadPoolExecutor(threads or min(4, B)) as ex:
+            list(ex.map(scan_one, range(B)))
+    else:
+        for b in range(B):
+            scan_one(b)
+
+    starts_rel = np.zeros((B, C), np.int32)
+    nm_lane = np.zeros((B, C), np.int32)
+    src_idx = np.zeros((B, n_mcus * bpm), np.int32)
+    max_nm = 1
+    bounds_b = []
+    for b in range(B):
+        if not skel_ok[b]:
+            bounds_b.append(None)
+            continue
+        bits = all_bits[b]
+        targets = np.linspace(0, nbytes[b] * 8, C + 1)[1:-1]
+        want = np.searchsorted(bits, targets)
+        bounds = np.empty(C + 1, np.int64)
+        bounds[0] = 0
+        lo = 0
+        for i in range(C):
+            hi = int(want[i]) if i < C - 1 else n_mcus
+            hi = min(max(hi, lo), lo + cap_nm, n_mcus)
+            hi = max(hi, n_mcus - (C - 1 - i) * cap_nm)
+            bounds[i + 1] = hi
+            lo = hi
+        m_lo, m_hi = bounds[:-1], bounds[1:]
+        nm = (m_hi - m_lo).astype(np.int32)
+        starts_rel[b] = bits[np.minimum(m_lo, n_mcus - 1)].astype(np.int32)
+        nm_lane[b] = nm
+        max_nm = max(max_nm, int(nm.max()))
+        bounds_b.append((m_lo, nm))
+    for b in range(B):
+        if bounds_b[b] is None:
+            continue
+        m_lo, nm = bounds_b[b]
+        lane_of = np.repeat(np.arange(C, dtype=np.int64), nm)
+        local = np.arange(n_mcus, dtype=np.int64) - np.repeat(m_lo, nm)
+        row = (lane_of * max_nm + local) * bpm
+        src_idx[b] = (row[:, None]
+                      + np.arange(bpm, dtype=np.int64)[None, :]
+                      ).reshape(-1).astype(np.int32)
+    return pools, starts_rel, nm_lane, max_nm, C, src_idx, skel_ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "n_comps", "max_nm", "n_mcus", "C",
+                     "precision"))
+def _hybrid_pipeline_batch_flat(pools, starts_rel, nm_lane, src_idx,
+                                luts_flat, *, block_comp, n_comps, max_nm,
+                                n_mcus, C, precision=8):
+    """Device half of the byte-balanced hybrid decode: flat symbol loop
+    (scalar commit — one coefficient per lane per iteration) + gather
+    reassembly + DC prefix sum.  Returns (blocks (B, n_mcus*bpm, 64),
+    err (B,))."""
+    B = pools.shape[0]
+    W = pools.shape[1]
+    bpm = len(block_comp)
+    img_base = (jnp.arange(B, dtype=jnp.int32) * (W * 32))[:, None]
+    base_abs = (img_base + starts_rel).reshape(-1)
+    nblocks = (nm_lane * bpm).reshape(-1)
+    out, err, n_done, *_ = entropy_flat.decode_flat(
+        pools.reshape(-1), base_abs, nblocks,
+        jnp.full((B * C,), 2**30, jnp.int32), luts_flat,
+        block_comp=block_comp, n_comps=n_comps,
+        max_blocks=max_nm * bpm, dc_diff=True, precision=precision,
+        commit="scalar")
+    bad = (err | (n_done < nblocks)).reshape(B, C).any(axis=1)
+    rows = out.reshape(B, C * max_nm * bpm, 64)
+    blocks = jax.vmap(lambda r, s: jnp.take(r, s, axis=0))(rows, src_idx)
+    blocks = jax.vmap(
+        functools.partial(_dc_prefix_sum, block_comp=block_comp,
+                          n_comps=n_comps))(
+        blocks.reshape(B, n_mcus, bpm, 64))
+    return blocks.reshape(B, n_mcus * bpm, 64), bad
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_comp", "n_comps", "stride", "n_mcus", "C",

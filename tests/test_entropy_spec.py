@@ -234,3 +234,86 @@ def test_hybrid_corrupt_stream_raises():
     scan.data = bad
     with pytest.raises(JPEGError):
         entropy_spec.decode_scan_hybrid(hdr, scan)
+
+
+@pytest.mark.parametrize("name", DRI0)
+def test_hybrid_balanced_corpus_bit_exact(name):
+    """Byte-balanced lanes + flat scalar-commit kernel: bit-exact."""
+    import jax.numpy as jnp
+
+    from jpeg_decoder_tpu.layout import scan_layout
+    from jpeg_decoder_tpu.ops import entropy_flat
+    from jpeg_decoder_tpu.ops import entropy_spec as es
+
+    hdr = parser.parse_file(corpus_path(name))
+    scans = [hdr.scans[0]] * 2
+    pools, starts, nm, max_nm, C, src, ok = \
+        es.prepare_hybrid_batch_balanced(hdr, scans)
+    assert ok.all()
+    lay = scan_layout(hdr)
+    bc = tuple(ci for ci, c in enumerate(hdr.components)
+               for _ in range(c.v * c.h))
+    luts = entropy_flat.merged_luts(hdr, hdr.scans[0])
+    blocks, bad = es._hybrid_pipeline_batch_flat(
+        jnp.asarray(pools), jnp.asarray(starts), jnp.asarray(nm),
+        jnp.asarray(src), jnp.asarray(luts), block_comp=bc,
+        n_comps=len(hdr.components), max_nm=max_nm, n_mcus=lay.n_mcus,
+        C=C, precision=hdr.precision)
+    assert not np.asarray(bad).any()
+    ref = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
+    for b in np.asarray(blocks):
+        assert np.array_equal(b, ref)
+
+
+def test_hybrid_balanced_lane_cap():
+    """A tight lane-size cap (cap_factor=1 forces every boundary to the
+    cap) still covers all MCUs and stays exact."""
+    import jax.numpy as jnp
+
+    from jpeg_decoder_tpu.layout import scan_layout
+    from jpeg_decoder_tpu.ops import entropy_flat
+    from jpeg_decoder_tpu.ops import entropy_spec as es
+
+    hdr = parser.parse_file(corpus_path("img2.jpg"))
+    scans = [hdr.scans[0]]
+    pools, starts, nm, max_nm, C, src, ok = \
+        es.prepare_hybrid_batch_balanced(hdr, scans, cap_factor=1)
+    assert ok.all()
+    lay = scan_layout(hdr)
+    assert int(nm.sum()) == lay.n_mcus
+    assert int(nm.max()) <= -(-lay.n_mcus // C) + 1
+    bc = tuple(ci for ci, c in enumerate(hdr.components)
+               for _ in range(c.v * c.h))
+    luts = entropy_flat.merged_luts(hdr, hdr.scans[0])
+    blocks, bad = es._hybrid_pipeline_batch_flat(
+        jnp.asarray(pools), jnp.asarray(starts), jnp.asarray(nm),
+        jnp.asarray(src), jnp.asarray(luts), block_comp=bc,
+        n_comps=len(hdr.components), max_nm=max_nm, n_mcus=lay.n_mcus,
+        C=C, precision=hdr.precision)
+    assert not np.asarray(bad).any()
+    ref = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
+    assert np.array_equal(np.asarray(blocks)[0], ref)
+
+
+def test_flat_scalar_commit_matches_block_commit():
+    """decode_flat's scalar-commit mode emits the same blocks as the
+    block-commit mode (restart-segment lanes, img4)."""
+    import jax.numpy as jnp
+
+    from jpeg_decoder_tpu.ops import entropy_flat
+
+    hdr = parser.parse_file(corpus_path("img4.jpg"))
+    scan = hdr.scans[0]
+    pool, base, nblocks, mb, bc, lay = \
+        entropy_flat.prepare_scan_flat(hdr, scan)
+    luts = entropy_flat.merged_luts(hdr, scan)
+    outs = {}
+    for mode in ("block", "scalar"):
+        out, err, *_ = entropy_flat.decode_flat(
+            jnp.asarray(pool), jnp.asarray(base), jnp.asarray(nblocks),
+            jnp.full(base.shape, 2**30, jnp.int32), jnp.asarray(luts),
+            block_comp=bc, n_comps=len(hdr.components), max_blocks=mb,
+            commit=mode)
+        assert not np.asarray(err).any()
+        outs[mode] = np.asarray(out)
+    assert np.array_equal(outs["block"], outs["scalar"])
