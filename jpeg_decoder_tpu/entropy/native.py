@@ -60,7 +60,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 13:
+        if lib.jd_abi_version() != 14:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_prog_dc_scan_arith.restype = ctypes.c_int64
         lib.jd_prog_dc_scan_arith.argtypes = [
@@ -134,7 +134,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,   # h, v
             ctypes.c_void_p, ctypes.c_void_p,   # dc_luts, ac_luts
             ctypes.c_int64, ctypes.c_int64,     # n_mcus, stride
-            ctypes.c_void_p,                    # out_bits
+            ctypes.c_void_p, ctypes.c_void_p,   # out_bits, out_syms
         ]
         lib.jd_prog_dc_scan.restype = ctypes.c_int64
         lib.jd_prog_dc_scan.argtypes = [
@@ -556,12 +556,14 @@ def decode_scan_speculative(hdr: FrameHeader, scan: ScanHeader,
 
 
 def skeleton_scan(hdr: FrameHeader, scan: ScanHeader,
-                  stride: int) -> np.ndarray:
+                  stride: int, want_syms: bool = False):
     """Position-only Huffman pass over a DRI=0 interleaved baseline scan.
 
     Decodes every symbol (exact lengths) but stores nothing; returns the
     absolute start BIT of every ``stride``-th MCU as a
-    (ceil(n_mcus / stride),) int64 array.  The host half of the hybrid
+    (ceil(n_mcus / stride),) int64 array; with ``want_syms`` also the
+    per-MCU Huffman symbol (probe) count as an int32 array — the exact
+    per-lane trip counts for the emission kernel.  The host half of the hybrid
     device decode (ops.entropy_spec.prepare_hybrid_batch): device lanes
     then extract coefficients from TRUE MCU starts, with none of the
     speculative path's overflow-window or chunk-skew overheads.
@@ -583,13 +585,15 @@ def skeleton_scan(hdr: FrameHeader, scan: ScanHeader,
     ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
     n_out = -(-lay.n_mcus // stride)
     out = np.zeros(n_out, dtype=np.int64)
+    syms = np.zeros(lay.n_mcus, dtype=np.int32) if want_syms else None
     rc = lib.jd_skeleton_scan(
         data.ctypes.data, len(scan.data),
         len(comps), h.ctypes.data, v.ctypes.data,
-        dc_ptrs, ac_ptrs, lay.n_mcus, stride, out.ctypes.data)
+        dc_ptrs, ac_ptrs, lay.n_mcus, stride, out.ctypes.data,
+        syms.ctypes.data if want_syms else None)
     if rc != 0:
         raise JPEGError(f"skeleton scan failed (code {rc})")
-    return out
+    return (out, syms) if want_syms else out
 
 
 def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,

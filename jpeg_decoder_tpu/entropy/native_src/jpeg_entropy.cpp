@@ -229,7 +229,7 @@ inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
 // device decode: the host locates TRUE MCU start bits, the device extracts
 // coefficients from them with zero speculation overhead).
 inline int skip_block(BitReader& br, const LutEntry* dc_lut,
-                      const int32_t* ac_lut) {
+                      const int32_t* ac_lut, int32_t& nsym) {
   uint64_t w = br.window();
   int avail = 64 - int(br.pos & 7);
   LutEntry t = dc_lut[w >> 48];
@@ -240,6 +240,7 @@ inline int skip_block(BitReader& br, const LutEntry* dc_lut,
   br.pos += len + size;
   w <<= len + size;
   avail -= len + size;
+  ++nsym;
 
   int i = 1;
   while (i < 64) {
@@ -249,6 +250,7 @@ inline int skip_block(BitReader& br, const LutEntry* dc_lut,
     }
     int32_t e = ac_lut[w >> 48];
     if (e == 0) return 3;
+    ++nsym;
     if (__builtin_expect(e & 32, 0)) {  // slow path, see decode_block
       int sym = (e >> 13) & 0xFF;
       len = e & 31;
@@ -856,13 +858,16 @@ int64_t jd_decode_scan_speculative(const uint8_t* data, int64_t data_len,
 // thread at the Python layer.
 // Returns 0 on success, else the decode_block error code of the failing
 // MCU (the caller falls back to the speculative or host path).
+// out_syms (nullable): per-MCU Huffman symbol (probe) counts — the exact
+// per-lane trip counts the emission device kernel needs for
+// symbol-balanced lane splitting (ops.entropy_spec prepare, "emit" path).
 int64_t jd_skeleton_scan(const uint8_t* data, int64_t data_len,
                          int32_t n_comps,
                          const int32_t* h, const int32_t* v,
                          const int16_t* const* dc_luts,
                          const int32_t* const* ac_luts,
                          int64_t n_mcus, int64_t stride,
-                         int64_t* out_bits) {
+                         int64_t* out_bits, int32_t* out_syms) {
   if (n_comps < 1 || n_comps > kMaxComps || stride < 1) return -1;
   int bpm = 0;
   int block_comp[kMaxComps * 16];
@@ -875,11 +880,13 @@ int64_t jd_skeleton_scan(const uint8_t* data, int64_t data_len,
   int64_t lane = 0;
   for (int64_t m = 0; m < n_mcus; ++m) {
     if (m % stride == 0) out_bits[lane++] = br.pos;
+    int32_t nsym = 0;
     for (int k = 0; k < bpm; ++k) {
       int ci = block_comp[k];
-      int rc = skip_block(br, dc_luts[ci], ac_luts[ci]);
+      int rc = skip_block(br, dc_luts[ci], ac_luts[ci], nsym);
       if (rc) return rc;
     }
+    if (out_syms) out_syms[m] = nsym;
     if (br.pos > data_len * 8 + 64) return 6;  // ran past the stream
   }
   return 0;
@@ -2182,6 +2189,6 @@ int64_t jd_prog_ac_scan_arith(const uint8_t* data,
   });
 }
 
-int32_t jd_abi_version() { return 13; }
+int32_t jd_abi_version() { return 14; }
 
 }  // extern "C"

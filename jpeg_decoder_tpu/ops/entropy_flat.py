@@ -272,6 +272,113 @@ def decode_flat(words, base_bits, nblocks, bit_limits, luts, *,
 
 
 # ---------------------------------------------------------------------------
+# Emission variant: no in-loop stores at all
+# ---------------------------------------------------------------------------
+#
+# Both earlier kernels pay for coefficient STORES inside the loop: the
+# flat loop's per-lane scatter costs per-op overhead every iteration
+# (measured 16x slower than lockstep at 2000 lanes), and the lockstep
+# kernel's uniform-index commits force all lanes through block slot b
+# together — sum-over-slots of the max-over-lanes block symbol count,
+# measured ~3.5x the balanced ideal trip count on the corpus.
+#
+# The emission kernel stores nothing: a fixed-trip lax.scan decodes one
+# symbol per lane per step and EMITS (lane-local zigzag position, value)
+# as stacked scan outputs — sequential uniform-index writes XLA handles
+# natively.  ONE large scatter-add after the loop materializes all T*S
+# coefficients at once, amortizing the scatter op overhead.  With lanes
+# balanced by EXACT symbol counts (the native skeleton scan counts
+# probes per MCU), the trip count is the max lane total ~= the balanced
+# ideal.  Requires dc_diff semantics (raw DC diffs + prefix-sum later),
+# i.e. the hybrid true-start path.
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_comp", "n_comps", "T", "precision"))
+def decode_emit(words, base_bits, nblocks, luts, *,
+                block_comp: tuple[int, ...], n_comps: int, T: int,
+                precision: int = 8):
+    """Emission decode of S lanes: exactly ``T`` symbol steps per lane.
+
+    Args are as :func:`decode_flat` (flat merged ``luts``); ``T`` must be
+    >= every lane's total Huffman symbol count (lanes that exhaust their
+    ``nblocks`` idle).  DC coefficients are raw diffs (dc_diff).
+
+    Returns (pos (T, S) int32 — lane-local ``blk*64 + zigzag_index`` or
+    -1 for non-writing steps, val (T, S) int32, err (S,) bool,
+    n_done (S,) int32 completed blocks).
+    """
+    S = base_bits.shape[0]
+    bpm = len(block_comp)
+    n_words = words.shape[0]
+    bc_arr = jnp.asarray(np.asarray(block_comp, np.int32))
+    max_dc, max_ac = (15, 14) if precision > 8 else (11, 10)
+
+    w0 = (base_bits >> 5).astype(jnp.int32)
+    off0 = (base_bits & 31).astype(jnp.uint32)
+    cur0 = jnp.take(words, jnp.minimum(w0, n_words - 1))
+    nxt0 = jnp.take(words, jnp.minimum(w0 + 1, n_words - 1))
+    carry0 = dict(
+        cur=cur0, nxt=nxt0, off=off0, w_idx=w0 + 2,
+        blk=jnp.zeros((S,), jnp.int32),
+        coef=jnp.zeros((S,), jnp.int32),
+        err=jnp.zeros((S,), jnp.bool_))
+
+    def step(s, _):
+        active = ~s["err"] & (s["blk"] < nblocks)
+        window = _window32(s["cur"], s["nxt"], s["off"])
+        w16 = (window >> 16).astype(jnp.int32)
+        comp = jnp.take(bc_arr, s["blk"] % bpm)
+        is_dc = s["coef"] == 0
+        row = comp * 2 + (~is_dc).astype(jnp.int32)
+        entry = jnp.take(luts, row * 65536 + w16).astype(jnp.int32)
+        length = (entry & 31).astype(jnp.uint32)
+        sym = (entry >> 5) & 0xFF
+        bad = entry == 0
+        is_eob = (~is_dc) & (sym == 0)
+        run = jnp.where(sym == 0xF0, 16, sym >> 4)
+        csize = jnp.where(is_dc, sym, sym & 15).astype(jnp.uint32)
+        bad = bad | jnp.where(is_dc, sym > max_dc, (sym & 15) > max_ac)
+        csize = jnp.minimum(csize, 16)
+        raw = jnp.where(
+            csize == 0, jnp.uint32(0),
+            (window << length) >> (32 - jnp.maximum(csize, 1)))
+        val = _extend(raw, csize.astype(jnp.int32))
+
+        wpos = s["coef"] + run
+        overflow = (~is_dc) & (~is_eob) & (
+            (wpos > 64) | ((csize > 0) & (wpos >= 64)))
+        bad = bad | overflow
+        write_idx = jnp.where(is_dc, 0, jnp.clip(wpos, 0, 63))
+        do_write = active & ~bad & (is_dc | ((~is_eob) & (csize > 0)))
+        pos = jnp.where(do_write, s["blk"] * 64 + write_idx, -1)
+
+        coef_next = jnp.where(
+            is_dc, 1,
+            jnp.where(is_eob, 64, wpos + (csize > 0).astype(jnp.int32)))
+        ok = active & ~bad
+        block_done = ok & (~is_dc) & (coef_next >= 64)
+        blk = s["blk"] + block_done
+        coef = jnp.where(ok, jnp.where(block_done, 0, coef_next),
+                         s["coef"])
+
+        adv = jnp.where(ok, (length + csize).astype(jnp.int32), 0)
+        offp = s["off"] + adv.astype(jnp.uint32)
+        need = offp >= 32
+        loaded = jnp.take(words, jnp.minimum(s["w_idx"], n_words - 1))
+        carry = dict(
+            cur=jnp.where(need, s["nxt"], s["cur"]),
+            nxt=jnp.where(need, loaded, s["nxt"]),
+            off=offp - jnp.where(need, 32, 0).astype(jnp.uint32),
+            w_idx=s["w_idx"] + need, blk=blk, coef=coef,
+            err=s["err"] | (bad & active))
+        return carry, (pos, jnp.where(do_write, val, 0))
+
+    end, (pos, val) = jax.lax.scan(step, carry0, None, length=T)
+    return pos, val, end["err"], end["blk"]
+
+
+# ---------------------------------------------------------------------------
 # Block-lockstep variant: every store is a uniform-index update
 # ---------------------------------------------------------------------------
 #

@@ -552,6 +552,138 @@ def prepare_hybrid_batch_balanced(hdr: FrameHeader, scans: list, *,
     return pools, starts_rel, nm_lane, max_nm, C, src_idx, skel_ok
 
 
+def _bucket_T(t: int) -> int:
+    """Round a trip count up to quarter-pow2 granularity so distinct
+    corpora compile O(log) emission programs, not one per exact count."""
+    t = max(64, int(t))
+    step = max(64, 1 << (t.bit_length() - 3))
+    return -(-t // step) * step
+
+
+def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
+                              max_lanes_total: int = 2048,
+                              max_chunks: int = 256,
+                              threads: int | None = None,
+                              cap_factor: int = 4):
+    """Symbol-balanced hybrid prep for the emission kernel.
+
+    The skeleton scan counts Huffman symbols per MCU, so lane boundaries
+    split the stream into ~equal SYMBOL counts — the emission kernel's
+    trip count is then the max lane total, within a few percent of the
+    balanced ideal (lane MCU count still capped at ``cap_factor``x the
+    mean).  Lanes cover contiguous MCU ranges, so the post-scatter
+    output is ALREADY scan-order dense — no gather map, no padding.
+
+    Returns (pools (B, W) uint32, starts_rel (B, C) int32 bit offsets,
+    nm_lane (B, C) int32 MCUs per lane, lane_off (B, C) int32 — the
+    lane's first coefficient slot ``first_mcu * bpm * 64``, T (bucketed
+    max lane symbol count), C, skel_ok (B,) bool).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..entropy import native
+
+    B = len(scans)
+    lay = scan_layout(hdr)
+    n_mcus = lay.n_mcus
+    bpm = lay.blocks_per_mcu
+    C = max(1, min(max_chunks, max_lanes_total // max(1, B), n_mcus))
+    cap_nm = -(-n_mcus * cap_factor // C)
+
+    nbytes = [int(len(s.data)) for s in scans]
+    W = (max(nbytes) + 3) // 4 + 2
+    pools = np.zeros((B, W), np.uint32)
+    scanned: list = [None] * B
+    skel_ok = np.zeros(B, bool)
+
+    def scan_one(b):
+        s = scans[b]
+        n = nbytes[b]
+        pad = np.zeros(W * 4, np.uint8)
+        pad[:n] = np.asarray(s.data, np.uint8)
+        pools[b] = pad.view(">u4")
+        try:
+            scanned[b] = native.skeleton_scan(hdr, s, 1, want_syms=True)
+        except JPEGError:
+            return
+        skel_ok[b] = True
+
+    if B > 1 and (threads is None or threads > 1):
+        with ThreadPoolExecutor(threads or min(4, B)) as ex:
+            list(ex.map(scan_one, range(B)))
+    else:
+        for b in range(B):
+            scan_one(b)
+
+    starts_rel = np.zeros((B, C), np.int32)
+    nm_lane = np.zeros((B, C), np.int32)
+    lane_off = np.zeros((B, C), np.int32)
+    T = 64
+    for b in range(B):
+        if not skel_ok[b]:
+            continue
+        bits, syms = scanned[b]
+        cum = np.concatenate([[0], np.cumsum(syms.astype(np.int64))])
+        targets = np.linspace(0, cum[-1], C + 1)[1:-1]
+        want = np.searchsorted(cum, targets)
+        bounds = np.empty(C + 1, np.int64)
+        bounds[0] = 0
+        lo = 0
+        for i in range(C):
+            hi = int(want[i]) if i < C - 1 else n_mcus
+            hi = min(max(hi, lo), lo + cap_nm, n_mcus)
+            hi = max(hi, n_mcus - (C - 1 - i) * cap_nm)
+            bounds[i + 1] = hi
+            lo = hi
+        m_lo, m_hi = bounds[:-1], bounds[1:]
+        nm_lane[b] = (m_hi - m_lo).astype(np.int32)
+        starts_rel[b] = bits[np.minimum(m_lo, n_mcus - 1)].astype(np.int32)
+        lane_off[b] = (m_lo * bpm * 64).astype(np.int32)
+        T = max(T, int((cum[m_hi] - cum[m_lo]).max()))
+    return pools, starts_rel, nm_lane, lane_off, _bucket_T(T), C, skel_ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "n_comps", "T", "n_mcus", "C",
+                     "precision"))
+def _hybrid_pipeline_batch_emit(pools, starts_rel, nm_lane, lane_off,
+                                luts_flat, *, block_comp, n_comps, T,
+                                n_mcus, C, precision=8):
+    """Device half of the symbol-balanced hybrid decode: emission kernel
+    + one post-loop scatter-add straight into scan order + DC prefix
+    sum.  Returns (blocks (B, n_mcus*bpm, 64), err (B,))."""
+    from ..types import ZIGZAG_INV
+
+    B = pools.shape[0]
+    W = pools.shape[1]
+    bpm = len(block_comp)
+    img_base = (jnp.arange(B, dtype=jnp.int32) * (W * 32))[:, None]
+    base_abs = (img_base + starts_rel).reshape(-1)
+    nblocks = (nm_lane * bpm).reshape(-1)
+    pos, val, err, n_done = entropy_flat.decode_emit(
+        pools.reshape(-1), base_abs, nblocks, luts_flat,
+        block_comp=block_comp, n_comps=n_comps, T=T, precision=precision)
+    bad = (err | (n_done < nblocks)).reshape(B, C).any(axis=1)
+
+    # Lane-local positions -> dense per-image scan-order slots: lanes
+    # cover contiguous MCU ranges, so slot = lane's first slot + local.
+    img_out = (jnp.arange(B, dtype=jnp.int32)
+               * (n_mcus * bpm * 64))[:, None]
+    out_off = (img_out + lane_off).reshape(-1)
+    n_total = B * n_mcus * bpm * 64
+    flat_pos = jnp.where(pos >= 0, pos + out_off[None, :], n_total)
+    out = jnp.zeros((n_total,), jnp.int32).at[flat_pos.reshape(-1)].add(
+        val.reshape(-1), mode="drop")
+    blocks = jnp.take(out.reshape(B, n_mcus * bpm, 64),
+                      jnp.asarray(ZIGZAG_INV), axis=2)
+    blocks = jax.vmap(
+        functools.partial(_dc_prefix_sum, block_comp=block_comp,
+                          n_comps=n_comps))(
+        blocks.reshape(B, n_mcus, bpm, 64))
+    return blocks.reshape(B, n_mcus * bpm, 64), bad
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_comp", "n_comps", "max_nm", "n_mcus", "C",

@@ -558,6 +558,80 @@ def _hybrid_full_step_flat(pools, starts_rel, nm_lane, src_idx, luts,
     return rgb, ~bad.any(axis=1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "n_comps", "T", "n_mcus", "C",
+                     "precision", "comp_shapes", "samplings", "height",
+                     "width", "idct", "upsample", "color", "mesh_holder"))
+def _hybrid_full_step_emit(pools, starts_rel, nm_lane, lane_off, luts,
+                           qtables, comp_srcs, *, block_comp, n_comps, T,
+                           n_mcus, C, precision, comp_shapes, samplings,
+                           height, width, idct, upsample, color,
+                           mesh_holder):
+    """Symbol-balanced hybrid group decode as ONE sharded program: the
+    emission kernel (no in-loop stores; trip count = max lane symbol
+    total ~ balanced ideal) under shard_map over ('data', 'seg'), one
+    post-loop scatter straight into scan order, DC prefix sum + pixel
+    under jit."""
+    from ..ops.entropy_spec import _dc_prefix_sum
+    from ..types import ZIGZAG_INV
+
+    mesh = mesh_holder.mesh
+    B, W = pools.shape
+    bpm = len(block_comp)
+
+    def local(pools_l, starts_l, nm_l, off_l, luts_l):
+        b_l, c_l = starts_l.shape
+        w = pools_l.shape[1]
+        img_base = (jnp.arange(b_l, dtype=jnp.int32) * (w * 32))[:, None]
+        base_abs = (img_base + starts_l).reshape(-1)
+        nblocks = (nm_l * bpm).reshape(-1)
+        pos, val, err, n_done = entropy_flat.decode_emit(
+            pools_l.reshape(-1), base_abs, nblocks, luts_l,
+            block_comp=block_comp, n_comps=n_comps, T=T,
+            precision=precision)
+        bad = (err | (n_done < nblocks)).reshape(b_l, c_l)
+        # Scatter the local lanes' emissions into LOCAL per-image dense
+        # planes; the 'seg' axis then reduces partial planes with one
+        # XLA collective (psum) — each lane writes disjoint slots, so
+        # the sum is exact.
+        img_out = (jnp.arange(b_l, dtype=jnp.int32)
+                   * (n_mcus * bpm * 64))[:, None]
+        out_off = (img_out + off_l).reshape(-1)
+        n_total = b_l * n_mcus * bpm * 64
+        flat_pos = jnp.where(pos >= 0, pos + out_off[None, :], n_total)
+        out = jnp.zeros((n_total,), jnp.int32).at[
+            flat_pos.reshape(-1)].add(val.reshape(-1), mode="drop")
+        out = jax.lax.psum(out.reshape(b_l, n_mcus * bpm, 64), "seg")
+        return out, bad
+
+    blocks, bad = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data", "seg"), P("data", "seg"),
+                  P("data", "seg"), P(None,)),
+        out_specs=(P("data", None, None), P("data", "seg")),
+        check_vma=False,
+    )(pools, starts_rel, nm_lane, lane_off, luts)
+
+    blocks = jnp.take(blocks, jnp.asarray(ZIGZAG_INV), axis=2)
+    blocks = jax.vmap(
+        functools.partial(_dc_prefix_sum, block_comp=block_comp,
+                          n_comps=n_comps))(
+        blocks.reshape(B, n_mcus, bpm, 64)).reshape(B, n_mcus * bpm, 64)
+
+    def pixel_one(blocks_i):
+        planes = tuple(
+            jnp.take(blocks_i, src_c, axis=0).reshape(rows_c, cols_c, 64)
+            for src_c, (rows_c, cols_c) in zip(comp_srcs, comp_shapes))
+        return pixel_ops.pixel_pipeline_impl(
+            planes, qtables, height=height, width=width,
+            samplings=samplings, idct=idct, upsample=upsample,
+            color=color, precision=precision)
+
+    rgb = jax.vmap(pixel_one)(blocks)
+    return rgb, ~bad.any(axis=1)
+
+
 def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
     """Dispatch (without blocking) one DRI=0 group through the hybrid
     pipeline (host skeleton scan -> device true-start lanes).  Returns
@@ -565,9 +639,15 @@ def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
     rows whose skeleton scan failed are dispatched with inactive lanes and
     reported not-ok for the speculative/host fallback.
 
-    JD_HYBRID_KERNEL selects the device kernel: "flat" (default —
-    byte-balanced lanes, flat symbol loop, ~1.1-1.4x the balanced ideal
-    trip count) or "lockstep" (equal-MCU lanes, block-lockstep kernel).
+    JD_HYBRID_KERNEL selects the device kernel (tools/hybrid_kernel_ab.py
+    measures all three in one process):
+      "emit" (default) — symbol-balanced lanes + emission kernel (no
+        in-loop stores; trip count = max lane symbol total ~ ideal);
+      "lockstep" — equal-MCU lanes, block-lockstep kernel (~3.5x ideal
+        trip count: each block slot pays the max-over-lanes density);
+      "flat" — byte-balanced lanes, per-iteration scalar scatter
+        (measured 16x slower on the v5e: scatter per-op overhead;
+        kept for ablation).
     """
     from ..models import decoder as decoder_mod
     from ..ops import entropy_spec
@@ -575,7 +655,7 @@ def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
     lay = scan_layout(hdr)
     block_comp = tuple(
         ci for ci, c in enumerate(hdr.components) for _ in range(c.v * c.h))
-    kernel = os.environ.get("JD_HYBRID_KERNEL", "flat")
+    kernel = os.environ.get("JD_HYBRID_KERNEL", "emit")
     luts = entropy_flat.merged_luts(hdr, scans[0])
     qtables = tuple(jnp.asarray(hdr.quant_tables[c.tq].values)
                     for c in hdr.components)
@@ -583,7 +663,10 @@ def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
     samplings = tuple(
         (hdr.v_max // c.v, hdr.h_max // c.h) for c in hdr.components)
 
-    if kernel == "flat":
+    if kernel == "emit":
+        (pools, starts, nm_lane, lane_off, T, C,
+         skel_ok) = entropy_spec.prepare_hybrid_batch_emit(hdr, scans)
+    elif kernel == "flat":
         (pools, starts, nm_lane, max_nm, C, src_idx,
          skel_ok) = entropy_spec.prepare_hybrid_batch_balanced(hdr, scans)
     else:
@@ -611,7 +694,14 @@ def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
         comp_shapes=tuple(lay.comp_shapes), samplings=samplings,
         height=hdr.height, width=hdr.width, idct=idct, upsample=upsample,
         color=hdr.colorspace, mesh_holder=_MeshHolder(mesh))
-    if kernel == "flat":
+    if kernel == "emit":
+        off_j = jax.device_put(
+            jnp.asarray(_pad_to(_pad_to(lane_off, bp, 0), cp, 1)),
+            lane_sh)
+        rgb, ok = _hybrid_full_step_emit(
+            pools_j, starts_j, nm_j, off_j, luts_j, qtables, comp_srcs,
+            T=T, **common)
+    elif kernel == "flat":
         src_j = jax.device_put(jnp.asarray(_pad_to(src_idx, bp, 0)),
                                NamedSharding(mesh, P("data", None)))
         rgb, ok = _hybrid_full_step_flat(

@@ -317,3 +317,76 @@ def test_flat_scalar_commit_matches_block_commit():
         assert not np.asarray(err).any()
         outs[mode] = np.asarray(out)
     assert np.array_equal(outs["block"], outs["scalar"])
+
+
+@pytest.mark.parametrize("name", DRI0)
+def test_hybrid_emit_corpus_bit_exact(name):
+    """Symbol-balanced lanes + emission kernel: bit-exact."""
+    import jax.numpy as jnp
+
+    from jpeg_decoder_tpu.layout import scan_layout
+    from jpeg_decoder_tpu.ops import entropy_flat
+    from jpeg_decoder_tpu.ops import entropy_spec as es
+
+    hdr = parser.parse_file(corpus_path(name))
+    scans = [hdr.scans[0]] * 2
+    pools, starts, nm, lane_off, T, C, ok = \
+        es.prepare_hybrid_batch_emit(hdr, scans)
+    assert ok.all()
+    lay = scan_layout(hdr)
+    assert (nm.sum(axis=1) == lay.n_mcus).all()
+    bc = tuple(ci for ci, c in enumerate(hdr.components)
+               for _ in range(c.v * c.h))
+    luts = entropy_flat.merged_luts(hdr, hdr.scans[0])
+    blocks, bad = es._hybrid_pipeline_batch_emit(
+        jnp.asarray(pools), jnp.asarray(starts), jnp.asarray(nm),
+        jnp.asarray(lane_off), jnp.asarray(luts), block_comp=bc,
+        n_comps=len(hdr.components), T=T, n_mcus=lay.n_mcus, C=C,
+        precision=hdr.precision)
+    assert not np.asarray(bad).any()
+    ref = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
+    for b in np.asarray(blocks):
+        assert np.array_equal(b, ref)
+
+
+def test_hybrid_emit_tight_T_flags_error():
+    """An underestimated trip count T must flag the image (n_done short),
+    never emit wrong data silently."""
+    import jax.numpy as jnp
+
+    from jpeg_decoder_tpu.layout import scan_layout
+    from jpeg_decoder_tpu.ops import entropy_flat
+    from jpeg_decoder_tpu.ops import entropy_spec as es
+
+    hdr = parser.parse_file(corpus_path("img2.jpg"))
+    scans = [hdr.scans[0]]
+    pools, starts, nm, lane_off, T, C, ok = \
+        es.prepare_hybrid_batch_emit(hdr, scans)
+    lay = scan_layout(hdr)
+    bc = tuple(ci for ci, c in enumerate(hdr.components)
+               for _ in range(c.v * c.h))
+    luts = entropy_flat.merged_luts(hdr, hdr.scans[0])
+    _blocks, bad = es._hybrid_pipeline_batch_emit(
+        jnp.asarray(pools), jnp.asarray(starts), jnp.asarray(nm),
+        jnp.asarray(lane_off), jnp.asarray(luts), block_comp=bc,
+        n_comps=len(hdr.components), T=64, n_mcus=lay.n_mcus, C=C,
+        precision=hdr.precision)
+    assert np.asarray(bad).all()
+
+
+def test_skeleton_symbol_counts_consistent():
+    """Per-MCU symbol counts are positive and at least 1 DC probe + 1
+    per block; summed they bound the emission trip count."""
+    from jpeg_decoder_tpu.entropy import native
+    from jpeg_decoder_tpu.layout import scan_layout
+
+    hdr = parser.parse_file(corpus_path("img3.jpg"))
+    scan = hdr.scans[0]
+    lay = scan_layout(hdr)
+    bits, syms = native.skeleton_scan(hdr, scan, 1, want_syms=True)
+    assert len(bits) == lay.n_mcus and len(syms) == lay.n_mcus
+    assert (syms >= lay.blocks_per_mcu).all()  # >= 1 probe per block
+    # Total probes can't exceed total stream bits / 2 (min 2 bits/code
+    # in any canonical table with >1 symbol) and must exceed blocks.
+    assert syms.sum() >= lay.n_mcus * lay.blocks_per_mcu
+    assert syms.sum() <= len(scan.data) * 8

@@ -103,11 +103,35 @@ def main():
         assert np.array_equal(np.asarray(blocks[0]), ref)
         t_f = min(_t(run_f) for _ in range(3))
 
+        # ---- emit (symbol-balanced lanes, no in-loop stores) ----
+        (pools3, starts3, nm3, off3, T, C3,
+         ok3) = es.prepare_hybrid_batch_emit(hdr, scans)
+        assert ok3.all()
+        args_e = (jax.device_put(jnp.asarray(pools3), dev),
+                  jax.device_put(jnp.asarray(starts3), dev),
+                  jax.device_put(jnp.asarray(nm3), dev),
+                  jax.device_put(jnp.asarray(off3), dev),
+                  jax.device_put(jnp.asarray(luts), dev))
+
+        def run_e():
+            b, bad = es._hybrid_pipeline_batch_emit(
+                *args_e, block_comp=bc, n_comps=len(hdr.components),
+                T=T, n_mcus=lay.n_mcus, C=C3, precision=hdr.precision)
+            b.block_until_ready()
+            return b, bad
+
+        blocks, bad = run_e()
+        assert not np.asarray(bad).any()
+        assert np.array_equal(np.asarray(blocks[0]), ref)
+        t_e = min(_t(run_e) for _ in range(3))
+
         print(f"{name}: {mp:.1f} MP  "
               f"lockstep C={C} stride={stride}: {t_l*1e3:7.1f} ms "
               f"({mp/t_l:6.1f} MP/s)   "
               f"flat C={C2} max_nm={max_nm}: {t_f*1e3:7.1f} ms "
-              f"({mp/t_f:6.1f} MP/s)   flat/lockstep {t_l/t_f:.2f}x",
+              f"({mp/t_f:6.1f} MP/s)   "
+              f"emit C={C3} T={T}: {t_e*1e3:7.1f} ms "
+              f"({mp/t_e:6.1f} MP/s)   emit/lockstep {t_l/t_e:.2f}x",
               flush=True)
     return 0
 
