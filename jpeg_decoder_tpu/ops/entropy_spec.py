@@ -561,10 +561,10 @@ def _bucket_T(t: int) -> int:
 
 
 def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
-                              max_lanes_total: int = 2048,
-                              max_chunks: int = 256,
+                              max_chunks: int = 512,
                               threads: int | None = None,
-                              cap_factor: int = 4):
+                              cap_factor: int = 4,
+                              target_steps: int = 1300):
     """Symbol-balanced hybrid prep for the emission kernel.
 
     The skeleton scan counts Huffman symbols per MCU, so lane boundaries
@@ -573,6 +573,14 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
     balanced ideal (lane MCU count still capped at ``cap_factor``x the
     mean).  Lanes cover contiguous MCU ranges, so the post-scatter
     output is ALREADY scan-order dense — no gather map, no padding.
+
+    The lane count adapts to the stream: per-step cost is ~linear in
+    total lanes (LUT/stream gathers are latency-bound) with a small
+    fixed floor, so throughput peaks near a constant TRIP count — the
+    measured optimum on the v5e is T ~ 1300 steps
+    (tools/emit_lane_sweep.py: img5 93 MP/s at T=1536 vs 83 at T=6144;
+    img.jpg 81 MP/s at T=1280 vs 65 at T=448).  C is chosen so each
+    image's symbol total / C ~ ``target_steps``.
 
     Returns (pools (B, W) uint32, starts_rel (B, C) int32 bit offsets,
     nm_lane (B, C) int32 MCUs per lane, lane_off (B, C) int32 — the
@@ -587,8 +595,6 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
     lay = scan_layout(hdr)
     n_mcus = lay.n_mcus
     bpm = lay.blocks_per_mcu
-    C = max(1, min(max_chunks, max_lanes_total // max(1, B), n_mcus))
-    cap_nm = -(-n_mcus * cap_factor // C)
 
     nbytes = [int(len(s.data)) for s in scans]
     W = (max(nbytes) + 3) // 4 + 2
@@ -614,6 +620,12 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
     else:
         for b in range(B):
             scan_one(b)
+
+    syms_max = max((int(scanned[b][1].sum()) for b in range(B)
+                    if skel_ok[b]), default=64)
+    C = max(1, min(max_chunks, n_mcus,
+                   -(-syms_max // max(64, target_steps))))
+    cap_nm = -(-n_mcus * cap_factor // C)
 
     starts_rel = np.zeros((B, C), np.int32)
     nm_lane = np.zeros((B, C), np.int32)

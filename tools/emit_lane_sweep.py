@@ -57,8 +57,7 @@ def main():
             scans = [parser.parse_file(path).scans[0] for _ in range(B)]
             (pools, starts, nm, off, T, C, ok) = \
                 es.prepare_hybrid_batch_emit(
-                    hdr, scans, max_lanes_total=C_want * B,
-                    max_chunks=C_want)
+                    hdr, scans, max_chunks=C_want, target_steps=64)
             assert ok.all()
             args = (jax.device_put(jnp.asarray(pools), dev),
                     jax.device_put(jnp.asarray(starts), dev),
