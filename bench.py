@@ -182,20 +182,23 @@ def main() -> int:
 
     spot_ok = None
     pool = ThreadPoolExecutor(2)
-    for attempt in range(2):
+    # 240s per attempt: the budget must absorb a worst-case program
+    # compile over the tunnel (measured minutes in bad windows), not
+    # just the scalar fetch; only the one comparison scalar crosses D2H.
+    for attempt in range(3):
         try:
-            md = pool.submit(spot_check).result(timeout=150)
+            md = pool.submit(spot_check).result(timeout=240)
             assert md <= 2, f"bench output mismatch (max diff {md})"
             log(f"correctness spot check passed (max diff {md})")
             spot_ok = True
             break
         except TimeoutError:
             log(f"spot check attempt {attempt + 1} timed out "
-                "(tunnel artifact); retrying" if attempt == 0 else
-                "spot check SKIPPED after retry: device fetch wedged; "
+                "(tunnel artifact); retrying" if attempt < 2 else
+                "spot check SKIPPED after retries: device wedged; "
                 "correctness is covered by the test suite")
             spot_ok = False
-            time.sleep(10)
+            time.sleep(15)
 
     # ---- warmup: compile every geometry-bucket program at workload batch
     # size (BatchDecoder buckets batch dims) ----
