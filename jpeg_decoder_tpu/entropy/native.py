@@ -596,6 +596,57 @@ def skeleton_scan(hdr: FrameHeader, scan: ScanHeader,
     return (out, syms) if want_syms else out
 
 
+def skeleton_scan_segments(hdr: FrameHeader, scan: ScanHeader):
+    """Per-segment skeleton scan of a (possibly restart-segmented)
+    baseline scan: the position-only Huffman pass runs independently per
+    RSTn segment (DC resets + byte alignment make segments independent,
+    jpeg.cpp:419-425), recording EVERY MCU's absolute start bit within
+    ``scan.data`` and its Huffman symbol (probe) count.
+
+    Returns (bits (n_mcus,) int64, syms (n_mcus,) int32).
+    Raises JPEGError on malformed streams (callers fall back)."""
+    lib = _load()
+    lay = scan_layout(hdr)
+    comps = hdr.components
+    if hdr.precision != 8:
+        raise JPEGError("native backend decodes 8-bit frames only")
+    data = _padded(scan)
+    ri = scan.restart_interval
+    seg_offsets = np.ascontiguousarray(scan.seg_offsets, np.int64)
+    n_segments = len(seg_offsets) - 1
+    expected = -(-lay.n_mcus // ri) if ri else 1
+    if n_segments != expected:
+        raise JPEGError(
+            f"restart-segment count {n_segments} does not match DRI {ri}")
+    h = np.array([c.h for c in comps], np.int32)
+    v = np.array([c.v for c in comps], np.int32)
+    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
+    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
+    PtrArray = ctypes.c_void_p * len(comps)
+    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
+    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+    n_mcus = lay.n_mcus
+    bits = np.zeros(n_mcus, np.int64)
+    syms = np.zeros(n_mcus, np.int32)
+    per_seg = ri if ri else n_mcus
+    base_ptr = data.ctypes.data
+    for s in range(n_segments):
+        lo, hi = int(seg_offsets[s]), int(seg_offsets[s + 1])
+        m0 = s * per_seg
+        m1 = min(n_mcus, m0 + per_seg)
+        nm = m1 - m0
+        rc = lib.jd_skeleton_scan(
+            base_ptr + lo, hi - lo,
+            len(comps), h.ctypes.data, v.ctypes.data,
+            dc_ptrs, ac_ptrs, nm, 1,
+            bits.ctypes.data + m0 * 8, syms.ctypes.data + m0 * 4)
+        if rc != 0:
+            raise JPEGError(
+                f"skeleton scan failed in segment {s} (code {rc})")
+        bits[m0:m1] += lo * 8
+    return bits, syms
+
+
 def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,
                        n_threads: int | None = None):
     """Decode straight to the packed wire format (int16 DC plane, int8 AC

@@ -107,6 +107,28 @@ def _dc_prefix_sum(blocks, block_comp, n_comps):
     return blocks.at[:, :, 0].set(dc)
 
 
+def _dc_prefix_sum_seg(blocks, seg_first_mcu, block_comp, n_comps):
+    """Segmented DC prefix sum: predictors reset at every restart segment
+    (jpeg.cpp:419-425).  ``seg_first_mcu[m]`` is the first MCU index of
+    the segment containing MCU m (all zeros for DRI=0 -> plain cumsum).
+    One global cumsum per component minus the value just before each
+    segment's first row — an associative scan plus one gather."""
+    n_mcus = blocks.shape[0]
+    dc = blocks[:, :, 0]
+    for ci in range(n_comps):
+        cols = tuple(k for k, c in enumerate(block_comp) if c == ci)
+        if not cols:
+            continue
+        nc = len(cols)
+        sub = dc[:, cols].reshape(-1)
+        cs = jnp.cumsum(sub)
+        pad = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
+        first_row = jnp.repeat(seg_first_mcu * nc, nc)
+        fixed = cs - jnp.take(pad, first_row)
+        dc = dc.at[:, cols].set(fixed.reshape(n_mcus, nc))
+    return blocks.at[:, :, 0].set(dc)
+
+
 @functools.partial(jax.jit, static_argnames=("block_comp", "n_comps"))
 def _assemble(records, src, dc_luts_unused, *, block_comp, n_comps):
     """Gather true MCU records into scan order + DC diff prefix-sum."""
@@ -582,10 +604,19 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
     img.jpg 81 MP/s at T=1280 vs 65 at T=448).  C is chosen so each
     image's symbol total / C ~ ``target_steps``.
 
+    Restart streams work identically — the per-segment skeleton scans
+    are independent (DC resets + byte alignment, jpeg.cpp:419-425),
+    segment starts are forced lane boundaries (a lane must not decode
+    across the byte-alignment gap), and the returned ``seg_first_mcu``
+    drives the segmented DC prefix sum.  The device parallelism is then
+    MCU-granular, not segment-granular: an image with 50 restart
+    segments still fills hundreds of balanced lanes.
+
     Returns (pools (B, W) uint32, starts_rel (B, C) int32 bit offsets,
     nm_lane (B, C) int32 MCUs per lane, lane_off (B, C) int32 — the
     lane's first coefficient slot ``first_mcu * bpm * 64``, T (bucketed
-    max lane symbol count), C, skel_ok (B,) bool).
+    max lane symbol count), C, seg_first_mcu (n_mcus,) int32,
+    skel_ok (B,) bool).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -595,6 +626,11 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
     lay = scan_layout(hdr)
     n_mcus = lay.n_mcus
     bpm = lay.blocks_per_mcu
+    ri = scans[0].restart_interval
+    per_seg = ri if ri else n_mcus
+    seg_lo = np.arange(0, n_mcus, per_seg, dtype=np.int64)
+    seg_first_mcu = np.repeat(seg_lo, np.minimum(
+        per_seg, n_mcus - seg_lo)).astype(np.int32)
 
     nbytes = [int(len(s.data)) for s in scans]
     W = (max(nbytes) + 3) // 4 + 2
@@ -609,7 +645,7 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
         pad[:n] = np.asarray(s.data, np.uint8)
         pools[b] = pad.view(">u4")
         try:
-            scanned[b] = native.skeleton_scan(hdr, s, 1, want_syms=True)
+            scanned[b] = native.skeleton_scan_segments(hdr, s)
         except JPEGError:
             return
         skel_ok[b] = True
@@ -623,36 +659,59 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
 
     syms_max = max((int(scanned[b][1].sum()) for b in range(B)
                     if skel_ok[b]), default=64)
-    C = max(1, min(max_chunks, n_mcus,
-                   -(-syms_max // max(64, target_steps))))
-    cap_nm = -(-n_mcus * cap_factor // C)
+    C_goal = max(1, min(max_chunks, n_mcus,
+                        -(-syms_max // max(64, target_steps))))
+    seg_edges = list(seg_lo) + [n_mcus]
+
+    def image_bounds(cum):
+        """Equal-symbol lane boundaries, segment starts forced (a lane
+        never decodes across the segment byte-alignment gap)."""
+        total = max(1, int(cum[-1]))
+        bounds = [0]
+        for s in range(len(seg_lo)):
+            a, bseg = seg_edges[s], seg_edges[s + 1]
+            cs = int(cum[bseg] - cum[a])
+            L = max(1, min(bseg - a,
+                           int(round(C_goal * cs / total)) or 1))
+            cap_nm = max(1, -(-(bseg - a) * cap_factor // L))
+            tgt = np.linspace(cum[a], cum[bseg], L + 1)[1:-1]
+            want = np.searchsorted(cum, tgt)
+            lo = a
+            for i in range(L):
+                hi = int(want[i]) if i < L - 1 else bseg
+                hi = min(max(hi, lo), lo + cap_nm, bseg)
+                hi = max(hi, bseg - (L - 1 - i) * cap_nm)
+                if hi > lo:
+                    bounds.append(hi)
+                    lo = hi
+            if bounds[-1] != bseg:
+                bounds.append(bseg)
+        return np.asarray(bounds, np.int64)
+
+    per_img = [image_bounds(np.concatenate(
+        [[0], np.cumsum(scanned[b][1].astype(np.int64))]))
+        if skel_ok[b] else None for b in range(B)]
+    C = max((len(bd) - 1 for bd in per_img if bd is not None), default=1)
 
     starts_rel = np.zeros((B, C), np.int32)
     nm_lane = np.zeros((B, C), np.int32)
     lane_off = np.zeros((B, C), np.int32)
     T = 64
     for b in range(B):
-        if not skel_ok[b]:
+        if per_img[b] is None:
             continue
         bits, syms = scanned[b]
         cum = np.concatenate([[0], np.cumsum(syms.astype(np.int64))])
-        targets = np.linspace(0, cum[-1], C + 1)[1:-1]
-        want = np.searchsorted(cum, targets)
-        bounds = np.empty(C + 1, np.int64)
-        bounds[0] = 0
-        lo = 0
-        for i in range(C):
-            hi = int(want[i]) if i < C - 1 else n_mcus
-            hi = min(max(hi, lo), lo + cap_nm, n_mcus)
-            hi = max(hi, n_mcus - (C - 1 - i) * cap_nm)
-            bounds[i + 1] = hi
-            lo = hi
+        bounds = per_img[b]
         m_lo, m_hi = bounds[:-1], bounds[1:]
-        nm_lane[b] = (m_hi - m_lo).astype(np.int32)
-        starts_rel[b] = bits[np.minimum(m_lo, n_mcus - 1)].astype(np.int32)
-        lane_off[b] = (m_lo * bpm * 64).astype(np.int32)
+        k = len(m_lo)
+        nm_lane[b, :k] = (m_hi - m_lo).astype(np.int32)
+        starts_rel[b, :k] = bits[np.minimum(m_lo, n_mcus - 1)].astype(
+            np.int32)
+        lane_off[b, :k] = (m_lo * bpm * 64).astype(np.int32)
         T = max(T, int((cum[m_hi] - cum[m_lo]).max()))
-    return pools, starts_rel, nm_lane, lane_off, _bucket_T(T), C, skel_ok
+    return (pools, starts_rel, nm_lane, lane_off, _bucket_T(T), C,
+            seg_first_mcu, skel_ok)
 
 
 @functools.partial(
@@ -660,11 +719,11 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
     static_argnames=("block_comp", "n_comps", "T", "n_mcus", "C",
                      "precision"))
 def _hybrid_pipeline_batch_emit(pools, starts_rel, nm_lane, lane_off,
-                                luts_flat, *, block_comp, n_comps, T,
-                                n_mcus, C, precision=8):
+                                seg_first_mcu, luts_flat, *, block_comp,
+                                n_comps, T, n_mcus, C, precision=8):
     """Device half of the symbol-balanced hybrid decode: emission kernel
-    + one post-loop scatter-add straight into scan order + DC prefix
-    sum.  Returns (blocks (B, n_mcus*bpm, 64), err (B,))."""
+    + one post-loop scatter-add straight into scan order + segmented DC
+    prefix sum.  Returns (blocks (B, n_mcus*bpm, 64), err (B,))."""
     from ..types import ZIGZAG_INV
 
     B = pools.shape[0]
@@ -690,9 +749,10 @@ def _hybrid_pipeline_batch_emit(pools, starts_rel, nm_lane, lane_off,
     blocks = jnp.take(out.reshape(B, n_mcus * bpm, 64),
                       jnp.asarray(ZIGZAG_INV), axis=2)
     blocks = jax.vmap(
-        functools.partial(_dc_prefix_sum, block_comp=block_comp,
-                          n_comps=n_comps))(
-        blocks.reshape(B, n_mcus, bpm, 64))
+        functools.partial(_dc_prefix_sum_seg, block_comp=block_comp,
+                          n_comps=n_comps),
+        in_axes=(0, None))(
+        blocks.reshape(B, n_mcus, bpm, 64), seg_first_mcu)
     return blocks.reshape(B, n_mcus * bpm, 64), bad
 
 
@@ -763,26 +823,49 @@ def _hybrid_pipeline_batch(pools, starts_rel, nm_lane, luts2d, *,
 
 def decode_scan_hybrid(hdr: FrameHeader, scan: ScanHeader, *,
                        as_device: bool = False,
-                       max_lanes_total: int = 2048):
+                       max_lanes_total: int | None = None,
+                       kernel: str = "emit"):
     """Single-image hybrid decode (host skeleton -> device true-start
     lanes).  Same contract as every entropy backend: (total_blocks, 64)
-    int32 scan-order natural-order coefficients."""
-    if len(scan.seg_offsets) != 2:
-        raise JPEGError("hybrid decode expects a single segment (DRI=0); "
-                        "use the segment path otherwise")
+    int32 scan-order natural-order coefficients.
+
+    ``kernel``: "emit" (default — symbol-balanced lanes, emission
+    kernel; handles restart streams too, with segment starts as forced
+    lane boundaries) or "lockstep" (equal-MCU lanes, DRI=0 only;
+    ``max_lanes_total`` caps the lane count for that form)."""
+    if len(scan.seg_offsets) != 2 and kernel != "emit":
+        raise JPEGError("hybrid lockstep decode expects a single segment "
+                        "(DRI=0); use the segment path otherwise")
     lay = scan_layout(hdr)
     block_comp = tuple(
         ci for ci, c in enumerate(hdr.components) for _ in range(c.v * c.h))
-    pools, starts_rel, nm_lane, stride, C, skel_ok = prepare_hybrid_batch(
-        hdr, [scan], max_lanes_total=max_lanes_total, threads=1)
-    if not skel_ok[0]:
-        raise JPEGError("skeleton scan failed (corrupt stream)")
     luts = entropy_flat.merged_luts(hdr, scan)
-    blocks, bad = _hybrid_pipeline_batch(
-        jnp.asarray(pools), jnp.asarray(starts_rel), jnp.asarray(nm_lane),
-        jnp.asarray(luts.reshape(2 * len(hdr.components), 65536)),
-        block_comp=block_comp, n_comps=len(hdr.components), stride=stride,
-        n_mcus=lay.n_mcus, C=C, precision=hdr.precision)
+    if kernel == "emit":
+        (pools, starts_rel, nm_lane, lane_off, T, C, seg_first,
+         skel_ok) = prepare_hybrid_batch_emit(hdr, [scan], threads=1)
+        if not skel_ok[0]:
+            raise JPEGError("skeleton scan failed (corrupt stream)")
+        blocks, bad = _hybrid_pipeline_batch_emit(
+            jnp.asarray(pools), jnp.asarray(starts_rel),
+            jnp.asarray(nm_lane), jnp.asarray(lane_off),
+            jnp.asarray(seg_first), jnp.asarray(luts),
+            block_comp=block_comp,
+            n_comps=len(hdr.components), T=T, n_mcus=lay.n_mcus, C=C,
+            precision=hdr.precision)
+    else:
+        pools, starts_rel, nm_lane, stride, C, skel_ok = \
+            prepare_hybrid_batch(
+                hdr, [scan], max_lanes_total=max_lanes_total or 2048,
+                threads=1)
+        if not skel_ok[0]:
+            raise JPEGError("skeleton scan failed (corrupt stream)")
+        blocks, bad = _hybrid_pipeline_batch(
+            jnp.asarray(pools), jnp.asarray(starts_rel),
+            jnp.asarray(nm_lane),
+            jnp.asarray(luts.reshape(2 * len(hdr.components), 65536)),
+            block_comp=block_comp, n_comps=len(hdr.components),
+            stride=stride, n_mcus=lay.n_mcus, C=C,
+            precision=hdr.precision)
     if bool(np.asarray(bad)[0]):
         raise JPEGError("hybrid device decode failed")
     blocks = blocks[0]

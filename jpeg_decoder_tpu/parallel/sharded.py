@@ -563,17 +563,17 @@ def _hybrid_full_step_flat(pools, starts_rel, nm_lane, src_idx, luts,
     static_argnames=("block_comp", "n_comps", "T", "n_mcus", "C",
                      "precision", "comp_shapes", "samplings", "height",
                      "width", "idct", "upsample", "color", "mesh_holder"))
-def _hybrid_full_step_emit(pools, starts_rel, nm_lane, lane_off, luts,
-                           qtables, comp_srcs, *, block_comp, n_comps, T,
-                           n_mcus, C, precision, comp_shapes, samplings,
-                           height, width, idct, upsample, color,
-                           mesh_holder):
+def _hybrid_full_step_emit(pools, starts_rel, nm_lane, lane_off,
+                           seg_first, luts, qtables, comp_srcs, *,
+                           block_comp, n_comps, T, n_mcus, C, precision,
+                           comp_shapes, samplings, height, width, idct,
+                           upsample, color, mesh_holder):
     """Symbol-balanced hybrid group decode as ONE sharded program: the
     emission kernel (no in-loop stores; trip count = max lane symbol
     total ~ balanced ideal) under shard_map over ('data', 'seg'), one
     post-loop scatter straight into scan order, DC prefix sum + pixel
     under jit."""
-    from ..ops.entropy_spec import _dc_prefix_sum
+    from ..ops.entropy_spec import _dc_prefix_sum_seg
     from ..types import ZIGZAG_INV
 
     mesh = mesh_holder.mesh
@@ -615,9 +615,11 @@ def _hybrid_full_step_emit(pools, starts_rel, nm_lane, lane_off, luts,
 
     blocks = jnp.take(blocks, jnp.asarray(ZIGZAG_INV), axis=2)
     blocks = jax.vmap(
-        functools.partial(_dc_prefix_sum, block_comp=block_comp,
-                          n_comps=n_comps))(
-        blocks.reshape(B, n_mcus, bpm, 64)).reshape(B, n_mcus * bpm, 64)
+        functools.partial(_dc_prefix_sum_seg, block_comp=block_comp,
+                          n_comps=n_comps),
+        in_axes=(0, None))(
+        blocks.reshape(B, n_mcus, bpm, 64),
+        seg_first).reshape(B, n_mcus * bpm, 64)
 
     def pixel_one(blocks_i):
         planes = tuple(
@@ -664,7 +666,7 @@ def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
         (hdr.v_max // c.v, hdr.h_max // c.h) for c in hdr.components)
 
     if kernel == "emit":
-        (pools, starts, nm_lane, lane_off, T, C,
+        (pools, starts, nm_lane, lane_off, T, C, seg_first,
          skel_ok) = entropy_spec.prepare_hybrid_batch_emit(hdr, scans)
     elif kernel == "flat":
         (pools, starts, nm_lane, max_nm, C, src_idx,
@@ -698,9 +700,11 @@ def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
         off_j = jax.device_put(
             jnp.asarray(_pad_to(_pad_to(lane_off, bp, 0), cp, 1)),
             lane_sh)
+        seg_j = jax.device_put(jnp.asarray(seg_first),
+                               NamedSharding(mesh, P(None,)))
         rgb, ok = _hybrid_full_step_emit(
-            pools_j, starts_j, nm_j, off_j, luts_j, qtables, comp_srcs,
-            T=T, **common)
+            pools_j, starts_j, nm_j, off_j, seg_j, luts_j, qtables,
+            comp_srcs, T=T, **common)
     elif kernel == "flat":
         src_j = jax.device_put(jnp.asarray(_pad_to(src_idx, bp, 0)),
                                NamedSharding(mesh, P("data", None)))
@@ -805,8 +809,14 @@ def _spec_group_finalize(hdr, scans, rgb, ok_np, *, idct, upsample):
     qt_j = jnp.asarray(qt)[None]
     for k in np.flatnonzero(~ok_np):
         try:
-            one = entropy_spec.decode_scan_speculative(
-                hdr, scans[int(k)], as_device=True)
+            if len(scans[int(k)].seg_offsets) == 2:
+                one = entropy_spec.decode_scan_speculative(
+                    hdr, scans[int(k)], as_device=True)
+            else:
+                # Restart streams off the emission path: host resilient
+                # chain (native when built, oracle-grade Python last).
+                one = jnp.asarray(decoder_mod._decode_scan_robust(
+                    hdr, scans[int(k)], "auto"))
         except Exception as e:  # noqa: BLE001 — per-image isolation
             errs[int(k)] = e
             continue
@@ -887,8 +897,26 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
         hdr0 = items[0][1]
         B = len(items)
         try:
-            if hdr0.scans[0].restart_interval:
-                # Restart streams: segments are the lanes.
+            from ..entropy import native as native_mod
+
+            # Restart streams route by LANE COUNT: with many segments the
+            # batch already fills the lockstep kernel's lane budget and
+            # measured faster there (img4 x16 = 800 segment lanes: 42.7
+            # vs 31.9 MP/s); with few segments the emission path's
+            # MCU-granular symbol-balanced lanes win (a 2-segment stream
+            # gives lockstep only 2B lanes).
+            n_seg0 = len(hdr0.scans[0].seg_offsets) - 1
+            use_emit_restart = (
+                hdr0.scans[0].restart_interval
+                and native_mod.available()
+                and B * n_seg0 < int(os.environ.get(
+                    "JD_RESTART_EMIT_MAX_LANES", "512"))
+                and os.environ.get("JD_DEVICE_ENTROPY", "hybrid")
+                != "spec"
+                and os.environ.get("JD_HYBRID_KERNEL", "emit") == "emit")
+            if hdr0.scans[0].restart_interval and not use_emit_restart:
+                # Restart streams without the native lib (or with the
+                # emit kernel disabled): segments are the lanes.
                 prepped = [scan_prep.prepare_scan(hdr, scan)[:2]
                            for _, hdr, scan in items]
                 s_max = max(len(nm) for _, nm in prepped)
@@ -901,13 +929,22 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                 rgb_b, _err_b, flags = full_decode_step(
                     hdr0, words_b, nm_b, mesh, idct=idct, upsample=upsample)
                 dispatched.append((items, rgb_b, flags, None))
+            elif use_emit_restart:
+                # Restart streams on the emission path: per-segment
+                # skeleton scans give MCU-granular symbol-balanced
+                # lanes (segment starts forced as lane boundaries), so
+                # an image with few segments still fills hundreds of
+                # lanes.  Images whose skeleton fails fall back to the
+                # resilient host chain per image via the finalize path.
+                scans = [it[2] for it in items]
+                rgb_b, ok, skel_ok = _hybrid_group_dispatch(
+                    hdr0, scans, mesh, idct=idct, upsample=upsample)
+                dispatched.append((items, rgb_b, (ok, skel_ok), scans))
             else:
                 # DRI=0 streams: hybrid decode (host skeleton scan ->
                 # device lanes from TRUE MCU starts) when the native lib
                 # is present; speculative chunk lanes otherwise, or when
                 # JD_DEVICE_ENTROPY=spec forces the zero-host-cycles path.
-                from ..entropy import native as native_mod
-
                 scans = [it[2] for it in items]
                 use_hybrid = (native_mod.available()
                               and os.environ.get("JD_DEVICE_ENTROPY",

@@ -155,13 +155,13 @@ def test_hybrid_corpus_bit_exact(name):
 
 @pytest.mark.parametrize("lanes", [1, 3, 64, 1000])
 def test_hybrid_lane_counts(lanes):
-    """Lane-count edge cases: 1 lane (degenerate), non-dividing counts
-    (remainder lane), and more lanes than saturating."""
+    """Lane-count edge cases (lockstep form): 1 lane (degenerate),
+    non-dividing counts (remainder lane), more lanes than saturating."""
     hdr = parser.parse_file(corpus_path("img2.jpg"))
     scan = hdr.scans[0]
     ref = python_ref.decode_scan_baseline(hdr, scan)
-    got = entropy_spec.decode_scan_hybrid(hdr, scan,
-                                          max_lanes_total=lanes)
+    got = entropy_spec.decode_scan_hybrid(
+        hdr, scan, max_lanes_total=lanes, kernel="lockstep")
     assert np.array_equal(got, ref)
 
 
@@ -330,7 +330,7 @@ def test_hybrid_emit_corpus_bit_exact(name):
 
     hdr = parser.parse_file(corpus_path(name))
     scans = [hdr.scans[0]] * 2
-    pools, starts, nm, lane_off, T, C, ok = \
+    pools, starts, nm, lane_off, T, C, seg_first, ok = \
         es.prepare_hybrid_batch_emit(hdr, scans)
     assert ok.all()
     lay = scan_layout(hdr)
@@ -340,7 +340,8 @@ def test_hybrid_emit_corpus_bit_exact(name):
     luts = entropy_flat.merged_luts(hdr, hdr.scans[0])
     blocks, bad = es._hybrid_pipeline_batch_emit(
         jnp.asarray(pools), jnp.asarray(starts), jnp.asarray(nm),
-        jnp.asarray(lane_off), jnp.asarray(luts), block_comp=bc,
+        jnp.asarray(lane_off), jnp.asarray(seg_first), jnp.asarray(luts),
+        block_comp=bc,
         n_comps=len(hdr.components), T=T, n_mcus=lay.n_mcus, C=C,
         precision=hdr.precision)
     assert not np.asarray(bad).any()
@@ -360,7 +361,7 @@ def test_hybrid_emit_tight_T_flags_error():
 
     hdr = parser.parse_file(corpus_path("img2.jpg"))
     scans = [hdr.scans[0]]
-    pools, starts, nm, lane_off, T, C, ok = \
+    pools, starts, nm, lane_off, T, C, seg_first, ok = \
         es.prepare_hybrid_batch_emit(hdr, scans)
     lay = scan_layout(hdr)
     bc = tuple(ci for ci, c in enumerate(hdr.components)
@@ -368,7 +369,8 @@ def test_hybrid_emit_tight_T_flags_error():
     luts = entropy_flat.merged_luts(hdr, hdr.scans[0])
     _blocks, bad = es._hybrid_pipeline_batch_emit(
         jnp.asarray(pools), jnp.asarray(starts), jnp.asarray(nm),
-        jnp.asarray(lane_off), jnp.asarray(luts), block_comp=bc,
+        jnp.asarray(lane_off), jnp.asarray(seg_first), jnp.asarray(luts),
+        block_comp=bc,
         n_comps=len(hdr.components), T=64, n_mcus=lay.n_mcus, C=C,
         precision=hdr.precision)
     assert np.asarray(bad).all()
@@ -390,3 +392,57 @@ def test_skeleton_symbol_counts_consistent():
     # in any canonical table with >1 symbol) and must exceed blocks.
     assert syms.sum() >= lay.n_mcus * lay.blocks_per_mcu
     assert syms.sum() <= len(scan.data) * 8
+
+
+def test_hybrid_emit_restart_stream():
+    """Restart streams decode through the emission path: per-segment
+    skeletons, segment starts forced as lane boundaries, segmented DC
+    prefix sum — bit-exact vs python_ref, MCU-granular parallelism."""
+    from jpeg_decoder_tpu.layout import scan_layout
+    from jpeg_decoder_tpu.ops import entropy_spec as es
+
+    hdr = parser.parse_file(corpus_path("img4.jpg"))
+    scan = hdr.scans[0]
+    assert scan.restart_interval > 0
+    ref = python_ref.decode_scan_baseline(hdr, scan)
+    got = es.decode_scan_hybrid(hdr, scan)
+    assert np.array_equal(got, ref)
+
+    lay = scan_layout(hdr)
+    bpm = lay.blocks_per_mcu
+    pools, starts, nm, lane_off, T, C, seg_first, ok = \
+        es.prepare_hybrid_batch_emit(hdr, [scan])
+    assert ok.all()
+    # Every segment start is a lane boundary (a lane never crosses the
+    # byte-alignment gap at a restart marker).
+    n_seg = len(scan.seg_offsets) - 1
+    m_lo = set((lane_off[0][nm[0] > 0] // (bpm * 64)).tolist())
+    for s in range(n_seg):
+        assert s * scan.restart_interval in m_lo
+
+
+def test_hybrid_emit_restart_mcu_granular():
+    """A stream with FEW long segments still fills many balanced lanes:
+    parallelism is MCU-granular, not segment-granular."""
+    import io as _io
+
+    from PIL import Image
+
+    from jpeg_decoder_tpu.ops import entropy_spec as es
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (256, 320, 3), np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG", quality=90, subsampling=2,
+                              restart_marker_blocks=300)
+    hdr = parser.parse(buf.getvalue())
+    scan = hdr.scans[0]
+    n_seg = len(scan.seg_offsets) - 1
+    assert 1 < n_seg < 8
+    ref = python_ref.decode_scan_baseline(hdr, scan)
+    got = es.decode_scan_hybrid(hdr, scan)
+    assert np.array_equal(got, ref)
+    pools, starts, nm, lane_off, T, C, seg_first, ok = \
+        es.prepare_hybrid_batch_emit(hdr, [scan])
+    assert ok.all()
+    assert int((nm[0] > 0).sum()) > n_seg

@@ -55,14 +55,15 @@ def main():
             if C_want > lay.n_mcus:
                 continue
             scans = [parser.parse_file(path).scans[0] for _ in range(B)]
-            (pools, starts, nm, off, T, C, ok) = \
+            (pools, starts, nm, off, T, C, seg_first, ok) = \
                 es.prepare_hybrid_batch_emit(
                     hdr, scans, max_chunks=C_want, target_steps=64)
             assert ok.all()
             args = (jax.device_put(jnp.asarray(pools), dev),
                     jax.device_put(jnp.asarray(starts), dev),
                     jax.device_put(jnp.asarray(nm), dev),
-                    jax.device_put(jnp.asarray(off), dev), luts_j)
+                    jax.device_put(jnp.asarray(off), dev),
+                    jax.device_put(jnp.asarray(seg_first), dev), luts_j)
 
             def run():
                 b, bad = es._hybrid_pipeline_batch_emit(

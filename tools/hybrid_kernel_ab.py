@@ -104,13 +104,14 @@ def main():
         t_f = min(_t(run_f) for _ in range(3))
 
         # ---- emit (symbol-balanced lanes, no in-loop stores) ----
-        (pools3, starts3, nm3, off3, T, C3,
+        (pools3, starts3, nm3, off3, T, C3, seg3,
          ok3) = es.prepare_hybrid_batch_emit(hdr, scans)
         assert ok3.all()
         args_e = (jax.device_put(jnp.asarray(pools3), dev),
                   jax.device_put(jnp.asarray(starts3), dev),
                   jax.device_put(jnp.asarray(nm3), dev),
                   jax.device_put(jnp.asarray(off3), dev),
+                  jax.device_put(jnp.asarray(seg3), dev),
                   jax.device_put(jnp.asarray(luts), dev))
 
         def run_e():
