@@ -1,0 +1,657 @@
+"""On-device progressive entropy decode (T.81 Annex G.2) — lane-parallel.
+
+Capability far beyond the reference (which hard-exits on SOF2,
+/root/reference/jpeg.cpp:69-73): every progressive scan kind runs as lanes
+of a block-lockstep device kernel, the same design as the baseline
+lockstep decoder (ops/entropy_flat):
+
+* **DC first** — one DC probe per block slot; no inner loop at all.
+  Lane DC predictors seed from the lane table (restart segments seed 0;
+  DRI=0 skeleton lanes seed the recorded predictor), so no cross-lane
+  pass is needed.
+* **DC refinement** — one raw bit per block at a CLOSED-FORM stream
+  position (bit i of the lane = block i): no kernel, one vectorized
+  gather computes every block's ``+= bit << al`` delta.
+* **AC first** — run/size symbols with EOB-run state per lane; lanes in
+  an EOB run skip whole block slots without touching the stream.
+* **AC refinement** — correction-bit pass: reads the CURRENT device-
+  resident coefficient band (one row gather per block slot), walks the
+  band positions emitting ``+/- (1 << al)`` deltas.
+
+Every kernel emits DELTAS: progressive plane updates are all
+mathematically scatter-ADDS on conformant streams (DC-first writes into
+zero DC slots; refinement bits target value bits proven zero by the
+successive-approximation invariant — value mod 2^(al+1) == 0 entering
+scan ``al``), so one ``plane.at[rows].add(delta)`` applies each scan and
+the plane never leaves HBM.
+
+Lanes come from restart segments (DC reset + eobrun reset per segment,
+T.81 G.2 — zero host work) or, for DRI=0 scans, from the native
+progressive skeleton scan (entropy/native.prog_skeleton) recording
+(bit position, eobrun, DC predictors) at every stride-th MCU.
+
+Bit-exactness vs entropy/progressive.py is asserted scan-by-scan in
+tests/test_entropy_prog.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..huffman import build_lut
+from ..layout import comp_dims_unpadded
+from ..types import FrameHeader, JPEGError, ScanHeader, ZIGZAG, ZIGZAG_INV
+from .entropy_flat import _extend, _window32
+
+
+def scan_words(scan: ScanHeader) -> np.ndarray:
+    """Whole-scan big-endian uint32 word buffer, zero-padded (lanes index
+    it by absolute bit position — no per-segment repacking)."""
+    data = np.asarray(scan.data, np.uint8)
+    nw = (len(data) + 3) // 4 + 8
+    buf = np.zeros(nw * 4, np.uint8)
+    buf[: len(data)] = data
+    return buf.view(">u4").astype(np.uint32)
+
+
+def segment_lanes(scan: ScanHeader, n_mcus: int):
+    """Restart segments as lanes: (base_bits, n_per_lane, mcu_first),
+    all (S,) int32/int64.  DRI=0 scans yield one lane."""
+    offs = np.asarray(scan.seg_offsets, np.int64)
+    n_seg = len(offs) - 1
+    ri = scan.restart_interval
+    expected = -(-n_mcus // ri) if ri else 1
+    if n_seg != expected:
+        raise JPEGError(
+            f"progressive scan: segment count {n_seg} != expected "
+            f"{expected} (DRI {ri}, {n_mcus} MCUs)")
+    base_bits = (offs[:-1] * 8).astype(np.int64)
+    per = ri if ri else n_mcus
+    n_per = np.full(n_seg, per, np.int32)
+    if ri:
+        n_per[-1] = n_mcus - ri * (n_seg - 1)
+    mcu_first = (np.arange(n_seg, dtype=np.int64) * per)
+    return base_bits, n_per, mcu_first
+
+
+# ---------------------------------------------------------------------------
+# DC scans
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("block_comp", "max_blocks", "al"))
+def decode_dc_first(words, base_bits, nblocks, pred0, luts2d, *,
+                    block_comp: tuple[int, ...], max_blocks: int, al: int):
+    """DC-first scan (ss=0, ah=0) over S lanes, block-lockstep.
+
+    luts2d: (n_scan_comps, 65536) uint16 DC LUTs (scan component order).
+    pred0: (S, n_scan_comps) int32 predictor seeds.
+    Returns (vals (S, max_blocks) int32 = pred << al per block slot,
+    err (S,) bool).  Parity: entropy/progressive._decode_dc_first.
+    """
+    S = base_bits.shape[0]
+    bpm = len(block_comp)
+    n_words = words.shape[0]
+    bc_arr = jnp.asarray(np.asarray(block_comp, np.int32))
+
+    w0 = (base_bits >> 5).astype(jnp.int32)
+    off0 = (base_bits & 31).astype(jnp.uint32)
+    state = dict(
+        cur=jnp.take(words, jnp.minimum(w0, n_words - 1)),
+        nxt=jnp.take(words, jnp.minimum(w0 + 1, n_words - 1)),
+        off=off0, w_idx=w0 + 2,
+        b=jnp.int32(0),
+        preds=pred0.astype(jnp.int32),
+        out=jnp.zeros((max_blocks, S), jnp.int32),
+        err=jnp.zeros((S,), jnp.bool_))
+
+    def cond(s):
+        return (s["b"] < max_blocks) & jnp.any(~s["err"] & (s["b"] < nblocks))
+
+    def body(s):
+        b = s["b"]
+        comp = jnp.take(bc_arr, b % bpm)          # uniform scalar
+        lut_row = jax.lax.dynamic_index_in_dim(luts2d, comp, keepdims=False)
+        active = ~s["err"] & (b < nblocks)
+        window = _window32(s["cur"], s["nxt"], s["off"])
+        entry = jnp.take(lut_row, (window >> 16).astype(jnp.int32)
+                         ).astype(jnp.int32)
+        length = (entry & 31).astype(jnp.uint32)
+        size = (entry >> 5).astype(jnp.uint32)
+        bad = (entry == 0) | (size > 11)
+        size = jnp.minimum(size, 16)
+        raw = jnp.where(size == 0, jnp.uint32(0),
+                        (window << length) >> (32 - jnp.maximum(size, 1)))
+        diff = _extend(raw, size.astype(jnp.int32))
+        ok = active & ~bad
+        pred_old = jax.lax.dynamic_slice(s["preds"], (0, comp), (S, 1))[:, 0]
+        pred = pred_old + diff
+        preds = jax.lax.dynamic_update_slice(
+            s["preds"], jnp.where(ok, pred, pred_old)[:, None], (0, comp))
+        out = jax.lax.dynamic_update_slice(
+            s["out"], jnp.where(ok, pred << al, 0)[None], (b, 0))
+        adv = jnp.where(ok, length + size, 0)
+        offp = s["off"] + adv
+        need = offp >= 32
+        loaded = jnp.take(words, jnp.minimum(s["w_idx"], n_words - 1))
+        return dict(
+            cur=jnp.where(need, s["nxt"], s["cur"]),
+            nxt=jnp.where(need, loaded, s["nxt"]),
+            off=offp - jnp.where(need, 32, 0).astype(jnp.uint32),
+            w_idx=s["w_idx"] + need, b=b + 1, preds=preds, out=out,
+            err=s["err"] | (bad & active))
+
+    s = jax.lax.while_loop(cond, body, state)
+    return s["out"].T, s["err"]
+
+
+def dc_refine_bits(words, base_bits, nblocks, max_blocks: int, al: int):
+    """DC refinement (ss=0, ah>0): block i of a lane reads exactly bit
+    ``base + i`` — closed form, ONE vectorized gather, no kernel.
+
+    Returns (S, max_blocks) int32 deltas (``bit << al``; the target bit of
+    every DC value is zero entering the scan, so |= == +=).
+    Parity: entropy/progressive._dc_scan refinement branch."""
+    S = base_bits.shape[0]
+    n_words = words.shape[0]
+    slot = jnp.arange(max_blocks, dtype=jnp.int32)[None, :]
+    pos = base_bits[:, None].astype(jnp.int32) + slot
+    w = jnp.take(words, jnp.minimum(pos >> 5, n_words - 1))
+    bit = (w >> (31 - (pos & 31).astype(jnp.uint32))) & 1
+    valid = slot < nblocks[:, None]
+    return jnp.where(valid, bit.astype(jnp.int32) << al, 0)
+
+
+# ---------------------------------------------------------------------------
+# AC scans (single-component, T.81 G.2.2 / G.2.3)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("max_blocks", "ss", "se", "al"))
+def decode_ac_first(words, base_bits, nblocks, eobrun0, lut, *,
+                    max_blocks: int, ss: int, se: int, al: int):
+    """AC-first scan over S lanes, block-lockstep with EOB-run state.
+
+    Returns (out (S, max_blocks, 64) int32 natural order, err (S,) bool).
+    Parity: entropy/progressive._ac_first_scan.
+    """
+    S = base_bits.shape[0]
+    n_words = words.shape[0]
+    lane64 = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
+
+    w0 = (base_bits >> 5).astype(jnp.int32)
+    off0 = (base_bits & 31).astype(jnp.uint32)
+    state = dict(
+        cur=jnp.take(words, jnp.minimum(w0, n_words - 1)),
+        nxt=jnp.take(words, jnp.minimum(w0 + 1, n_words - 1)),
+        off=off0, w_idx=w0 + 2,
+        b=jnp.int32(0),
+        eobrun=eobrun0.astype(jnp.int32),
+        out=jnp.zeros((max_blocks, S, 64), jnp.int32),
+        err=jnp.zeros((S,), jnp.bool_))
+
+    def cond(s):
+        return (s["b"] < max_blocks) & jnp.any(~s["err"] & (s["b"] < nblocks))
+
+    def body(s):
+        b = s["b"]
+        active = ~s["err"] & (b < nblocks)
+        in_eob = active & (s["eobrun"] > 0)
+        eobrun = jnp.where(in_eob, s["eobrun"] - 1, s["eobrun"])
+        decode = active & ~in_eob
+
+        def ac_cond(c):
+            return jnp.any(c["in"])
+
+        def ac_body(c):
+            window = _window32(c["cur"], c["nxt"], c["off"])
+            entry = jnp.take(lut, (window >> 16).astype(jnp.int32)
+                             ).astype(jnp.int32)
+            length = (entry & 31).astype(jnp.uint32)
+            sym = (entry >> 5) & 0xFF
+            bad = (entry == 0) & c["in"]
+            r = sym >> 4
+            sz = (sym & 15).astype(jnp.uint32)
+            is_eobrun = (sz == 0) & (r < 15)
+            # EOB run: (1 << r) - 1 plus r raw bits (after the code).
+            # The shift count must stay UNSIGNED: a signed count promotes
+            # the whole shift to int32 and turns it arithmetic.
+            ebits = jnp.where(
+                r == 0, jnp.uint32(0),
+                (window << length)
+                >> (32 - jnp.maximum(r, 1).astype(jnp.uint32)))
+            new_eob = (1 << r) - 1 + jnp.where(r > 0, ebits, 0).astype(
+                jnp.int32)
+            # Coefficient: advance run, write extend(value) << al.
+            wpos = c["k"] + r
+            # Parity: python raises only on a COEFFICIENT run overflow
+            # (k + r > se with sz > 0); a ZRL that walks past the band
+            # simply ends the block (progressive.py:156-160).
+            overflow = (~is_eobrun) & (sz > 0) & (wpos > se)
+            bad = bad | (overflow & c["in"])
+            sz = jnp.minimum(sz, 16)
+            raw = jnp.where(
+                sz == 0, jnp.uint32(0),
+                (window << length) >> (32 - jnp.maximum(sz, 1)))
+            val = _extend(raw, sz.astype(jnp.int32)) << al
+            live = c["in"] & ~bad
+            do_write = live & ~is_eobrun & (sz > 0)
+            idx = jnp.clip(wpos, 0, 63)
+            acc = c["acc"] + jnp.where(
+                do_write[:, None] & (lane64 == idx[:, None]),
+                val[:, None], 0)
+            k = jnp.where(
+                live & ~is_eobrun,
+                jnp.where(sz > 0, wpos + 1, c["k"] + 16),  # coef / ZRL
+                c["k"])
+            adv = jnp.where(
+                live,
+                length + jnp.where(is_eobrun, r.astype(jnp.uint32), sz),
+                0)
+            eob = jnp.where(live & is_eobrun, new_eob, c["eob"])
+            offp = c["off"] + adv
+            need = offp >= 32
+            loaded = jnp.take(words, jnp.minimum(c["w_idx"], n_words - 1))
+            in_next = live & ~is_eobrun & (k <= se)
+            return dict(
+                cur=jnp.where(need, c["nxt"], c["cur"]),
+                nxt=jnp.where(need, loaded, c["nxt"]),
+                off=offp - jnp.where(need, 32, 0).astype(jnp.uint32),
+                w_idx=c["w_idx"] + need, k=k, acc=acc, eob=eob,
+                err=c["err"] | bad, **{"in": in_next})
+
+        ac0 = dict(cur=s["cur"], nxt=s["nxt"], off=s["off"],
+                   w_idx=s["w_idx"],
+                   k=jnp.full((S,), ss, jnp.int32),
+                   acc=jnp.zeros((S, 64), jnp.int32),
+                   eob=jnp.zeros((S,), jnp.int32),
+                   err=s["err"])
+        ac0["in"] = decode
+        ac = jax.lax.while_loop(ac_cond, ac_body, ac0)
+
+        # A fresh EOB run covers THIS block too (python: eobrun = n - 1
+        # consumed next blocks; here the break happened inside this block).
+        eobrun = jnp.where(decode & (ac["eob"] > 0), ac["eob"], eobrun)
+        out = jax.lax.dynamic_update_slice(s["out"], ac["acc"][None],
+                                           (b, 0, 0))
+        return dict(
+            cur=ac["cur"], nxt=ac["nxt"], off=ac["off"], w_idx=ac["w_idx"],
+            b=b + 1, eobrun=eobrun, out=out, err=ac["err"])
+
+    s = jax.lax.while_loop(cond, body, state)
+    out = jnp.take(s["out"].transpose(1, 0, 2), jnp.asarray(ZIGZAG_INV),
+                   axis=2)
+    return out, s["err"]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_blocks", "ss", "se", "al"))
+def decode_ac_refine(words, base_bits, nblocks, eobrun0, lut, plane_rows,
+                     row_idx, *, max_blocks: int, ss: int, se: int,
+                     al: int):
+    """AC refinement scan over S lanes, block-lockstep (T.81 G.2.3).
+
+    plane_rows: (n_plane_blocks + 1, 64) int32 CURRENT coefficient rows in
+      ZIGZAG order (history decides bit consumption), row n_plane_blocks
+      zeros (padding target).
+    row_idx: (S, max_blocks) int32 plane row of each lane's block slot
+      (n_plane_blocks for padded slots).
+
+    Returns (delta (S, max_blocks, 64) int32 natural order — add to the
+    plane, err (S,) bool).  Parity: entropy/progressive._ac_refine_scan.
+    """
+    S = base_bits.shape[0]
+    n_words = words.shape[0]
+    lane64 = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
+    p1 = 1 << al
+
+    w0 = (base_bits >> 5).astype(jnp.int32)
+    off0 = (base_bits & 31).astype(jnp.uint32)
+    state = dict(
+        cur=jnp.take(words, jnp.minimum(w0, n_words - 1)),
+        nxt=jnp.take(words, jnp.minimum(w0 + 1, n_words - 1)),
+        off=off0, w_idx=w0 + 2,
+        b=jnp.int32(0),
+        eobrun=eobrun0.astype(jnp.int32),
+        out=jnp.zeros((max_blocks, S, 64), jnp.int32),
+        err=jnp.zeros((S,), jnp.bool_))
+
+    def cond(s):
+        return (s["b"] < max_blocks) & jnp.any(~s["err"] & (s["b"] < nblocks))
+
+    def body(s):
+        b = s["b"]
+        active = ~s["err"] & (b < nblocks)
+        # Current history rows for this slot (one per-lane row gather).
+        rows = jnp.take(row_idx, b, axis=1)
+        cur_vals = jnp.take(plane_rows, rows, axis=0)   # (S, 64) zigzag
+        in_eob0 = s["eobrun"] > 0
+
+        # Unified per-event inner loop.  Each iteration processes exactly
+        # one event on every live lane: a symbol probe (phase SYM) or one
+        # band position (phases RUN/TAIL).  Per-lane state:
+        #   phase: 0 = need symbol, 1 = advancing run/corrections,
+        #          2 = EOB-run correction tail
+        #   k: band position; r: pending zero-run; newval: pending +-p1
+        def ev_cond(c):
+            return jnp.any(c["in"])
+
+        def ev_body(c):
+            window = _window32(c["cur"], c["nxt"], c["off"])
+            sym_phase = c["in"] & (c["phase"] == 0)
+
+            # --- phase SYM: one symbol probe
+            entry = jnp.take(lut, (window >> 16).astype(jnp.int32)
+                             ).astype(jnp.int32)
+            length = (entry & 31).astype(jnp.uint32)
+            sym = (entry >> 5) & 0xFF
+            r_s = sym >> 4
+            sz = sym & 15
+            bad = sym_phase & ((entry == 0) | ((sz != 0) & (sz != 1)))
+            is_eobrun = (sz == 0) & (r_s < 15)
+            # Unsigned shift count (see decode_ac_first).
+            ebits = jnp.where(
+                r_s == 0, jnp.uint32(0),
+                (window << length)
+                >> (32 - jnp.maximum(r_s, 1).astype(jnp.uint32)))
+            new_eob = (1 << r_s) + jnp.where(
+                r_s > 0, ebits, 0).astype(jnp.int32)
+            # newval bit (sz == 1): right after the code.
+            nv_bit = (window << length) >> 31
+            newval = jnp.where(sz == 1,
+                               jnp.where(nv_bit == 1, p1, -p1), 0)
+            sym_adv = length + jnp.where(
+                is_eobrun, r_s.astype(jnp.uint32),
+                jnp.where(sz == 1, jnp.uint32(1), jnp.uint32(0)))
+
+            # --- phases RUN/TAIL: process band position k
+            pos_phase = c["in"] & (c["phase"] != 0)
+            hist = jnp.sum(
+                jnp.where(lane64 == c["k"][:, None], cur_vals, 0), axis=1)
+            nonzero = hist != 0
+            corr_bit = (window >> 31).astype(jnp.int32)
+            # Correction: nonzero-history position reads one bit; if set
+            # (and bit al still clear — always true on conformant
+            # streams), add +-p1 toward larger magnitude.
+            do_corr = pos_phase & nonzero & (corr_bit == 1) \
+                & ((hist & p1) == 0)
+            corr = jnp.where(hist > 0, p1, -p1)
+            # RUN phase at a zero-history position: r == 0 places newval.
+            place = pos_phase & (c["phase"] == 1) & ~nonzero & (c["r"] == 0)
+            delta = jnp.where(do_corr, corr, 0) + jnp.where(
+                place, c["newval"], 0)
+            acc = c["acc"] + jnp.where(
+                pos_phase[:, None] & (lane64 == c["k"][:, None]),
+                delta[:, None], 0)
+            pos_adv = jnp.where(pos_phase & nonzero, jnp.uint32(1),
+                                jnp.uint32(0))
+            r = jnp.where(pos_phase & (c["phase"] == 1) & ~nonzero & ~place,
+                          c["r"] - 1, c["r"])
+
+            # --- state transitions
+            phase = c["phase"]
+            k = c["k"]
+            eob = c["eob"]
+            nv = c["newval"]
+            # SYM outcomes:
+            #  eobrun symbol -> phase TAIL with eob run counted
+            #  else -> phase RUN with r (ZRL keeps r=15+skip16? python
+            #  walks 16 zero-history via r counting: ZRL -> r = 15 and
+            #  sz = 0 -> newval 0; run phase crosses 16 zero-history
+            #  positions: r 15..0 then "r == 0 -> place newval(0)" must
+            #  NOT place: python breaks out of the walk when r == 0 at a
+            #  zero-history coef (no write), then k += 1 (skipped 16th).
+            phase = jnp.where(sym_phase,
+                              jnp.where(is_eobrun, 2, 1), phase)
+            eob = jnp.where(sym_phase & is_eobrun, new_eob, eob)
+            r = jnp.where(sym_phase & ~is_eobrun, r_s, r)
+            nv = jnp.where(sym_phase & ~is_eobrun, newval, nv)
+            # RUN phase completion: after placing newval (or hitting
+            # r == 0 with newval == 0, the ZRL walk end), advance k and
+            # go back to SYM phase.  After a correction/zero-skip just
+            # advance k; k > se in RUN phase -> back to SYM only via
+            # band end (block done below).
+            run_end = pos_phase & (c["phase"] == 1) & ~nonzero \
+                & (c["r"] == 0)
+            k = jnp.where(pos_phase, k + 1, k)
+            phase = jnp.where(run_end, 0, phase)
+            band_done_run = (c["phase"] == 1) & pos_phase & (k > se) \
+                & ~run_end
+            # RUN phase walking past se without r exhausting: python's
+            # inner while exits at k > se, then (newval and k <= se)
+            # fails -> next symbol.  Our k tracks the python k exactly;
+            # when k passes se the run phase ends and the block is done
+            # (python's outer while k <= se exits too).
+            band_done_tail = (c["phase"] == 2) & pos_phase & (k > se)
+            blk_done = band_done_run | band_done_tail | run_end & (k > se)
+            # block completes when k passes se in any phase; lanes whose
+            # RUN ended with k <= se probe the next symbol.
+            in_next = c["in"] & ~bad & ~blk_done & ~(
+                sym_phase & is_eobrun & (k > se))
+            # a fresh EOB-run symbol puts the lane in TAIL phase at its
+            # current k (corrections to band end), handled next iters.
+
+            adv = jnp.where(sym_phase, sym_adv, pos_adv)
+            adv = jnp.where(c["in"] & ~bad, adv, 0)
+            offp = c["off"] + adv
+            need = offp >= 32
+            loaded = jnp.take(words, jnp.minimum(c["w_idx"], n_words - 1))
+            return dict(
+                cur=jnp.where(need, c["nxt"], c["cur"]),
+                nxt=jnp.where(need, loaded, c["nxt"]),
+                off=offp - jnp.where(need, 32, 0).astype(jnp.uint32),
+                w_idx=c["w_idx"] + need,
+                phase=phase, k=k, r=r, newval=nv, eob=eob, acc=acc,
+                err=c["err"] | bad, **{"in": in_next})
+
+        ev0 = dict(cur=s["cur"], nxt=s["nxt"], off=s["off"],
+                   w_idx=s["w_idx"],
+                   phase=jnp.where(in_eob0, 2, 0).astype(jnp.int32),
+                   k=jnp.full((S,), ss, jnp.int32),
+                   r=jnp.zeros((S,), jnp.int32),
+                   newval=jnp.zeros((S,), jnp.int32),
+                   eob=jnp.zeros((S,), jnp.int32),
+                   acc=jnp.zeros((S, 64), jnp.int32),
+                   err=s["err"])
+        ev0["in"] = active
+        ev = jax.lax.while_loop(ev_cond, ev_body, ev0)
+
+        eobrun = jnp.where(
+            active,
+            jnp.where(in_eob0, s["eobrun"] - 1,
+                      jnp.maximum(ev["eob"] - 1, 0)),
+            s["eobrun"])
+        out = jax.lax.dynamic_update_slice(s["out"], ev["acc"][None],
+                                           (b, 0, 0))
+        return dict(
+            cur=ev["cur"], nxt=ev["nxt"], off=ev["off"], w_idx=ev["w_idx"],
+            b=b + 1, eobrun=eobrun, out=out, err=ev["err"])
+
+    s = jax.lax.while_loop(cond, body, state)
+    out = jnp.take(s["out"].transpose(1, 0, 2), jnp.asarray(ZIGZAG_INV),
+                   axis=2)
+    return out, s["err"]
+
+
+# ---------------------------------------------------------------------------
+# Scan application + whole-frame orchestration
+# ---------------------------------------------------------------------------
+
+def _dc_slot_map(hdr, scan, mcu_first, n_per, max_blocks):
+    """Per-(lane, slot) plane-row targets for a DC scan.
+
+    Returns ``[(ci, row_tgt (S, max_blocks) int64)]`` per frame component
+    in the scan — rows index the component's flat (rows*cols,) block
+    grid; out-of-range marks slots belonging to other components or lane
+    padding (dropped by the scatter)."""
+    comps = hdr.components
+    S = len(mcu_first)
+    interleaved = len(scan.comp_indices) > 1
+    slot = np.arange(max_blocks, dtype=np.int64)[None, :]
+    mcu_of = mcu_first[:, None]  # (S, 1)
+    out = []
+    if not interleaved:
+        ci = scan.comp_indices[0]
+        rows_u, cols_u = comp_dims_unpadded(hdr, ci)
+        plane_cols = hdr.mcus_x * comps[ci].h
+        m = mcu_of + slot
+        r, c = m // cols_u, m % cols_u
+        tgt = r * plane_cols + c
+        n_rows = (hdr.mcus_y * comps[ci].v) * plane_cols
+        tgt = np.where(slot < n_per[:, None], tgt, n_rows)
+        return [(ci, tgt)]
+    # Interleaved: slot = t * bpm + j; j -> (ci, v, h) in scan order.
+    blocks = [(ci, v, h)
+              for ci in scan.comp_indices
+              for v in range(comps[ci].v) for h in range(comps[ci].h)]
+    bpm = len(blocks)
+    t = slot // bpm
+    j = slot % bpm
+    m = mcu_of + t
+    my, mx = m // hdr.mcus_x, m % hdr.mcus_x
+    j_ci = np.array([b[0] for b in blocks])
+    j_v = np.array([b[1] for b in blocks])
+    j_h = np.array([b[2] for b in blocks])
+    for ci in sorted(set(scan.comp_indices)):
+        c = comps[ci]
+        plane_cols = hdr.mcus_x * c.h
+        n_rows = (hdr.mcus_y * c.v) * plane_cols
+        row = my * c.v + j_v[j]
+        col = mx * c.h + j_h[j]
+        tgt = row * plane_cols + col
+        mine = (j_ci[j] == ci) & (slot < (n_per * bpm)[:, None])
+        out.append((ci, np.where(mine, tgt, n_rows)))
+    return out
+
+
+def _ac_slot_map(hdr, scan, mcu_first, n_per, max_blocks):
+    """(S, max_blocks) plane-row targets for a single-component AC scan."""
+    ci = scan.comp_indices[0]
+    c = hdr.components[ci]
+    rows_u, cols_u = comp_dims_unpadded(hdr, ci)
+    plane_cols = hdr.mcus_x * c.h
+    n_rows = (hdr.mcus_y * c.v) * plane_cols
+    slot = np.arange(max_blocks, dtype=np.int64)[None, :]
+    m = mcu_first[:, None] + slot
+    tgt = (m // cols_u) * plane_cols + (m % cols_u)
+    return ci, np.where(slot < n_per[:, None], tgt, n_rows), n_rows
+
+
+def _scan_block_comp(hdr, scan):
+    if len(scan.comp_indices) == 1:
+        return (0,)
+    return tuple(
+        k for k, ci in enumerate(scan.comp_indices)
+        for _ in range(hdr.components[ci].v * hdr.components[ci].h))
+
+
+def apply_scan_device(hdr: FrameHeader, scan: ScanHeader, planes,
+                      lanes=None):
+    """Apply ONE progressive scan to device-resident flat planes.
+
+    ``planes``: list of (n_blocks_c + 1, 64) int32 device arrays in
+    NATURAL coefficient order (last row is the scatter-drop pad).
+    ``lanes``: optional (base_bits, n_per, mcu_first, eobrun0, pred0)
+    overriding the restart-segment lane table (the DRI=0 skeleton path).
+    Returns the updated planes.  Raises JPEGError when any lane errors.
+    """
+    comps = hdr.components
+    interleaved = len(scan.comp_indices) > 1
+    if scan.ss == 0:
+        if interleaved:
+            n_mcus = hdr.mcus_x * hdr.mcus_y
+        else:
+            rows_u, cols_u = comp_dims_unpadded(hdr, scan.comp_indices[0])
+            n_mcus = rows_u * cols_u
+    else:
+        if interleaved:
+            raise JPEGError("progressive: AC scans must be single-component")
+        rows_u, cols_u = comp_dims_unpadded(hdr, scan.comp_indices[0])
+        n_mcus = rows_u * cols_u
+
+    if lanes is None:
+        base_bits, n_per, mcu_first = segment_lanes(scan, n_mcus)
+        S = len(base_bits)
+        eobrun0 = np.zeros(S, np.int32)
+        pred0 = np.zeros((S, len(scan.comp_indices)), np.int32)
+    else:
+        base_bits, n_per, mcu_first, eobrun0, pred0 = lanes
+        S = len(base_bits)
+    words = jnp.asarray(scan_words(scan))
+    block_comp = _scan_block_comp(hdr, scan)
+    bpm = len(block_comp)
+    max_mcus = int(n_per.max()) if len(n_per) else 0
+
+    if scan.ss == 0:
+        max_blocks = max_mcus * bpm
+        nblocks = (n_per.astype(np.int64) * bpm).astype(np.int32)
+        if scan.ah == 0:
+            luts2d = np.stack([
+                build_lut(scan.dc_specs[scan.dc_table_ids[k]])
+                for k in range(len(scan.comp_indices))])
+            vals, err = decode_dc_first(
+                words, jnp.asarray(base_bits), jnp.asarray(nblocks),
+                jnp.asarray(pred0), jnp.asarray(luts2d),
+                block_comp=block_comp, max_blocks=max_blocks, al=scan.al)
+        else:
+            vals = dc_refine_bits(words, jnp.asarray(base_bits),
+                                  jnp.asarray(nblocks), max_blocks, scan.al)
+            err = jnp.zeros((S,), jnp.bool_)
+        for ci, tgt in _dc_slot_map(hdr, scan, mcu_first, n_per,
+                                    max_blocks):
+            planes[ci] = planes[ci].at[
+                jnp.asarray(tgt.reshape(-1)), 0].add(
+                vals.reshape(-1), mode="drop")
+    else:
+        lut = build_lut(scan.ac_specs[scan.ac_table_ids[0]])
+        ci, tgt, n_rows = _ac_slot_map(hdr, scan, mcu_first, n_per,
+                                       max_mcus)
+        if scan.ah == 0:
+            delta, err = decode_ac_first(
+                words, jnp.asarray(base_bits),
+                jnp.asarray(n_per.astype(np.int32)),
+                jnp.asarray(eobrun0), jnp.asarray(lut),
+                max_blocks=max_mcus, ss=scan.ss, se=scan.se, al=scan.al)
+        else:
+            zz_rows = jnp.take(planes[ci], jnp.asarray(ZIGZAG), axis=1)
+            delta, err = decode_ac_refine(
+                words, jnp.asarray(base_bits),
+                jnp.asarray(n_per.astype(np.int32)),
+                jnp.asarray(eobrun0), jnp.asarray(lut), zz_rows,
+                jnp.asarray(tgt.astype(np.int32)),
+                max_blocks=max_mcus, ss=scan.ss, se=scan.se, al=scan.al)
+        planes[ci] = planes[ci].at[jnp.asarray(tgt.reshape(-1))].add(
+            delta.reshape(-1, 64), mode="drop")
+    if bool(np.asarray(err).any()):
+        raise JPEGError(
+            f"device progressive scan failed in lanes "
+            f"{np.flatnonzero(np.asarray(err))[:8]}")
+    return planes
+
+
+def decode_progressive_device(hdr: FrameHeader, as_device: bool = False):
+    """Decode ALL scans of a progressive frame with device lane kernels.
+
+    Lanes come from restart segments; a DRI=0 scan runs as one lane
+    (callers with the native lib use entropy_spec.decode_progressive_hybrid,
+    which feeds skeleton lanes instead).  Output matches
+    entropy/progressive.decode_progressive bit-exactly: per-component
+    (rows_c, cols_c, 64) int32 planes on the padded dense grid.
+    """
+    planes = []
+    shapes = []
+    for ci in range(len(hdr.components)):
+        rows = hdr.mcus_y * hdr.components[ci].v
+        cols = hdr.mcus_x * hdr.components[ci].h
+        shapes.append((rows, cols))
+        planes.append(jnp.zeros((rows * cols + 1, 64), jnp.int32))
+    for scan in hdr.scans:
+        planes = apply_scan_device(hdr, scan, planes)
+    out = [p[:-1].reshape(r, c, 64) for p, (r, c) in zip(planes, shapes)]
+    if as_device:
+        return out
+    return [np.asarray(p) for p in out]

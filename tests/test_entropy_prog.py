@@ -1,0 +1,121 @@
+"""Device progressive entropy kernels (ops/entropy_prog) vs the oracle-
+grade Python implementation (entropy/progressive) — scan-by-scan and
+whole-frame bit-exactness (VERDICT r3 item 2)."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from conftest import corpus_path
+from jpeg_decoder_tpu.entropy import progressive as prog_ref
+from jpeg_decoder_tpu.io import parser
+from jpeg_decoder_tpu.ops import entropy_prog
+
+
+def _pil_progressive(seed=0, size=(96, 80), restart_blocks=0, quality=85):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, size=(size[1] // 8, size[0] // 8, 3))
+    rgb = np.kron(base, np.ones((8, 8, 1)))[: size[1], : size[0]]
+    buf = io.BytesIO()
+    kw = dict(quality=quality, progressive=True)
+    if restart_blocks:
+        kw["restart_marker_blocks"] = restart_blocks
+    Image.fromarray(rgb.astype(np.uint8)).save(buf, "JPEG", **kw)
+    return buf.getvalue()
+
+
+def _ref_planes_after(hdr, n_scans):
+    """Python progressive planes after the first n_scans scans."""
+    planes = []
+    for ci in range(len(hdr.components)):
+        rows = hdr.mcus_y * hdr.components[ci].v
+        cols = hdr.mcus_x * hdr.components[ci].h
+        planes.append(np.zeros((rows, cols, 64), np.int64))
+    for scan in hdr.scans[:n_scans]:
+        if scan.ss == 0:
+            prog_ref._dc_scan(hdr, scan, planes)
+        elif scan.ah == 0:
+            prog_ref._ac_first_scan(hdr, scan,
+                                    planes[scan.comp_indices[0]])
+        else:
+            prog_ref._ac_refine_scan(hdr, scan,
+                                     planes[scan.comp_indices[0]])
+    return planes
+
+
+def _to_flat_device(planes_np):
+    out = []
+    for p in planes_np:
+        rows, cols = p.shape[:2]
+        flat = np.zeros((rows * cols + 1, 64), np.int32)
+        flat[:-1] = p.reshape(-1, 64)
+        out.append(jnp.asarray(flat))
+    return out
+
+
+def _scan_kinds(hdr):
+    kinds = []
+    for s in hdr.scans:
+        if s.ss == 0:
+            kinds.append("dc-first" if s.ah == 0 else "dc-refine")
+        else:
+            kinds.append("ac-first" if s.ah == 0 else "ac-refine")
+    return kinds
+
+
+@pytest.mark.parametrize("restart_blocks", [0, 4])
+def test_each_scan_kind_matches_python(restart_blocks):
+    """Every scan applied on device to the python-computed prior state
+    must equal python's posterior state — isolates each kernel."""
+    blob = _pil_progressive(seed=3, restart_blocks=restart_blocks)
+    hdr = parser.parse(blob)
+    assert hdr.progressive
+    kinds = _scan_kinds(hdr)
+    # PIL's standard script covers all four kinds.
+    assert set(kinds) >= {"dc-first", "ac-first", "ac-refine", "dc-refine"}
+    for k, scan in enumerate(hdr.scans):
+        before = _ref_planes_after(hdr, k)
+        after = _ref_planes_after(hdr, k + 1)
+        dev = _to_flat_device(before)
+        dev = entropy_prog.apply_scan_device(hdr, scan, dev)
+        for ci, want in enumerate(after):
+            got = np.asarray(dev[ci])[:-1].reshape(want.shape)
+            assert np.array_equal(got, want.astype(np.int32)), (
+                f"scan {k} ({kinds[k]}) comp {ci}")
+
+
+@pytest.mark.parametrize("restart_blocks", [0, 3, 16])
+def test_whole_frame_device_vs_python(restart_blocks):
+    blob = _pil_progressive(seed=11, size=(120, 56),
+                            restart_blocks=restart_blocks)
+    hdr = parser.parse(blob)
+    want = prog_ref.decode_progressive(hdr)
+    got = entropy_prog.decode_progressive_device(hdr)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
+
+
+def test_subsampled_progressive_device():
+    """4:2:0 progressive (interleaved DC scans with 6 blocks/MCU)."""
+    blob = _pil_progressive(seed=7, size=(88, 72), restart_blocks=2,
+                            quality=70)
+    hdr = parser.parse(blob)
+    assert hdr.components[0].h == 2 and hdr.components[0].v == 2
+    want = prog_ref.decode_progressive(hdr)
+    got = entropy_prog.decode_progressive_device(hdr)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
+
+
+def test_corpus_progressive_small_device():
+    """prograssive-sample-2.jpg (DRI=0): single-lane device decode is
+    bit-exact vs python."""
+    hdr = parser.parse_file(corpus_path("prograssive-sample-2.jpg"))
+    want = prog_ref.decode_progressive(hdr)
+    got = entropy_prog.decode_progressive_device(hdr)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
