@@ -274,6 +274,45 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         log("progressive measurement failed:", e)
 
+    # Progressive DEVICE path (VERDICT r3 item 2): the 12 MP sample
+    # decoded by the device lane kernels (ops/entropy_prog) — host does
+    # only the skeleton walks; all coefficient stores + pixel pipeline
+    # on device, RGB device-resident.
+    prog_dev_mps = None
+    try:
+        from jpeg_decoder_tpu.ops import entropy_prog
+
+        ppath = "/root/reference/images/prograssive-sample.jpg"
+        if os.path.exists(ppath):
+            phdr = parser.parse_file(ppath)
+            pmp = phdr.width * phdr.height / 1e6
+            qts = tuple(jnp.asarray(phdr.quant_tables[c.tq].values)
+                        for c in phdr.components)
+            samp = tuple((phdr.v_max // c.v, phdr.h_max // c.h)
+                         for c in phdr.components)
+
+            def run_prog_dev():
+                planes = entropy_prog.decode_progressive_lanes(
+                    phdr, as_device=True)
+                rgb = pixel_ops.pixel_pipeline(
+                    tuple(planes), qts, height=phdr.height,
+                    width=phdr.width, samplings=samp, idct="fast",
+                    upsample="fancy", color=phdr.colorspace,
+                    precision=phdr.precision)
+                rgb.block_until_ready()
+
+            run_prog_dev()  # warm (compiles)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_prog_dev()
+                best = min(best, time.perf_counter() - t0)
+            prog_dev_mps = pmp / best
+            log(f"progressive device path ({pmp:.1f} MP sample): "
+                f"{prog_dev_mps:.1f} MP/s (device lane kernels)")
+    except Exception as e:  # noqa: BLE001
+        log("progressive device-path measurement failed:", e)
+
     # Wire density: bytes shipped host->device per pixel (nibble wire).
     wire_bytes = 0
     for hp in host_payloads:
@@ -319,11 +358,18 @@ def main() -> int:
         from jpeg_decoder_tpu.ops import scan_prep as sprep
 
         use_hybrid = native_mod.available()
+        hyb_kernel = os.environ.get("JD_HYBRID_KERNEL", "emit")
         t0 = time.perf_counter()
         for blob in dwork:
             hdr = parser.parse(blob)
             if hdr.restart_interval:
                 sprep.prepare_scan(hdr, hdr.scans[0])
+            elif use_hybrid and hyb_kernel == "emit":
+                # Match what decode_batch_sharded dispatches by default
+                # (ADVICE r3): the emit prep's per-segment skeleton +
+                # lane-boundary work IS the host cost of the path.
+                espec.prepare_hybrid_batch_emit(hdr, [hdr.scans[0]],
+                                                threads=1)
             elif use_hybrid:
                 espec.prepare_hybrid_batch(hdr, [hdr.scans[0]], threads=1)
             else:
@@ -353,6 +399,8 @@ def main() -> int:
         "h2d_probe_mbps": round(h2d_mbps, 1),
         "progressive_host_entropy_mps": (
             round(prog_mps, 1) if prog_mps else None),
+        "progressive_device_path_mps": (
+            round(prog_dev_mps, 1) if prog_dev_mps else None),
         "device_path_mps": (
             round(dev_path_mps, 2) if dev_path_mps else None),
         "device_path_host_prep_ms": (

@@ -60,8 +60,26 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 14:
+        if lib.jd_abi_version() != 15:
             raise RuntimeError("jpeg_entropy ABI mismatch")
+        lib.jd_prog_skeleton_dc.restype = ctypes.c_int64
+        lib.jd_prog_skeleton_dc.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # data,start,len
+            ctypes.c_int32,                                   # n_scan_comps
+            ctypes.c_void_p, ctypes.c_void_p,                 # comp_h, comp_v
+            ctypes.c_void_p, ctypes.c_int32,                  # dc_luts, il
+            ctypes.c_int64, ctypes.c_int64,                   # n_mcus, stride
+            ctypes.c_void_p, ctypes.c_void_p,                 # bits, preds
+        ]
+        lib.jd_prog_skeleton_ac.restype = ctypes.c_int64
+        lib.jd_prog_skeleton_ac.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # data,start,len
+            ctypes.c_int32,                                   # first
+            ctypes.c_int32, ctypes.c_int32,                   # ss, se
+            ctypes.c_void_p, ctypes.c_void_p,                 # ac_lut, nzmap
+            ctypes.c_int64, ctypes.c_int64,                   # n_blocks,stride
+            ctypes.c_void_p, ctypes.c_void_p,                 # bits, eobrun
+        ]
         lib.jd_prog_dc_scan_arith.restype = ctypes.c_int64
         lib.jd_prog_dc_scan_arith.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,  # data,segs,n
@@ -1030,3 +1048,80 @@ def decode_progressive(hdr: FrameHeader) -> list:
         for scans in chains:
             run_chain(scans)
     return planes
+
+
+# ---------------------------------------------------------------------------
+# Progressive skeleton scans: the host half of the DEVICE-lane progressive
+# decode (ops/entropy_prog.decode_progressive_hybrid).  Position-only
+# walks recording per-stride lane states; coefficient stores all happen
+# on device.
+# ---------------------------------------------------------------------------
+
+def prog_skeleton_dc(hdr: FrameHeader, scan: ScanHeader, stride: int):
+    """Skeleton of a DRI=0 DC-first scan: returns (bits (L,) int64
+    absolute lane start bits, preds (L, n_scan_comps) int32 predictors
+    entering each lane), L = ceil(n_mcus / stride)."""
+    from ..layout import comp_dims_unpadded
+
+    lib = _load()
+    if len(scan.seg_offsets) != 2:
+        raise JPEGError("progressive skeleton requires a DRI=0 scan")
+    interleaved = len(scan.comp_indices) > 1
+    if interleaved:
+        n_mcus = hdr.mcus_x * hdr.mcus_y
+    else:
+        r, c = comp_dims_unpadded(hdr, scan.comp_indices[0])
+        n_mcus = r * c
+    data = _padded(scan)
+    nsc = len(scan.comp_indices)
+    h = np.array([hdr.components[ci].h for ci in scan.comp_indices],
+                 np.int32)
+    v = np.array([hdr.components[ci].v for ci in scan.comp_indices],
+                 np.int32)
+    dc_luts = [_lut16(scan.dc_specs[scan.dc_table_ids[k]])
+               for k in range(nsc)]
+    PtrArray = ctypes.c_void_p * nsc
+    ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
+    n_lanes = -(-n_mcus // stride)
+    bits = np.zeros(n_lanes, np.int64)
+    preds = np.zeros((n_lanes, nsc), np.int32)
+    rc = lib.jd_prog_skeleton_dc(
+        data.ctypes.data, int(scan.seg_offsets[0]), len(scan.data),
+        nsc, h.ctypes.data, v.ctypes.data, ptrs,
+        1 if interleaved else 0, n_mcus, stride,
+        bits.ctypes.data, preds.ctypes.data)
+    if rc != 0:
+        raise JPEGError(f"progressive DC skeleton failed (code {rc})")
+    return bits, preds
+
+
+def prog_skeleton_ac(hdr: FrameHeader, scan: ScanHeader, stride: int,
+                     nzmap: np.ndarray):
+    """Skeleton of a DRI=0 AC scan (first pass or refinement): returns
+    (bits (L,) int64, eobrun (L,) int32) lane states and UPDATES
+    ``nzmap`` — the component's (n_blocks,) uint64 band-position bitmap
+    persisted across its scan chain (bit k <=> zigzag coefficient k
+    nonzero), which determines refinement bit consumption."""
+    from ..layout import comp_dims_unpadded
+
+    lib = _load()
+    if len(scan.seg_offsets) != 2:
+        raise JPEGError("progressive skeleton requires a DRI=0 scan")
+    ci = scan.comp_indices[0]
+    r, c = comp_dims_unpadded(hdr, ci)
+    n_blocks = r * c
+    if nzmap.shape != (n_blocks,) or nzmap.dtype != np.uint64:
+        raise ValueError("nzmap must be (n_blocks,) uint64")
+    data = _padded(scan)
+    lut = _lut16(scan.ac_specs[scan.ac_table_ids[0]])
+    n_lanes = -(-n_blocks // stride)
+    bits = np.zeros(n_lanes, np.int64)
+    eob = np.zeros(n_lanes, np.int32)
+    rc = lib.jd_prog_skeleton_ac(
+        data.ctypes.data, int(scan.seg_offsets[0]), len(scan.data),
+        1 if scan.ah == 0 else 0, scan.ss, scan.se,
+        lut.ctypes.data, nzmap.ctypes.data, n_blocks, stride,
+        bits.ctypes.data, eob.ctypes.data)
+    if rc != 0:
+        raise JPEGError(f"progressive AC skeleton failed (code {rc})")
+    return bits, eob

@@ -885,9 +885,13 @@ int64_t jd_skeleton_scan(const uint8_t* data, int64_t data_len,
       int ci = block_comp[k];
       int rc = skip_block(br, dc_luts[ci], ac_luts[ci], nsym);
       if (rc) return rc;
+      // Overrun check PER BLOCK (ADVICE r3): one block consumes at most
+      // 64 symbols x 27 bits ~ 216 bytes, within the 256-byte zero pad;
+      // a per-MCU check would let a dense-symbol truncated stream walk
+      // up to 10 blocks (~2 KB) past the pad in one MCU.
+      if (br.pos > data_len * 8 + 64) return 6;  // ran past the stream
     }
     if (out_syms) out_syms[m] = nsym;
-    if (br.pos > data_len * 8 + 64) return 6;  // ran past the stream
   }
   return 0;
 }
@@ -2189,6 +2193,192 @@ int64_t jd_prog_ac_scan_arith(const uint8_t* data,
   });
 }
 
-int32_t jd_abi_version() { return 14; }
+// ---------------------------------------------------------------------------
+// Progressive skeleton scans (position-only): the host half of the
+// DEVICE-lane progressive decode (ops/entropy_prog).  Walks one DRI=0
+// progressive scan decoding every symbol but storing no coefficients,
+// recording at every stride-th MCU the lane state a device kernel needs
+// to decode from that point: bit position, plus DC predictors (DC first)
+// or the pending EOB run (AC scans).
+//
+// AC refinement bit consumption depends on which band coefficients are
+// nonzero, NOT on their values — the caller maintains a per-block uint64
+// BAND-POSITION bitmap (bit k set <=> coefficient at zigzag index k is
+// nonzero), updated by the AC-first and AC-refine walks, so the skeleton
+// never touches the (large, cache-hostile) coefficient planes.
+// ---------------------------------------------------------------------------
+
+// DC-first skeleton.  block_comp order = scan component order.
+// out_bits: (ceil(n_mcus / stride),) absolute start bit of each lane.
+// out_preds: (n_lanes, n_scan_comps) predictors entering each lane.
+int64_t jd_prog_skeleton_dc(const uint8_t* data, int64_t start_byte,
+                            int64_t data_len, int32_t n_scan_comps,
+                            const int32_t* comp_h, const int32_t* comp_v,
+                            const int16_t* const* dc_luts,
+                            int32_t interleaved, int64_t n_mcus,
+                            int64_t stride, int64_t* out_bits,
+                            int32_t* out_preds) {
+  if (n_scan_comps < 1 || n_scan_comps > kMaxComps || stride < 1) return -1;
+  int bpm = 0;
+  int block_comp[kMaxComps * 16];
+  if (interleaved) {
+    for (int c = 0; c < n_scan_comps; ++c)
+      for (int b = 0; b < comp_h[c] * comp_v[c]; ++b) {
+        if (bpm >= kMaxComps * 16) return -2;
+        block_comp[bpm++] = c;
+      }
+  } else {
+    block_comp[bpm++] = 0;
+  }
+  BitReader br{data, start_byte * 8, data_len * 8};
+  int32_t preds[kMaxComps] = {0, 0, 0, 0};
+  int64_t lane = 0;
+  for (int64_t m = 0; m < n_mcus; ++m) {
+    if (m % stride == 0) {
+      out_bits[lane] = br.pos;
+      for (int c = 0; c < n_scan_comps; ++c)
+        out_preds[lane * n_scan_comps + c] = preds[c];
+      ++lane;
+    }
+    for (int k = 0; k < bpm; ++k) {
+      int c = block_comp[k];
+      LutEntry e = dc_luts[c][br.peek16()];
+      int len = e & 31;
+      if (!len) return 1;
+      br.pos += len;
+      int size = e >> 5;
+      if (size > 11) return 2;
+      if (size) preds[c] += extend(br.getbits(size), size);
+    }
+    if (br.pos > br.end + 64) return 6;
+  }
+  return 0;
+}
+
+// AC skeleton (first pass or refinement).  nzmap: (n_blocks,) uint64
+// band-position bitmap, persisted by the caller across the component's
+// scan chain.  out_bits/out_eobrun: (ceil(n_blocks / stride),) lane
+// states (absolute start bit, pending EOB run entering the lane).
+int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
+                            int64_t data_len, int32_t first,
+                            int32_t ss, int32_t se, const int16_t* ac_lut,
+                            uint64_t* nzmap, int64_t n_blocks,
+                            int64_t stride, int64_t* out_bits,
+                            int32_t* out_eobrun) {
+  if (stride < 1 || ss < 1 || se > 63 || ss > se) return -1;
+  BitReader br{data, start_byte * 8, data_len * 8};
+  int64_t eobrun = 0;
+  int64_t lane = 0;
+  // Register bit window (see jd_prog_ac_scan): refill under 31 valid
+  // bits; one symbol consumes <= 16 code + 14 run/value bits.
+  uint64_t w = br.window();
+  int avail = 64 - int(br.pos & 7);
+  auto need = [&](int n) {
+    if (avail < n) {
+      w = br.window();
+      avail = 64 - int(br.pos & 7);
+    }
+  };
+  auto take = [&](int n) -> uint32_t {
+    uint32_t v = uint32_t(w >> (64 - n));
+    w <<= n;
+    avail -= n;
+    br.pos += n;
+    return v;
+  };
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    if (b % stride == 0) {
+      out_bits[lane] = br.pos;
+      out_eobrun[lane] = int32_t(std::min<int64_t>(eobrun, INT32_MAX));
+      ++lane;
+    }
+    uint64_t map = nzmap[b];
+    if (first) {
+      if (eobrun > 0) {
+        --eobrun;
+        continue;
+      }
+      int k = ss;
+      while (k <= se) {
+        need(31);
+        LutEntry e = ac_lut[w >> 48];
+        int len = e & 31;
+        if (!len) return 3;
+        int sym = e >> 5;
+        int r = sym >> 4, sz = sym & 0x0F;
+        if (sz == 0) {
+          if (r < 15) {
+            take(len);
+            eobrun = (int64_t(1) << r) - 1;
+            if (r) eobrun += take(r);
+            break;
+          }
+          take(len);
+          k += 16;  // ZRL
+        } else {
+          k += r;
+          if (k > se) return 4;
+          map |= uint64_t(1) << k;
+          take(len + sz);
+          ++k;
+        }
+      }
+    } else {
+      int k = ss;
+      if (eobrun == 0) {
+        while (k <= se) {
+          need(31);
+          LutEntry e = ac_lut[w >> 48];
+          int len = e & 31;
+          if (!len) return 3;
+          take(len);
+          int sym = e >> 5;
+          int r = sym >> 4, sz = sym & 0x0F;
+          bool newval = false;
+          if (sz == 0) {
+            if (r < 15) {
+              eobrun = int64_t(1) << r;
+              if (r) eobrun += take(r);
+              break;
+            }
+            // ZRL: 16 zero-history skips, no value
+          } else {
+            if (sz != 1) return 5;
+            need(1);
+            take(1);
+            newval = true;
+          }
+          while (k <= se) {
+            if (map & (uint64_t(1) << k)) {
+              need(1);
+              take(1);  // correction bit
+            } else {
+              if (r == 0) break;
+              --r;
+            }
+            ++k;
+          }
+          if (newval && k <= se) map |= uint64_t(1) << k;
+          ++k;
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          if (map & (uint64_t(1) << k)) {
+            need(1);
+            take(1);
+          }
+          ++k;
+        }
+        --eobrun;
+      }
+    }
+    nzmap[b] = map;
+    if (br.pos > br.end + 64) return 6;
+  }
+  return 0;
+}
+
+int32_t jd_abi_version() { return 15; }
 
 }  // extern "C"

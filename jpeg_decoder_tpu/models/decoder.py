@@ -180,6 +180,13 @@ def decode_to_planes(hdr: FrameHeader, entropy: str = "auto"):
         from ..entropy import arith
         return arith.decode_to_planes(hdr)
     if hdr.progressive:
+        if entropy in ("jax", "hybrid", "pallas"):
+            # Device-lane progressive decode (ops/entropy_prog): scan
+            # kinds run as lockstep device kernels; lanes from restart
+            # segments or the native skeleton scan (VERDICT r3 item 2).
+            from ..ops import entropy_prog
+
+            return entropy_prog.decode_progressive_lanes(hdr)
         if entropy in ("auto", "native") and hdr.precision == 8:
             try:
                 from ..entropy import native

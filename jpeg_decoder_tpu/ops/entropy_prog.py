@@ -550,14 +550,18 @@ def _scan_block_comp(hdr, scan):
 
 
 def apply_scan_device(hdr: FrameHeader, scan: ScanHeader, planes,
-                      lanes=None):
+                      lanes=None, err_sink: list | None = None):
     """Apply ONE progressive scan to device-resident flat planes.
 
     ``planes``: list of (n_blocks_c + 1, 64) int32 device arrays in
     NATURAL coefficient order (last row is the scatter-drop pad).
     ``lanes``: optional (base_bits, n_per, mcu_first, eobrun0, pred0)
     overriding the restart-segment lane table (the DRI=0 skeleton path).
-    Returns the updated planes.  Raises JPEGError when any lane errors.
+    ``err_sink``: when given, the per-lane error flags are APPENDED to it
+    as a device array instead of being fetched here — callers check once
+    per frame (one host sync instead of one per scan; see
+    check_errors()).  Returns the updated planes; without a sink, raises
+    JPEGError when any lane errors.
     """
     comps = hdr.components
     interleaved = len(scan.comp_indices) > 1
@@ -626,11 +630,25 @@ def apply_scan_device(hdr: FrameHeader, scan: ScanHeader, planes,
                 max_blocks=max_mcus, ss=scan.ss, se=scan.se, al=scan.al)
         planes[ci] = planes[ci].at[jnp.asarray(tgt.reshape(-1))].add(
             delta.reshape(-1, 64), mode="drop")
-    if bool(np.asarray(err).any()):
+    if err_sink is not None:
+        err_sink.append(err)
+    elif bool(np.asarray(err).any()):
         raise JPEGError(
             f"device progressive scan failed in lanes "
             f"{np.flatnonzero(np.asarray(err))[:8]}")
     return planes
+
+
+def check_errors(err_sink: list) -> None:
+    """Fetch all deferred per-scan error flags with one device sync;
+    raises JPEGError naming the first failing scan."""
+    if not err_sink:
+        return
+    flags = np.asarray(jnp.stack([e.any() for e in err_sink]))
+    if flags.any():
+        raise JPEGError(
+            f"device progressive decode failed in scan(s) "
+            f"{np.flatnonzero(flags)[:8].tolist()}")
 
 
 def decode_progressive_device(hdr: FrameHeader, as_device: bool = False):
@@ -649,9 +667,114 @@ def decode_progressive_device(hdr: FrameHeader, as_device: bool = False):
         cols = hdr.mcus_x * hdr.components[ci].h
         shapes.append((rows, cols))
         planes.append(jnp.zeros((rows * cols + 1, 64), jnp.int32))
+    errs: list = []
     for scan in hdr.scans:
-        planes = apply_scan_device(hdr, scan, planes)
+        planes = apply_scan_device(hdr, scan, planes, err_sink=errs)
+    check_errors(errs)
     out = [p[:-1].reshape(r, c, 64) for p, (r, c) in zip(planes, shapes)]
     if as_device:
         return out
     return [np.asarray(p) for p in out]
+
+
+def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
+                              target_lanes: int | None = None):
+    """DRI=0 progressive decode with DEVICE lanes from native skeleton
+    scans: the host walks each scan position-only (jd_prog_skeleton_*,
+    maintaining per-component nonzero bitmaps so refinement bit
+    consumption never needs the coefficient planes), and the device
+    kernels decode ~``target_lanes`` parallel lanes per scan from the
+    recorded (bit, predictor / EOB-run) states.  All coefficient stores
+    happen on device; planes never leave HBM.
+
+    Requires the native lib, 8-bit precision and single-segment scans —
+    callers fall back to :func:`decode_progressive_device` (segment
+    lanes) otherwise.  Output bit-exact vs entropy/progressive.py.
+    """
+    import os
+
+    from ..entropy import native
+
+    if hdr.precision != 8:
+        raise JPEGError("progressive hybrid path is 8-bit only")
+    if any(len(s.seg_offsets) != 2 for s in hdr.scans):
+        raise JPEGError(
+            "progressive hybrid path requires DRI=0 scans "
+            "(restart-segmented scans take segment lanes)")
+    if target_lanes is None:
+        target_lanes = int(os.environ.get("JD_PROG_LANES", "512"))
+
+    planes = []
+    shapes = []
+    for ci in range(len(hdr.components)):
+        rows = hdr.mcus_y * hdr.components[ci].v
+        cols = hdr.mcus_x * hdr.components[ci].h
+        shapes.append((rows, cols))
+        planes.append(jnp.zeros((rows * cols + 1, 64), jnp.int32))
+
+    errs: list = []
+    nzmaps: dict[int, np.ndarray] = {}
+    for scan in hdr.scans:
+        if scan.ss == 0:
+            interleaved = len(scan.comp_indices) > 1
+            if interleaved:
+                n_mcus = hdr.mcus_x * hdr.mcus_y
+            else:
+                r, c = comp_dims_unpadded(hdr, scan.comp_indices[0])
+                n_mcus = r * c
+            if scan.ah == 0:
+                stride = max(1, -(-n_mcus // target_lanes))
+                bits, preds = native.prog_skeleton_dc(hdr, scan, stride)
+                lanes = _stride_lanes(bits, stride, n_mcus, preds=preds)
+            else:
+                # DC refinement is one vectorized gather — a single lane
+                # costs no loop at all.
+                lanes = None
+        else:
+            ci = scan.comp_indices[0]
+            r, c = comp_dims_unpadded(hdr, ci)
+            n_blocks = r * c
+            nzmap = nzmaps.get(ci)
+            if nzmap is None:
+                nzmap = nzmaps.setdefault(
+                    ci, np.zeros(n_blocks, np.uint64))
+            stride = max(1, -(-n_blocks // target_lanes))
+            bits, eob = native.prog_skeleton_ac(hdr, scan, stride, nzmap)
+            lanes = _stride_lanes(bits, stride, n_blocks, eobrun=eob)
+        planes = apply_scan_device(hdr, scan, planes, lanes=lanes,
+                                   err_sink=errs)
+    check_errors(errs)
+
+    out = [p[:-1].reshape(r, c, 64) for p, (r, c) in zip(planes, shapes)]
+    if as_device:
+        return out
+    return [np.asarray(p) for p in out]
+
+
+def _stride_lanes(bits: np.ndarray, stride: int, n_mcus: int, *,
+                  preds: np.ndarray | None = None,
+                  eobrun: np.ndarray | None = None):
+    """Lane table from per-stride skeleton records."""
+    L = len(bits)
+    n_per = np.full(L, stride, np.int32)
+    if L:
+        n_per[-1] = n_mcus - stride * (L - 1)
+    mcu_first = np.arange(L, dtype=np.int64) * stride
+    eob0 = eobrun if eobrun is not None else np.zeros(L, np.int32)
+    pred0 = preds if preds is not None else np.zeros((L, 1), np.int32)
+    return bits, n_per, mcu_first, eob0, pred0
+
+
+def decode_progressive_lanes(hdr: FrameHeader, as_device: bool = False):
+    """Best available device-lane progressive decode: native skeleton
+    lanes when possible, segment lanes otherwise."""
+    if hdr.precision == 8 and all(
+            len(s.seg_offsets) == 2 for s in hdr.scans):
+        try:
+            from ..entropy import native
+
+            if native.available():
+                return decode_progressive_hybrid(hdr, as_device=as_device)
+        except ImportError:
+            pass
+    return decode_progressive_device(hdr, as_device=as_device)

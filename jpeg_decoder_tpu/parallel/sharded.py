@@ -447,7 +447,7 @@ def _spec_full_step(pools, base_rel, limits_rel, active, luts, qtables,
     static_argnames=("block_comp", "n_comps", "stride", "n_mcus", "C",
                      "precision", "comp_shapes", "samplings", "height",
                      "width", "idct", "upsample", "color", "mesh_holder"))
-def _hybrid_full_step(pools, starts_rel, nm_lane, luts, qtables,
+def _hybrid_full_step(pools, starts_rel, nm_lane, skel_bad, luts, qtables,
                       comp_srcs, *, block_comp, n_comps, stride, n_mcus, C,
                       precision, comp_shapes, samplings, height, width,
                       idct, upsample, color, mesh_holder):
@@ -505,7 +505,10 @@ def _hybrid_full_step(pools, starts_rel, nm_lane, luts, qtables,
             color=color, precision=precision)
 
     rgb = jax.vmap(pixel_one)(blocks)
-    return rgb, ~bad.any(axis=1)
+    # Device-visible failure flag is SELF-SUFFICIENT (ADVICE r3): a row
+    # whose host skeleton scan failed ships skel_bad=True, so callers
+    # need no side-channel AND.
+    return rgb, ~bad.any(axis=1) & ~skel_bad
 
 
 @functools.partial(
@@ -513,8 +516,8 @@ def _hybrid_full_step(pools, starts_rel, nm_lane, luts, qtables,
     static_argnames=("block_comp", "n_comps", "max_nm", "n_mcus", "C",
                      "precision", "comp_shapes", "samplings", "height",
                      "width", "idct", "upsample", "color", "mesh_holder"))
-def _hybrid_full_step_flat(pools, starts_rel, nm_lane, src_idx, luts,
-                           qtables, comp_srcs, *, block_comp, n_comps,
+def _hybrid_full_step_flat(pools, starts_rel, nm_lane, skel_bad, src_idx,
+                           luts, qtables, comp_srcs, *, block_comp, n_comps,
                            max_nm, n_mcus, C, precision, comp_shapes,
                            samplings, height, width, idct, upsample,
                            color, mesh_holder):
@@ -569,7 +572,10 @@ def _hybrid_full_step_flat(pools, starts_rel, nm_lane, src_idx, luts,
             color=color, precision=precision)
 
     rgb = jax.vmap(pixel_one)(blocks)
-    return rgb, ~bad.any(axis=1)
+    # Device-visible failure flag is SELF-SUFFICIENT (ADVICE r3): a row
+    # whose host skeleton scan failed ships skel_bad=True, so callers
+    # need no side-channel AND.
+    return rgb, ~bad.any(axis=1) & ~skel_bad
 
 
 @functools.partial(
@@ -577,7 +583,7 @@ def _hybrid_full_step_flat(pools, starts_rel, nm_lane, src_idx, luts,
     static_argnames=("block_comp", "n_comps", "T", "n_mcus", "C",
                      "precision", "comp_shapes", "samplings", "height",
                      "width", "idct", "upsample", "color", "mesh_holder"))
-def _hybrid_full_step_emit(pools, starts_rel, nm_lane, lane_off,
+def _hybrid_full_step_emit(pools, starts_rel, nm_lane, skel_bad, lane_off,
                            seg_first, luts, qtables, comp_srcs, *,
                            block_comp, n_comps, T, n_mcus, C, precision,
                            comp_shapes, samplings, height, width, idct,
@@ -645,15 +651,20 @@ def _hybrid_full_step_emit(pools, starts_rel, nm_lane, lane_off,
             color=color, precision=precision)
 
     rgb = jax.vmap(pixel_one)(blocks)
-    return rgb, ~bad.any(axis=1)
+    # Device-visible failure flag is SELF-SUFFICIENT (ADVICE r3): a row
+    # whose host skeleton scan failed ships skel_bad=True, so callers
+    # need no side-channel AND.
+    return rgb, ~bad.any(axis=1) & ~skel_bad
 
 
 def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
     """Dispatch (without blocking) one DRI=0 group through the hybrid
     pipeline (host skeleton scan -> device true-start lanes).  Returns
-    (rgb (B, H, W, 3) device, ok (B,) numpy-combinable device flags) —
-    rows whose skeleton scan failed are dispatched with inactive lanes and
-    reported not-ok for the speculative/host fallback.
+    (rgb (B, H, W, 3) device, ok (B,) device flags).  The ok flag is
+    SELF-SUFFICIENT: rows whose host skeleton scan failed ship a
+    skel_bad input folded into it on device (ADVICE r3), so callers need
+    no side-channel AND; they route not-ok rows to the per-image
+    fallback.
 
     JD_HYBRID_KERNEL selects the device kernel (tools/hybrid_kernel_ab.py
     measures all three in one process):
@@ -696,12 +707,16 @@ def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
     pools = _pad_to(pools, bp, 0)
     starts = _pad_to(_pad_to(starts, bp, 0), cp, 1)
     nm_lane = _pad_to(_pad_to(nm_lane, bp, 0), cp, 1)
+    skel_bad = np.zeros(bp, bool)
+    skel_bad[:b0] = ~np.asarray(skel_ok, bool)
 
     pools_j = jax.device_put(jnp.asarray(pools),
                              NamedSharding(mesh, P("data", None)))
     lane_sh = NamedSharding(mesh, P("data", "seg"))
     starts_j = jax.device_put(jnp.asarray(starts), lane_sh)
     nm_j = jax.device_put(jnp.asarray(nm_lane), lane_sh)
+    sb_j = jax.device_put(jnp.asarray(skel_bad),
+                          NamedSharding(mesh, P("data")))
     luts_j = _device_luts(luts, mesh)
 
     common = dict(
@@ -717,19 +732,19 @@ def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
         seg_j = jax.device_put(jnp.asarray(seg_first),
                                NamedSharding(mesh, P(None,)))
         rgb, ok = _hybrid_full_step_emit(
-            pools_j, starts_j, nm_j, off_j, seg_j, luts_j, qtables,
+            pools_j, starts_j, nm_j, sb_j, off_j, seg_j, luts_j, qtables,
             comp_srcs, T=T, **common)
     elif kernel == "flat":
         src_j = jax.device_put(jnp.asarray(_pad_to(src_idx, bp, 0)),
                                NamedSharding(mesh, P("data", None)))
         rgb, ok = _hybrid_full_step_flat(
-            pools_j, starts_j, nm_j, src_j, luts_j, qtables, comp_srcs,
-            max_nm=max_nm, **common)
+            pools_j, starts_j, nm_j, sb_j, src_j, luts_j, qtables,
+            comp_srcs, max_nm=max_nm, **common)
     else:
         rgb, ok = _hybrid_full_step(
-            pools_j, starts_j, nm_j, luts_j, qtables, comp_srcs,
+            pools_j, starts_j, nm_j, sb_j, luts_j, qtables, comp_srcs,
             stride=stride, **common)
-    return rgb[:b0], ok[:b0], skel_ok
+    return rgb[:b0], ok[:b0]
 
 
 def _spec_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
@@ -884,9 +899,17 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
     results: list = [None] * len(blobs)
     groups: dict[tuple, list] = {}
     host_fallback: list[int] = []
+    prog_frames: list = []
     for i, blob in enumerate(blobs):
         try:
             hdr = parser.parse(blob)
+            if (hdr.progressive and not hdr.arithmetic
+                    and hdr.precision == 8):
+                # Huffman progressive: device lane kernels
+                # (ops/entropy_prog) — scan kinds decode as lockstep
+                # lanes, planes stay in HBM (VERDICT r3 item 2).
+                prog_frames.append((i, hdr))
+                continue
             scan = hdr.scans[0]
             if (hdr.progressive or hdr.arithmetic or hdr.precision != 8
                     or decoder_mod.needs_scan_loop(hdr)
@@ -957,9 +980,9 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                 # lanes.  Images whose skeleton fails fall back to the
                 # resilient host chain per image via the finalize path.
                 scans = [it[2] for it in items]
-                rgb_b, ok, skel_ok = _hybrid_group_dispatch(
+                rgb_b, ok = _hybrid_group_dispatch(
                     hdr0, scans, mesh, idct=idct, upsample=upsample)
-                dispatched.append((items, rgb_b, (ok, skel_ok), scans))
+                dispatched.append((items, rgb_b, ok, scans))
             else:
                 # DRI=0 streams: hybrid decode (host skeleton scan ->
                 # device lanes from TRUE MCU starts) when the native lib
@@ -970,9 +993,9 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                               and os.environ.get("JD_DEVICE_ENTROPY",
                                                  "hybrid") != "spec")
                 if use_hybrid:
-                    rgb_b, ok, skel_ok = _hybrid_group_dispatch(
+                    rgb_b, ok = _hybrid_group_dispatch(
                         hdr0, scans, mesh, idct=idct, upsample=upsample)
-                    dispatched.append((items, rgb_b, (ok, skel_ok), scans))
+                    dispatched.append((items, rgb_b, ok, scans))
                 else:
                     rgb_b, ok = _spec_group_dispatch(
                         hdr0, scans, mesh, idct=idct, upsample=upsample)
@@ -981,6 +1004,31 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
             for i, hdr, _scan in items:
                 results[i] = BatchItem(index=i, header=hdr, rgb_batch=None,
                                        batch_index=-1, error=e)
+
+    # Progressive frames: per-image device-lane decode (host does only
+    # the position-only skeleton walks), overlapping the in-flight
+    # baseline groups; a frame whose device decode fails falls back to
+    # the host path with the others.
+    for i, hdr in prog_frames:
+        try:
+            from ..ops import entropy_prog
+
+            planes = entropy_prog.decode_progressive_lanes(
+                hdr, as_device=True)
+            qtables = tuple(jnp.asarray(hdr.quant_tables[c.tq].values)
+                            for c in hdr.components)
+            samplings = tuple(
+                (hdr.v_max // c.v, hdr.h_max // c.h)
+                for c in hdr.components)
+            rgb = pixel_ops.pixel_pipeline(
+                tuple(planes), qtables, height=hdr.height,
+                width=hdr.width, samplings=samplings, idct=idct,
+                upsample=upsample, color=hdr.colorspace,
+                precision=hdr.precision)
+            results[i] = BatchItem(index=i, header=hdr,
+                                   rgb_batch=rgb[None], batch_index=0)
+        except Exception:  # noqa: BLE001 — per-image isolation
+            host_fallback.append(i)
 
     # Host-path frames decode while the device groups are in flight: the
     # BatchDecoder's host entropy stage runs now, its own device pixel
@@ -1004,10 +1052,8 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                 errs = [JPEGError("device entropy decode failed")
                         if bool(f) else None for f in np.asarray(flags)]
             else:
-                if isinstance(flags, tuple):   # hybrid: (device ok, skel ok)
-                    ok_np = np.asarray(flags[0]) & flags[1]
-                else:                          # spec: splice ok
-                    ok_np = np.asarray(flags)
+                # hybrid/spec ok flags are self-sufficient device bools.
+                ok_np = np.asarray(flags)
                 rgb_b, errs = _spec_group_finalize(
                     hdr0, scans, rgb_b, ok_np, idct=idct,
                     upsample=upsample)

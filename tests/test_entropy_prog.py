@@ -119,3 +119,77 @@ def test_corpus_progressive_small_device():
     got = entropy_prog.decode_progressive_device(hdr)
     for w, g in zip(want, got):
         assert np.array_equal(w, g)
+
+
+def _native_ok():
+    from jpeg_decoder_tpu.entropy import native
+    return native.available()
+
+
+@pytest.mark.parametrize("size,quality", [((120, 88), 85), ((168, 104), 60)])
+def test_hybrid_skeleton_lanes_vs_python(size, quality):
+    """DRI=0 frames through the native-skeleton device-lane path:
+    bit-exact vs python with ~8-lane strides exercised."""
+    if not _native_ok():
+        pytest.skip("native lib not built")
+    blob = _pil_progressive(seed=13, size=size, quality=quality)
+    hdr = parser.parse(blob)
+    assert all(len(s.seg_offsets) == 2 for s in hdr.scans)
+    want = prog_ref.decode_progressive(hdr)
+    got = entropy_prog.decode_progressive_hybrid(hdr, target_lanes=8)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
+
+
+def test_hybrid_corpus_small():
+    if not _native_ok():
+        pytest.skip("native lib not built")
+    hdr = parser.parse_file(corpus_path("prograssive-sample-2.jpg"))
+    want = prog_ref.decode_progressive(hdr)
+    got = entropy_prog.decode_progressive_hybrid(hdr)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
+
+
+@pytest.mark.slow
+def test_hybrid_corpus_12mp():
+    """The 12 MP corpus progressive image through skeleton device lanes."""
+    if not _native_ok():
+        pytest.skip("native lib not built")
+    from jpeg_decoder_tpu.entropy import native
+
+    hdr = parser.parse_file(corpus_path("prograssive-sample.jpg"))
+    want = native.decode_progressive(hdr)
+    got = entropy_prog.decode_progressive_hybrid(hdr)
+    for w, g in zip(want, got):
+        assert np.array_equal(w, g)
+
+
+def test_progressive_rides_decode_batch_sharded():
+    """Progressive blobs decode through decode_batch_sharded's device
+    path (not host fallback), bit-exact vs decode()."""
+    from jpeg_decoder_tpu import decode
+    from jpeg_decoder_tpu.parallel import mesh as mesh_mod
+    from jpeg_decoder_tpu.parallel.sharded import decode_batch_sharded
+
+    mesh = mesh_mod.make_mesh((1, 8), ("data", "seg"))
+    blob = open(corpus_path("prograssive-sample-2.jpg"), "rb").read()
+    blob2 = _pil_progressive(seed=21, size=(96, 64), restart_blocks=4)
+    items = decode_batch_sharded([blob, blob2], mesh, idct="fast",
+                                 upsample="fancy")
+    for it, b in zip(items, [blob, blob2]):
+        assert it.error is None
+        ref = decode(b, idct="fast", upsample="fancy").rgb
+        assert np.array_equal(np.asarray(it.rgb), ref)
+
+
+def test_jax_backend_progressive_decode():
+    """decode(entropy='jax'/'hybrid') routes progressive frames through
+    the device lane kernels end-to-end."""
+    from jpeg_decoder_tpu import decode
+
+    path = corpus_path("prograssive-sample-2.jpg")
+    ref = decode(path, entropy="python", idct="fast", upsample="nn").rgb
+    for backend in ("jax", "hybrid"):
+        got = decode(path, entropy=backend, idct="fast", upsample="nn").rgb
+        assert np.array_equal(got, ref), backend

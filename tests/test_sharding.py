@@ -163,9 +163,9 @@ def test_hybrid_lanes_sharded_across_devices(mesh24):
     hdr = parser.parse(blob)
     assert hdr.restart_interval == 0
     scans = [parser.parse(blob).scans[0] for _ in range(3)]
-    rgb, ok, skel_ok = _hybrid_group_dispatch(hdr, scans, mesh24,
-                                              idct="fast", upsample="nn")
-    assert skel_ok.all() and bool(np.asarray(ok).all())
+    rgb, ok = _hybrid_group_dispatch(hdr, scans, mesh24,
+                                     idct="fast", upsample="nn")
+    assert bool(np.asarray(ok).all())
     assert len(rgb.sharding.device_set) >= 2, rgb.sharding
     ref = decode_one(blob, idct="fast", upsample="nn").rgb
     got = np.asarray(rgb)

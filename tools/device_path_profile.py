@@ -163,7 +163,7 @@ def main():
     hb.block_until_ready()
     t_hyb = time.perf_counter() - t0
     t0 = time.perf_counter()
-    rgb, hok, _sk = sharded._hybrid_group_dispatch(
+    rgb, hok = sharded._hybrid_group_dispatch(
         hdr, scans, mesh, idct="fast", upsample="fancy")
     rgb.block_until_ready()
     t_hfull = time.perf_counter() - t0
