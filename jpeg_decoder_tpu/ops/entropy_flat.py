@@ -295,7 +295,7 @@ def decode_flat(words, base_bits, nblocks, bit_limits, luts, *,
 
 @functools.partial(
     jax.jit, static_argnames=("block_comp", "n_comps", "T", "precision"))
-def decode_emit(words, base_bits, nblocks, luts, *,
+def decode_emit(words, base_bits, nblocks, luts, lut_base=None, *,
                 block_comp: tuple[int, ...], n_comps: int, T: int,
                 precision: int = 8):
     """Emission decode of S lanes: exactly ``T`` symbol steps per lane.
@@ -303,6 +303,9 @@ def decode_emit(words, base_bits, nblocks, luts, *,
     Args are as :func:`decode_flat` (flat merged ``luts``); ``T`` must be
     >= every lane's total Huffman symbol count (lanes that exhaust their
     ``nblocks`` idle).  DC coefficients are raw diffs (dc_diff).
+    ``lut_base``: optional (S,) int32 per-lane offset into ``luts`` (in
+    rows of 65536) — geometry-bucketed groups ship one LUT stack per
+    distinct table set and point each image's lanes at its rows.
 
     Returns (pos (T, S) int32 — lane-local ``blk*64 + zigzag_index`` or
     -1 for non-writing steps, val (T, S) int32, err (S,) bool,
@@ -331,6 +334,8 @@ def decode_emit(words, base_bits, nblocks, luts, *,
         comp = jnp.take(bc_arr, s["blk"] % bpm)
         is_dc = s["coef"] == 0
         row = comp * 2 + (~is_dc).astype(jnp.int32)
+        if lut_base is not None:
+            row = row + lut_base
         entry = jnp.take(luts, row * 65536 + w16).astype(jnp.int32)
         length = (entry & 31).astype(jnp.uint32)
         sym = (entry >> 5) & 0xFF

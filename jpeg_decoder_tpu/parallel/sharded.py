@@ -747,6 +747,214 @@ def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
     return rgb[:b0], ok[:b0]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "n_comps", "T", "n_mcus_b", "C",
+                     "precision", "comp_shapes_b", "comp_hv", "samplings",
+                     "height_b", "width_b", "idct", "upsample", "color",
+                     "mesh_holder"))
+def _hybrid_full_step_emit_dyn(pools, starts_rel, nm_lane, skel_bad,
+                               lane_off, lut_base, luts, qtables_b, geom,
+                               *, block_comp, n_comps, T, n_mcus_b, C,
+                               precision, comp_shapes_b, comp_hv,
+                               samplings, height_b, width_b, idct,
+                               upsample, color, mesh_holder):
+    """GEOMETRY-BUCKETED emission group decode as ONE sharded program
+    (VERDICT r3 item 4): a serving corpus of arbitrary image sizes
+    compiles O(log sizes) sharded programs, not one per distinct size.
+
+    Per-image TRUE geometry rides as a dynamic ``geom`` row
+    (mcus_x, mcus_y, height, width, restart_interval): the emission
+    scatter lands in true scan order inside the bucket block range, the
+    DC prefix sum derives segment starts from DRI in closed form, and
+    plane assembly + the fancy upsampler's edge replication use the
+    true dims (models.batch._rgb_one_dyn — the same machinery the
+    BatchDecoder buckets with).  ``lut_base`` points each image's lanes
+    at its Huffman table stack row, so tables need not be in the group
+    key.  Pixels inside (height, width) are bit-exact with the
+    unbucketed path; BatchItem.rgb crops the bucket padding.
+    """
+    from ..models.batch import _rgb_one_dyn
+    from ..ops.entropy_spec import _dc_prefix_sum_seg
+    from ..types import ZIGZAG_INV
+
+    mesh = mesh_holder.mesh
+    B = pools.shape[0]
+    bpm = len(block_comp)
+
+    def local(pools_l, starts_l, nm_l, off_l, lutb_l, luts_l):
+        b_l, c_l = starts_l.shape
+        w = pools_l.shape[1]
+        img_base = (jnp.arange(b_l, dtype=jnp.int32) * (w * 32))[:, None]
+        base_abs = (img_base + starts_l).reshape(-1)
+        nblocks = (nm_l * bpm).reshape(-1)
+        lutb = jnp.broadcast_to(lutb_l[:, None], (b_l, c_l)).reshape(-1)
+        pos, val, err, n_done = entropy_flat.decode_emit(
+            pools_l.reshape(-1), base_abs, nblocks, luts_l, lutb,
+            block_comp=block_comp, n_comps=n_comps, T=T,
+            precision=precision)
+        bad = (err | (n_done < nblocks)).reshape(b_l, c_l)
+        img_out = (jnp.arange(b_l, dtype=jnp.int32)
+                   * (n_mcus_b * bpm * 64))[:, None]
+        out_off = (img_out + off_l).reshape(-1)
+        n_total = b_l * n_mcus_b * bpm * 64
+        flat_pos = jnp.where(pos >= 0, pos + out_off[None, :], n_total)
+        out = jnp.zeros((n_total,), jnp.int32).at[
+            flat_pos.reshape(-1)].add(val.reshape(-1), mode="drop")
+        out = jax.lax.psum(out.reshape(b_l, n_mcus_b * bpm, 64), "seg")
+        return out, bad
+
+    blocks, bad = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data", "seg"), P("data", "seg"),
+                  P("data", "seg"), P("data"), P(None,)),
+        out_specs=(P("data", None, None), P("data", "seg")),
+        check_vma=False,
+    )(pools, starts_rel, nm_lane, lane_off, lut_base, luts)
+
+    blocks = jnp.take(blocks, jnp.asarray(ZIGZAG_INV), axis=2)
+
+    def prefix_one(blocks_i, ri):
+        # Segment starts in closed form from the image's DRI: the first
+        # MCU of MCU m's segment is (m // ri) * ri (0 for DRI=0).
+        m = jnp.arange(n_mcus_b, dtype=jnp.int32)
+        ris = jnp.maximum(ri, 1)
+        seg_first = jnp.where(ri > 0, (m // ris) * ris, 0)
+        return _dc_prefix_sum_seg(
+            blocks_i.reshape(n_mcus_b, bpm, 64), seg_first,
+            block_comp=block_comp, n_comps=n_comps)
+
+    blocks = jax.vmap(prefix_one)(
+        blocks, geom[:, 4]).reshape(B, n_mcus_b * bpm, 64)
+
+    rgb = jax.vmap(
+        functools.partial(
+            _rgb_one_dyn, comp_shapes=comp_shapes_b, comp_hv=comp_hv,
+            height=height_b, width=width_b, samplings=samplings,
+            idct=idct, upsample=upsample, color=color,
+            precision=precision))(blocks, qtables_b, geom[:, :4])
+    return rgb, ~bad.any(axis=1) & ~skel_bad
+
+
+def _hybrid_group_dispatch_dyn(items, mesh: Mesh, *, idct, upsample):
+    """Dispatch one GEOMETRY-BUCKETED group (images of assorted sizes,
+    same sampling/colorspace, any DRI) through the emission pipeline.
+
+    ``items``: list of (index, hdr, scan).  Returns (rgb (B, Hb, Wb, 3)
+    device, ok (B,) self-sufficient device flags).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..models.batch import _bucket_pow2
+    from ..ops import entropy_spec
+
+    B = len(items)
+    hdr0 = items[0][1]
+    comp_hv = tuple((c.h, c.v) for c in hdr0.components)
+    h_max = max(h for h, _ in comp_hv)
+    v_max = max(v for _, v in comp_hv)
+    bpm = sum(h * v for h, v in comp_hv)
+    block_comp = tuple(ci for ci, (h, v) in enumerate(comp_hv)
+                       for _ in range(h * v))
+    mxb = _bucket_pow2(max(hdr.mcus_x for _, hdr, _s in items))
+    myb = _bucket_pow2(max(hdr.mcus_y for _, hdr, _s in items))
+    n_mcus_b = mxb * myb
+    comp_shapes_b = tuple((myb * v, mxb * h) for h, v in comp_hv)
+    samplings = tuple((v_max // v, h_max // h) for h, v in comp_hv)
+    height_b, width_b = myb * 8 * v_max, mxb * 8 * h_max
+
+    # Per-image emit prep (skeleton scans thread across images).
+    preps: list = [None] * B
+
+    def prep_one(k):
+        _i, hdr, scan = items[k]
+        preps[k] = entropy_spec.prepare_hybrid_batch_emit(
+            hdr, [scan], threads=1)
+
+    if B > 1:
+        with ThreadPoolExecutor(min(4, B)) as ex:
+            list(ex.map(prep_one, range(B)))
+    else:
+        prep_one(0)
+
+    from ..ops.entropy_spec import _bucket_T
+
+    # Pool width is an array SHAPE (a trace key): bucket it like T so
+    # batches of assorted byte sizes share one compiled program.
+    W = _bucket_T(max(p[0].shape[1] for p in preps))
+    C = max(p[5] for p in preps)
+    T = max(p[4] for p in preps)
+    pools = np.zeros((B, W), np.uint32)
+    starts = np.zeros((B, C), np.int32)
+    nm_lane = np.zeros((B, C), np.int32)
+    lane_off = np.zeros((B, C), np.int32)
+    skel_bad = np.zeros(B, bool)
+    geom = np.zeros((B, 5), np.int32)
+    # One LUT stack per DISTINCT table set; images point lanes at theirs.
+    lut_sets: dict[bytes, int] = {}
+    lut_stacks: list[np.ndarray] = []
+    lut_base = np.zeros(B, np.int32)
+    for k, (_i, hdr, scan) in enumerate(items):
+        p = preps[k]
+        pools[k, : p[0].shape[1]] = p[0][0]
+        c_k = p[1].shape[1]
+        starts[k, :c_k] = p[1][0]
+        nm_lane[k, :c_k] = p[2][0]
+        lane_off[k, :c_k] = p[3][0]
+        skel_bad[k] = not bool(p[7][0])
+        geom[k] = (hdr.mcus_x, hdr.mcus_y, hdr.height, hdr.width,
+                   scan.restart_interval)
+        luts_k = entropy_flat.merged_luts(hdr, scan)
+        digest = luts_k.tobytes()
+        idx = lut_sets.get(digest)
+        if idx is None:
+            idx = lut_sets.setdefault(digest, len(lut_stacks))
+            lut_stacks.append(luts_k)
+        lut_base[k] = idx * 2 * len(comp_hv)
+    luts = np.concatenate(lut_stacks)
+    qtables_b = np.stack([
+        np.stack([hdr.quant_tables[c.tq].values for c in hdr.components])
+        for _i, hdr, _s in items]).astype(np.int32)
+
+    bp = -(-B // mesh.shape["data"]) * mesh.shape["data"]
+    # Lane count joins T in quarter-pow2 buckets: distinct batches of the
+    # same geometry bucket reuse ONE compiled program (C and T are static
+    # args of the step).
+    cp = -(-_bucket_T(C) // mesh.shape["seg"]) * mesh.shape["seg"]
+    pools = _pad_to(pools, bp, 0)
+    starts = _pad_to(_pad_to(starts, bp, 0), cp, 1)
+    nm_lane = _pad_to(_pad_to(nm_lane, bp, 0), cp, 1)
+    lane_off = _pad_to(_pad_to(lane_off, bp, 0), cp, 1)
+    lut_base = _pad_to(lut_base, bp)
+    skel_bad = _pad_to(skel_bad, bp)
+    geom = _pad_to(geom, bp, 0)
+    geom[B:, :2] = 1  # padded rows: 1x1 MCU, nothing decodes
+    qtables_b = _pad_to(qtables_b, bp, 0)
+
+    lane_sh = NamedSharding(mesh, P("data", "seg"))
+    data_sh = NamedSharding(mesh, P("data"))
+    pools_j = jax.device_put(jnp.asarray(pools),
+                             NamedSharding(mesh, P("data", None)))
+    args = (jax.device_put(jnp.asarray(starts), lane_sh),
+            jax.device_put(jnp.asarray(nm_lane), lane_sh),
+            jax.device_put(jnp.asarray(skel_bad), data_sh),
+            jax.device_put(jnp.asarray(lane_off), lane_sh),
+            jax.device_put(jnp.asarray(lut_base), data_sh))
+    luts_j = _device_luts(luts, mesh)
+    qt_j = jax.device_put(jnp.asarray(qtables_b), data_sh)
+    geom_j = jax.device_put(jnp.asarray(geom), data_sh)
+
+    rgb, ok = _hybrid_full_step_emit_dyn(
+        pools_j, *args, luts_j, qt_j, geom_j,
+        block_comp=block_comp, n_comps=len(comp_hv), T=T,
+        n_mcus_b=n_mcus_b, C=cp, precision=hdr0.precision,
+        comp_shapes_b=comp_shapes_b, comp_hv=comp_hv,
+        samplings=samplings, height_b=height_b, width_b=width_b,
+        idct=idct, upsample=upsample, color=hdr0.colorspace,
+        mesh_holder=_MeshHolder(mesh))
+    return rgb[:B], ok[:B]
+
+
 def _spec_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
     """Dispatch (without blocking) one DRI=0 group through the sharded
     speculative pipeline.  Returns (rgb (B, H, W, 3) device, ok (B,)
@@ -864,6 +1072,37 @@ def _spec_group_finalize(hdr, scans, rgb, ok_np, *, idct, upsample):
 # Fully device-resident batch decode from raw JPEG blobs
 # ---------------------------------------------------------------------------
 
+def _host_rgb_one(hdr, scan, *, idct, upsample):
+    """Single-image host-entropy RGB at the image's TRUE geometry — the
+    per-image fallback for bucketed-group rows whose device decode or
+    skeleton scan failed."""
+    from ..models import decoder as decoder_mod
+    from ..models.batch import _batched_from_scan
+    from ..ops import entropy_spec
+
+    lay = scan_layout(hdr)
+    bpm = lay.blocks_per_mcu
+    if len(scan.seg_offsets) == 2 and not scan.restart_interval:
+        one = entropy_spec.decode_scan_speculative(hdr, scan,
+                                                   as_device=True)
+    else:
+        one = jnp.asarray(decoder_mod._decode_scan_robust(
+            hdr, scan, "auto"))
+    blocks1 = one[: lay.n_mcus * bpm].astype(jnp.int32)[None]
+    qt = np.stack([hdr.quant_tables[c.tq].values
+                   for c in hdr.components])
+    samplings = tuple(
+        (hdr.v_max // c.v, hdr.h_max // c.h) for c in hdr.components)
+    rgb1 = _batched_from_scan(
+        blocks1, jnp.asarray(qt)[None],
+        decoder_mod._comp_srcs_jax(lay),
+        comp_shapes=tuple(lay.comp_shapes), height=hdr.height,
+        width=hdr.width, samplings=samplings, idct=idct,
+        upsample=upsample, color=hdr.colorspace,
+        precision=hdr.precision)
+    return rgb1[0]
+
+
 def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                          upsample="fancy"):
     """Decode a list of JPEG blobs with the ENTIRE compute path on device.
@@ -900,6 +1139,25 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
     groups: dict[tuple, list] = {}
     host_fallback: list[int] = []
     prog_frames: list = []
+    try:
+        from ..entropy import native as _native_mod
+
+        native_ok = _native_mod.available()
+    except Exception:  # noqa: BLE001
+        native_ok = False
+    emit_max_lanes = int(os.environ.get("JD_RESTART_EMIT_MAX_LANES",
+                                        "512"))
+    # Geometry-BUCKETED grouping (VERDICT r3 item 4): when the emission
+    # route is available, images group by pow-2 MCU-grid bucket +
+    # sampling + colorspace — a serving corpus of arbitrary sizes
+    # compiles O(log sizes) sharded programs, not one per distinct
+    # (size, DRI, table-set).  Tables/DRI ride as dynamic inputs.
+    use_dyn = (native_ok
+               and os.environ.get("JD_SHARDED_BUCKET", "pow2") == "pow2"
+               and os.environ.get("JD_DEVICE_ENTROPY", "hybrid") != "spec"
+               and os.environ.get("JD_HYBRID_KERNEL", "emit") == "emit")
+    if use_dyn:
+        from ..models.batch import _bucket_pow2
     for i, blob in enumerate(blobs):
         try:
             hdr = parser.parse(blob)
@@ -918,18 +1176,27 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                 # decoded below as one BatchDecoder batch.
                 host_fallback.append(i)
                 continue
-            key = (hdr.width, hdr.height,
-                   tuple((c.h, c.v) for c in hdr.components),
-                   scan.restart_interval,
-                   tuple(sorted((tid, spec.counts.tobytes(),
-                                 spec.symbols.tobytes())
-                                for tid, spec in scan.dc_specs.items())),
-                   tuple(sorted((tid, spec.counts.tobytes(),
-                                 spec.symbols.tobytes())
-                                for tid, spec in scan.ac_specs.items())),
-                   tuple(sorted((tid, t.values.tobytes())
-                                for tid, t in hdr.quant_tables.items())))
-            groups.setdefault(key, []).append((i, hdr, scan))
+            exact_key = (
+                hdr.width, hdr.height,
+                tuple((c.h, c.v) for c in hdr.components),
+                scan.restart_interval,
+                tuple(sorted((tid, spec.counts.tobytes(),
+                              spec.symbols.tobytes())
+                             for tid, spec in scan.dc_specs.items())),
+                tuple(sorted((tid, spec.counts.tobytes(),
+                              spec.symbols.tobytes())
+                             for tid, spec in scan.ac_specs.items())),
+                tuple(sorted((tid, t.values.tobytes())
+                             for tid, t in hdr.quant_tables.items())))
+            n_seg = len(scan.seg_offsets) - 1
+            if use_dyn and n_seg < emit_max_lanes:
+                key = ("dyn", _bucket_pow2(hdr.mcus_x),
+                       _bucket_pow2(hdr.mcus_y),
+                       tuple((c.h, c.v) for c in hdr.components),
+                       hdr.colorspace)
+            else:
+                key = exact_key
+            groups.setdefault(key, []).append((i, hdr, scan, exact_key))
         except Exception as e:  # noqa: BLE001 — per-image isolation
             results[i] = BatchItem(index=i, header=None, rgb_batch=None,
                                    batch_index=-1, error=e)
@@ -942,18 +1209,43 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
         try:
             from ..entropy import native as native_mod
 
-            # Restart streams route by LANE COUNT: with many segments the
-            # batch already fills the lockstep kernel's lane budget and
-            # measured faster there (img4 x16 = 800 segment lanes: 42.7
-            # vs 31.9 MP/s); with few segments the emission path's
-            # MCU-granular symbol-balanced lanes win (a 2-segment stream
-            # gives lockstep only 2B lanes).
+            if key[0] == "dyn":
+                # Geometry-bucketed emission route.  One special case
+                # preserved from the exact router: a UNIFORM group of
+                # restart streams whose segment lanes already exceed the
+                # emission threshold measured faster on the lockstep
+                # kernel (img4 x16 = 800 lanes: 42.7 vs 31.9 MP/s).
+                n_seg0 = len(hdr0.scans[0].seg_offsets) - 1
+                uniform = len({it[3] for it in items}) == 1
+                if (uniform and hdr0.scans[0].restart_interval
+                        and B * n_seg0 >= emit_max_lanes):
+                    prepped = [scan_prep.prepare_scan(hdr, scan)[:2]
+                               for _, hdr, scan, _k in items]
+                    s_max = max(len(nm) for _, nm in prepped)
+                    w_max = max(w.shape[1] for w, _ in prepped)
+                    words_b = np.zeros((B, s_max, w_max), np.uint32)
+                    nm_b = np.zeros((B, s_max), np.int64)
+                    for k, (w, nm) in enumerate(prepped):
+                        words_b[k, : w.shape[0], : w.shape[1]] = w
+                        nm_b[k, : len(nm)] = nm
+                    rgb_b, _err_b, flags = full_decode_step(
+                        hdr0, words_b, nm_b, mesh, idct=idct,
+                        upsample=upsample)
+                    dispatched.append((items, rgb_b, flags, None))
+                else:
+                    rgb_b, ok = _hybrid_group_dispatch_dyn(
+                        [(i, hdr, scan) for i, hdr, scan, _k in items],
+                        mesh, idct=idct, upsample=upsample)
+                    dispatched.append((items, rgb_b, ok, "dyn"))
+                continue
+
+            # Exact-geometry routes (no native lib / emit disabled /
+            # >= emit_max_lanes restart segments per image).
             n_seg0 = len(hdr0.scans[0].seg_offsets) - 1
             use_emit_restart = (
                 hdr0.scans[0].restart_interval
                 and native_mod.available()
-                and B * n_seg0 < int(os.environ.get(
-                    "JD_RESTART_EMIT_MAX_LANES", "512"))
+                and B * n_seg0 < emit_max_lanes
                 and os.environ.get("JD_DEVICE_ENTROPY", "hybrid")
                 != "spec"
                 and os.environ.get("JD_HYBRID_KERNEL", "emit") == "emit")
@@ -961,7 +1253,7 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                 # Restart streams without the native lib (or with the
                 # emit kernel disabled): segments are the lanes.
                 prepped = [scan_prep.prepare_scan(hdr, scan)[:2]
-                           for _, hdr, scan in items]
+                           for _, hdr, scan, _k in items]
                 s_max = max(len(nm) for _, nm in prepped)
                 w_max = max(w.shape[1] for w, _ in prepped)
                 words_b = np.zeros((B, s_max, w_max), np.uint32)
@@ -1001,9 +1293,10 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                         hdr0, scans, mesh, idct=idct, upsample=upsample)
                     dispatched.append((items, rgb_b, ok, scans))
         except Exception as e:  # noqa: BLE001
-            for i, hdr, _scan in items:
-                results[i] = BatchItem(index=i, header=hdr, rgb_batch=None,
-                                       batch_index=-1, error=e)
+            for it in items:
+                results[it[0]] = BatchItem(
+                    index=it[0], header=it[1], rgb_batch=None,
+                    batch_index=-1, error=e)
 
     # Progressive frames: per-image device-lane decode (host does only
     # the position-only skeleton walks), overlapping the in-flight
@@ -1051,17 +1344,34 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
             if scans is None:  # restart path: flags = per-image error
                 errs = [JPEGError("device entropy decode failed")
                         if bool(f) else None for f in np.asarray(flags)]
+            elif scans == "dyn":
+                # Bucketed group: patch failed rows per image at the
+                # image's OWN geometry (the group's members differ).
+                ok_np = np.asarray(flags)
+                errs = [None] * len(items)
+                for k in np.flatnonzero(~ok_np):
+                    _i, hdr_k, scan_k, _key = items[int(k)]
+                    try:
+                        rgb1 = _host_rgb_one(hdr_k, scan_k, idct=idct,
+                                             upsample=upsample)
+                        rgb_b = rgb_b.at[
+                            int(k), : hdr_k.height, : hdr_k.width].set(
+                            rgb1)
+                    except Exception as e:  # noqa: BLE001
+                        errs[int(k)] = e
             else:
                 # hybrid/spec ok flags are self-sufficient device bools.
                 ok_np = np.asarray(flags)
                 rgb_b, errs = _spec_group_finalize(
                     hdr0, scans, rgb_b, ok_np, idct=idct,
                     upsample=upsample)
-            for k, (i, hdr, _scan) in enumerate(items):
-                results[i] = BatchItem(index=i, header=hdr, rgb_batch=rgb_b,
-                                       batch_index=k, error=errs[k])
+            for k, it in enumerate(items):
+                results[it[0]] = BatchItem(
+                    index=it[0], header=it[1], rgb_batch=rgb_b,
+                    batch_index=k, error=errs[k])
         except Exception as e:  # noqa: BLE001
-            for i, hdr, _scan in items:
-                results[i] = BatchItem(index=i, header=hdr, rgb_batch=None,
-                                       batch_index=-1, error=e)
+            for it in items:
+                results[it[0]] = BatchItem(
+                    index=it[0], header=it[1], rgb_batch=None,
+                    batch_index=-1, error=e)
     return results
