@@ -60,7 +60,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 15:
+        if lib.jd_abi_version() != 16:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_prog_skeleton_dc.restype = ctypes.c_int64
         lib.jd_prog_skeleton_dc.argtypes = [
@@ -123,6 +123,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,   # dc_luts, ac_luts (ptr arrays)
             ctypes.c_int64, ctypes.c_int64,     # n_mcus, restart_interval
             ctypes.c_void_p, ctypes.c_int32,    # out, n_threads
+            ctypes.c_int32,                     # precision
         ]
         lib.jd_decode_scan_resilient.restype = ctypes.c_int64
         lib.jd_decode_scan_resilient.argtypes = [
@@ -133,7 +134,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,   # dc_luts, ac_luts
             ctypes.c_int64, ctypes.c_int64,     # n_mcus, restart_interval
             ctypes.c_void_p, ctypes.c_void_p,   # out, seg_err
-            ctypes.c_int32,                     # n_threads
+            ctypes.c_int32, ctypes.c_int32,     # n_threads, precision
         ]
         lib.jd_decode_scan_speculative.restype = ctypes.c_int64
         lib.jd_decode_scan_speculative.argtypes = [
@@ -296,11 +297,13 @@ class _ScanCall:
     validated segment table, sampling arrays, and LUT pointer arrays (the
     LUT ndarrays are kept alive on the instance for the ctypes call)."""
 
-    def __init__(self, hdr: FrameHeader, scan: ScanHeader):
-        if hdr.precision != 8:
+    def __init__(self, hdr: FrameHeader, scan: ScanHeader,
+                 allow12: bool = False):
+        # jd_decode_scan supports precision-12 frames (T.81 B.2.2 size
+        # categories 15/14); the wire-format emitters stay 8-bit.
+        if hdr.precision != 8 and not (allow12 and hdr.precision == 12):
             raise JPEGError(
-                "native backend decodes 8-bit frames only; 12-bit extended "
-                "frames use the python/jax backends")
+                "this native entry point decodes 8-bit frames only")
         self.lay = scan_layout(hdr)
         comps = hdr.components
         self.data = _padded(scan)
@@ -345,12 +348,13 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
     identical to the python_ref backend (asserted by tests/test_entropy.py).
     """
     lib = _load()
-    st = _ScanCall(hdr, scan)
+    st = _ScanCall(hdr, scan, allow12=True)
     lay = st.lay
 
     out = np.zeros((lay.total_blocks, 64), dtype=np.int32)
     rc = lib.jd_decode_scan(
         *st.head_args(), out.ctypes.data, st.threads(n_threads),
+        hdr.precision,
     )
     if rc != 0:
         raise JPEGError(
@@ -368,10 +372,8 @@ def decode_scan_resilient(hdr: FrameHeader, scan: ScanHeader,
     batch costs the same as a clean one, not a ~100x Python fallback
     (VERDICT r2 item 6)."""
     lib = _load()
-    if hdr.precision != 8:
-        raise JPEGError(
-            "native backend decodes 8-bit frames only; 12-bit extended "
-            "frames use the python/jax backends")
+    if hdr.precision not in (8, 12):
+        raise JPEGError(f"unsupported precision {hdr.precision}")
     lay = scan_layout(hdr)
     comps = hdr.components
     # Big zero tail: garbage speculation near a segment end may overrun by
@@ -396,7 +398,7 @@ def decode_scan_resilient(hdr: FrameHeader, scan: ScanHeader,
         data.ctypes.data, seg_offsets.ctypes.data, n_segments,
         len(comps), h.ctypes.data, v.ctypes.data, dc_ptrs, ac_ptrs,
         lay.n_mcus, scan.restart_interval, out.ctypes.data,
-        seg_err.ctypes.data, n_threads)
+        seg_err.ctypes.data, n_threads, hdr.precision)
     if rc != 0:
         raise JPEGError(f"native resilient decode failed (code {rc})")
     return out

@@ -84,18 +84,21 @@ inline int32_t extend(uint32_t value, int size) {
 // Errors: 3 invalid prefix, 4 run overflow, 5 invalid size.
 inline int decode_block(BitReader& br, const LutEntry* dc_lut,
                         const int32_t* ac_lut, int32_t* out,
-                        int32_t& pred) {
+                        int32_t& pred, int max_dc = 11, int max_ac = 10) {
   // The 64-bit window is kept in a register and shifted as bits are
-  // consumed; it is reloaded only when fewer than 27 valid bits remain
-  // (the max one symbol consumes: 16-bit code + 11 value bits), so a
-  // typical block does ~2 loads instead of one per symbol.
+  // consumed; it is reloaded only when fewer than 17 + max_ac valid bits
+  // remain (the max one symbol consumes: 16-bit code + max_ac value
+  // bits; 27 for 8-bit frames, 31 for precision-12 frames where T.81
+  // B.2.2 allows DC sizes to 15 and AC sizes to 14), so a typical block
+  // does ~2 loads instead of one per symbol.
+  const int refill = 17 + max_ac;
   uint64_t w = br.window();
   int avail = 64 - int(br.pos & 7);
   LutEntry t = dc_lut[w >> 48];
   int len = t & 31;
   if (len == 0) return 1;  // invalid DC code
   int size = t >> 5;
-  if (size > 11) return 2;  // invalid DC size (jpeg.cpp:330-334)
+  if (size > max_dc) return 2;  // invalid DC size (jpeg.cpp:330-334)
   int32_t diff =
       size ? extend(uint32_t((w << len) >> (64 - size)), size) : 0;
   br.pos += len + size;
@@ -106,7 +109,7 @@ inline int decode_block(BitReader& br, const LutEntry* dc_lut,
 
   int i = 1;
   while (i < 64) {
-    if (avail < 27) {
+    if (avail < refill) {
       w = br.window();
       avail = 64 - int(br.pos & 7);
     }
@@ -120,7 +123,7 @@ inline int decode_block(BitReader& br, const LutEntry* dc_lut,
       if (i + run > 64 || (csize != 0 && i + run >= 64)) return 4;
       i += run;
       if (csize) {
-        if (csize > 10) return 5;  // jpeg.cpp:381-384
+        if (csize > max_ac) return 5;  // jpeg.cpp:381-384
         out[kZigzag[i]] =
             extend(uint32_t((w << len) >> (64 - csize)), csize);
         ++i;
@@ -337,6 +340,8 @@ struct ScanJob {
   int64_t n_mcus;
   int64_t restart_interval;  // MCUs per segment (0 => single segment)
   int32_t* out;              // (n_mcus * blocks_per_mcu, 64), pre-zeroed
+  int max_dc = 11;           // 15 for precision-12 frames (T.81 B.2.2)
+  int max_ac = 10;           // 14 for precision-12 frames
 };
 
 int decode_segment(const ScanJob& job, int seg) {
@@ -351,7 +356,8 @@ int decode_segment(const ScanJob& job, int seg) {
     for (int k = 0; k < job.blocks_per_mcu; ++k) {
       int ci = job.block_comp[k];
       const CompSpec& c = job.comps[ci];
-      int rc = decode_block(br, c.dc_lut, c.ac_lut, base + k * 64, preds[ci]);
+      int rc = decode_block(br, c.dc_lut, c.ac_lut, base + k * 64,
+                            preds[ci], job.max_dc, job.max_ac);
       if (rc) return rc;
       if (br.pos > br.end) return 6;  // truncated segment
     }
@@ -916,7 +922,8 @@ int64_t jd_decode_scan(const uint8_t* data,
                        const int16_t* const* dc_luts,
                        const int32_t* const* ac_luts,
                        int64_t n_mcus, int64_t restart_interval,
-                       int32_t* out, int32_t n_threads) {
+                       int32_t* out, int32_t n_threads,
+                       int32_t precision) {
   if (n_comps < 1 || n_comps > kMaxComps) return -1;
   ScanJob job;
   job.data = data;
@@ -926,6 +933,10 @@ int64_t jd_decode_scan(const uint8_t* data,
   job.n_mcus = n_mcus;
   job.restart_interval = restart_interval;
   job.out = out;
+  if (precision > 8) {  // T.81 B.2.2 extended size categories
+    job.max_dc = 15;
+    job.max_ac = 14;
+  }
   int bpm = 0;
   for (int ci = 0; ci < n_comps; ++ci) {
     job.comps[ci] = CompSpec{int(h[ci]), int(v[ci]), dc_luts[ci], ac_luts[ci]};
@@ -994,7 +1005,7 @@ int64_t jd_decode_scan_resilient(const uint8_t* data,
                                  const int32_t* const* ac_luts,
                                  int64_t n_mcus, int64_t restart_interval,
                                  int32_t* out, uint8_t* seg_err,
-                                 int32_t n_threads) {
+                                 int32_t n_threads, int32_t precision) {
   if (n_comps < 1 || n_comps > kMaxComps) return -1;
   ScanJob job;
   job.data = data;
@@ -1013,6 +1024,10 @@ int64_t jd_decode_scan_resilient(const uint8_t* data,
     }
   }
   job.blocks_per_mcu = bpm;
+  if (precision > 8) {
+    job.max_dc = 15;
+    job.max_ac = 14;
+  }
   const int64_t ri = restart_interval ? restart_interval : n_mcus;
   const int64_t mcu_words = int64_t(bpm) * 64;
 
@@ -1030,7 +1045,7 @@ int64_t jd_decode_scan_resilient(const uint8_t* data,
         int ci = job.block_comp[k];
         const CompSpec& c = job.comps[ci];
         int rc = decode_block(br, c.dc_lut, c.ac_lut, base + k * 64,
-                              preds[ci]);
+                              preds[ci], job.max_dc, job.max_ac);
         if (rc) {
           std::memset(base, 0, size_t(mcu_words) * sizeof(int32_t));
           seg_err[s] = uint8_t(rc);
@@ -2379,6 +2394,6 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
   return 0;
 }
 
-int32_t jd_abi_version() { return 15; }
+int32_t jd_abi_version() { return 16; }
 
 }  // extern "C"

@@ -104,9 +104,9 @@ def _entropy_backend(name: str):
         from ..entropy import python_ref
 
         def auto(hdr, scan):
-            # The C++ backend is 8-bit; 12-bit extended frames take the
-            # oracle-grade Python path.
-            if nat is not None and hdr.precision == 8:
+            # jd_decode_scan handles both 8-bit and precision-12 frames
+            # (T.81 B.2.2 size categories; VERDICT r3 item 6).
+            if nat is not None and hdr.precision in (8, 12):
                 return nat(hdr, scan)
             return python_ref.decode_scan_baseline(hdr, scan)
         return auto
@@ -137,7 +137,8 @@ def _decode_scan_robust(hdr: FrameHeader, scan, entropy: str):
         # Native resilient decode keeps corrupt streams at clean-stream
         # cost in a serving batch (VERDICT r2 item 6); the Python path is
         # the oracle and the non-8-bit fallback.
-        if entropy in ("auto", "native", "speculative") and hdr.precision == 8:
+        if (entropy in ("auto", "native", "speculative")
+                and hdr.precision in (8, 12)):
             try:
                 from ..entropy import native
 

@@ -82,16 +82,59 @@ def test_batch_routes_planes_path():
     assert np.array_equal(np.asarray(items[0].rgb), single)
 
 
-def test_native_backend_rejects_12bit_clearly():
-    from jpeg_decoder_tpu.entropy import native
+def test_native_12bit_matches_python():
+    """jd_decode_scan handles precision-12 (T.81 B.2.2 size categories
+    15/14; VERDICT r3 item 6): bit-identical to the Python oracle, and
+    the wire emitters still reject cleanly."""
+    from jpeg_decoder_tpu.entropy import native, python_ref
     from jpeg_decoder_tpu.types import JPEGError
 
-    blob, _ = encode(_rgb12(4), precision=12)
-    hdr = parser.parse(blob)
     if not native.available():
         pytest.skip("native backend not built")
+    for dri, samplings in [(0, ((1, 1),) * 3), (3, ((2, 2), (1, 1), (1, 1)))]:
+        blob, _ = encode(_rgb12(4), samplings=samplings,
+                         restart_interval=dri, precision=12)
+        hdr = parser.parse(blob)
+        want = python_ref.decode_scan_baseline(hdr, hdr.scans[0])
+        got = native.decode_scan_baseline(hdr, hdr.scans[0])
+        assert np.array_equal(got, want)
     with pytest.raises(JPEGError):
-        native.decode_scan_baseline(hdr, hdr.scans[0])
+        native.decode_scan_sparse(hdr, hdr.scans[0])
+
+
+def test_native_12bit_is_fast():
+    """The whole point of VERDICT r3 item 6: remove the ~100x Python
+    cliff.  Native must be >= 50x the Python path on a precision-12
+    stream (one process, interleaved timing)."""
+    import time
+
+    from jpeg_decoder_tpu.entropy import native, python_ref
+
+    if not native.available():
+        pytest.skip("native backend not built")
+    blob, _ = encode(_rgb12(5, h=256, w=320), precision=12)
+    hdr = parser.parse(blob)
+    scan = hdr.scans[0]
+    native.decode_scan_baseline(hdr, scan)  # warm LUTs
+    t0 = time.perf_counter()
+    native.decode_scan_baseline(hdr, scan)
+    t_nat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    python_ref.decode_scan_baseline(hdr, scan)
+    t_py = time.perf_counter() - t0
+    assert t_py / t_nat >= 50, (t_py, t_nat)
+
+
+def test_auto_backend_uses_native_for_12bit():
+    from jpeg_decoder_tpu.entropy import native
+
+    if not native.available():
+        pytest.skip("native backend not built")
+    blob, planes = encode(_rgb12(6), precision=12)
+    hdr = parser.parse(blob)
+    got = decoder_mod.decode_to_planes(hdr, entropy="auto")
+    for g, p in zip(got, planes):
+        assert np.array_equal(np.asarray(g).reshape(p.shape), p)
 
 
 def test_write_image_scales_to_8bit(tmp_path):
