@@ -461,6 +461,19 @@ constexpr QmRow kQm[114] = {
     {0x59EB,111,112,1}, {0x5A1D,113,113,0},
 };
 
+// Packed per-context state: (qe << 16) | (nmps << 9) | (nlps << 2) |
+// (sw << 1), with the running MPS in bit 0.  Built once from kQm.
+struct QmPackedTable {
+  uint32_t v[114];
+  QmPackedTable() {
+    for (int i = 0; i < 114; ++i)
+      v[i] = (uint32_t(kQm[i].qe) << 16) | (uint32_t(kQm[i].nmps) << 9) |
+             (uint32_t(kQm[i].nlps) << 2) | (uint32_t(kQm[i].sw) << 1);
+  }
+  uint32_t operator[](uint32_t i) const { return v[i]; }
+};
+static const QmPackedTable kQmPacked;
+
 struct QmDecoder {
   const uint8_t* data;
   int64_t byte_pos, end;
@@ -469,6 +482,26 @@ struct QmDecoder {
   int nbuf;       // valid bits in buf
 
   inline void refill() {
+    // Bulk path: one unaligned 8-byte load + bswap tops the reservoir up
+    // in a single step.  It must stop 8 bytes short of the SEGMENT end:
+    // bits past `end` are spec-mandated zero fill (T.81 F.2.2.5's
+    // marker-detection rule degenerates to zeros on the unstuffed
+    // buffer), and for a middle restart segment the bytes after `end`
+    // are the NEXT segment's data — the clamped per-byte loop below
+    // supplies the zeros there.
+    if (__builtin_expect(byte_pos + 8 <= end, 1)) {
+      uint64_t w;
+      std::memcpy(&w, data + byte_pos, 8);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+      w = __builtin_bswap64(w);
+#endif
+      int nb = (64 - nbuf) >> 3;
+      // nb == 8 only when the reservoir is empty; guard the UB shift.
+      buf = (nb == 8) ? w : ((buf << (nb * 8)) | (w >> (64 - nb * 8)));
+      byte_pos += nb;
+      nbuf += nb * 8;
+      return;
+    }
     while (nbuf <= 56) {
       uint64_t b = (byte_pos < end) ? data[byte_pos] : 0;
       ++byte_pos;
@@ -487,72 +520,79 @@ struct QmDecoder {
     c = uint32_t(buf >> (nbuf - 16)) & 0xFFFF;
     nbuf -= 16;
   }
-  // Take n bits (<= 25) from the reservoir, MSB-first.
+  // Take n bits (<= 15: one renorm shift) from the reservoir,
+  // MSB-first.  EAGER refill: the reservoir is topped up AFTER the
+  // bits are extracted, so the (independent) memory load overlaps the
+  // consumer's serial a/c chain instead of stalling it; the invariant
+  // nbuf >= 25 holds on entry (init leaves 48; every take restores).
   inline uint32_t take(int n) {
-    if (nbuf < n) refill();
     uint32_t v = uint32_t(buf >> (nbuf - n)) & ((1u << n) - 1);
     nbuf -= n;
+    if (__builtin_expect(nbuf < 25, 0)) refill();
     return v;
   }
-  inline int decode(uint8_t* stats, int i) {
-    uint8_t sv = stats[i];
-    const QmRow& t = kQm[sv & 0x7F];
-    int mps = sv >> 7;
-    int d;
-    uint32_t av;
-    uint32_t amq = a - t.qe;
-    if (c < amq) {
-      if (amq >= 0x8000) { a = amq; return mps; }
-      if (amq < t.qe) {               // conditional exchange (D.2.3)
-        d = 1 - mps;
-        if (t.sw) mps ^= 1;
-        stats[i] = uint8_t(t.nlps | (mps << 7));
-      } else {
-        d = mps;
-        stats[i] = uint8_t(t.nmps | (mps << 7));
-      }
-      av = amq;
-    } else {
-      c -= amq;
-      if (amq < t.qe) {
-        d = mps;
-        stats[i] = uint8_t(t.nmps | (mps << 7));
-      } else {
-        d = 1 - mps;
-        if (t.sw) mps ^= 1;
-        stats[i] = uint8_t(t.nlps | (mps << 7));
-      }
-      av = t.qe;
+  inline int decode(uint32_t* stats, int i) {
+    // Packed-context decode: one 32-bit load yields qe + both
+    // transition indices + the switch flag + MPS — the critical
+    // dependency chain is load -> shift -> sub -> compare, vs the
+    // two CHAINED loads (state byte, then kQm row) of the byte form.
+    uint32_t e = stats[i];
+    uint32_t qe = e >> 16;
+    int mps = int(e & 1);
+    uint32_t amq = a - qe;
+    // Fast path: MPS without renormalization — kept as the ONE
+    // data-dependent branch (it predicts well for steady skewed
+    // contexts; a fully branchless variant measured ~20% slower, the
+    // full cmov/renorm chain every decision costs more than the
+    // residual mispredicts).
+    if (__builtin_expect(c < amq && amq >= 0x8000, 1)) {
+      a = amq;
+      return mps;
     }
-    // Batched renormalization: shift count from the bit width of av,
-    // bits fed from the reservoir in one step (vs one call per bit).
-    if (av < 0x8000) {
-      int n = __builtin_clz(av) - 16;
-      c = (c << n) | take(n);
-      av <<= n;
-    }
-    a = av;
-    return d;
+    // Renormalizing path, branchless: decision bit, conditional
+    // exchange (D.2.3), statistics transition and renorm shift reduce
+    // to conditional moves (renorm decisions are near-maximally
+    // unpredictable by construction).
+    bool lps_side = c >= amq;
+    uint32_t av = lps_side ? qe : amq;
+    c -= lps_side ? amq : 0;
+    bool exch = amq < qe;
+    int is_lps = int(lps_side ^ exch);
+    int new_mps = mps ^ (is_lps & int((e >> 1) & 1));
+    uint32_t next = is_lps ? ((e >> 2) & 0x7F) : ((e >> 9) & 0x7F);
+    stats[i] = kQmPacked[next] | uint32_t(new_mps);
+    // av < 0x8000 always here (amq < 0x8000 on the MPS side; qe <=
+    // 0x5A1D on the LPS side), so the renorm shift is unconditional.
+    int n = __builtin_clz(av) - 16;
+    c = (c << n) | take(n);
+    a = av << n;
+    return mps ^ is_lps;
   }
 };
 
 struct ArithState {
-  uint8_t dc_stats[4][64];
-  uint8_t ac_stats[4][256];
-  uint8_t fixed;
+  uint32_t dc_stats[4][64];
+  uint32_t ac_stats[4][256];
+  uint32_t fixed;
   int32_t last_dc[kMaxComps];
   int dc_ctx[kMaxComps];
 
   void reset() {
-    std::memset(this, 0, sizeof(*this));
-    fixed = 113;  // FIXED_BIN
+    const uint32_t s0 = kQmPacked[0];
+    for (auto& tbl : dc_stats)
+      for (auto& x : tbl) x = s0;
+    for (auto& tbl : ac_stats)
+      for (auto& x : tbl) x = s0;
+    fixed = kQmPacked[113];  // FIXED_BIN
+    std::memset(last_dc, 0, sizeof(last_dc));
+    std::memset(dc_ctx, 0, sizeof(dc_ctx));
   }
 };
 
 // One DC diff (F.1.4.1, figures F.19-F.24); writes the accumulated DC.
 static int arith_decode_dc(QmDecoder& qd, ArithState& st, int tbl, int ci,
                            int lparam, int uparam, int32_t* out_dc) {
-  uint8_t* stats = st.dc_stats[tbl];
+  uint32_t* stats = st.dc_stats[tbl];
   int base = st.dc_ctx[ci];
   if (!qd.decode(stats, base)) {
     st.dc_ctx[ci] = 0;
@@ -592,7 +632,7 @@ static int arith_decode_dc(QmDecoder& qd, ArithState& st, int tbl, int ci,
 static int arith_decode_ac(QmDecoder& qd, ArithState& st, int tbl, int kx,
                            int32_t* blk, int ss = 1, int se = 63,
                            int al = 0) {
-  uint8_t* stats = st.ac_stats[tbl];
+  uint32_t* stats = st.ac_stats[tbl];
   int k = ss;
   while (k <= se) {
     int stx = 3 * (k - 1);
@@ -633,7 +673,7 @@ static int arith_decode_ac(QmDecoder& qd, ArithState& st, int tbl, int kx,
 // entropy/arith.py _ac_refine_scan_arith's inner loop.
 static int arith_ac_refine_block(QmDecoder& qd, ArithState& st, int tbl,
                                  int32_t* blk, int ss, int se, int al) {
-  uint8_t* stats = st.ac_stats[tbl];
+  uint32_t* stats = st.ac_stats[tbl];
   const int32_t p1 = int32_t(1) << al;
   const int32_t m1 = -(int32_t(1) << al);
   int kex = se;
