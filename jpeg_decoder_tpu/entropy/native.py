@@ -759,7 +759,7 @@ def decode_scan_subset(hdr: FrameHeader, scan: ScanHeader,
         data.ctypes.data, seg_offsets.ctypes.data, n_segments,
         len(sc), h.ctypes.data, v.ctypes.data,
         dc_ptrs, ac_ptrs,
-        n_units, ri, out.ctypes.data, n_threads,
+        n_units, ri, out.ctypes.data, n_threads, hdr.precision,
     )
     if rc != 0:
         raise JPEGError(

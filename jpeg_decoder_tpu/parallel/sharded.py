@@ -1201,9 +1201,15 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
             results[i] = BatchItem(index=i, header=None, rgb_batch=None,
                                    batch_index=-1, error=e)
 
-    # Phase 1: dispatch every group (async); nothing blocks on the device.
-    dispatched: list = []
-    for key, items in groups.items():
+    # Phase 1: dispatch every group (async); nothing blocks on the
+    # device.  Groups run on a 2-thread pool (jax dispatch is
+    # thread-safe, the skeleton scans release the GIL), so group k+1's
+    # HOST prep overlaps group k's H2D + device wave — the bench's
+    # device-path breakdown showed host prep ~20% of the wall clock
+    # when run serially (VERDICT r3 item 5, experiment 3).
+    dispatched_by_slot: list = [None] * len(groups)
+
+    def _dispatch_group(slot, key, items):
         hdr0 = items[0][1]
         B = len(items)
         try:
@@ -1231,13 +1237,13 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                     rgb_b, _err_b, flags = full_decode_step(
                         hdr0, words_b, nm_b, mesh, idct=idct,
                         upsample=upsample)
-                    dispatched.append((items, rgb_b, flags, None))
+                    dispatched_by_slot[slot] = (items, rgb_b, flags, None)
                 else:
                     rgb_b, ok = _hybrid_group_dispatch_dyn(
                         [(i, hdr, scan) for i, hdr, scan, _k in items],
                         mesh, idct=idct, upsample=upsample)
-                    dispatched.append((items, rgb_b, ok, "dyn"))
-                continue
+                    dispatched_by_slot[slot] = (items, rgb_b, ok, "dyn")
+                return
 
             # Exact-geometry routes (no native lib / emit disabled /
             # >= emit_max_lanes restart segments per image).
@@ -1263,7 +1269,7 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                     nm_b[k, : len(nm)] = nm
                 rgb_b, _err_b, flags = full_decode_step(
                     hdr0, words_b, nm_b, mesh, idct=idct, upsample=upsample)
-                dispatched.append((items, rgb_b, flags, None))
+                dispatched_by_slot[slot] = (items, rgb_b, flags, None)
             elif use_emit_restart:
                 # Restart streams on the emission path: per-segment
                 # skeleton scans give MCU-granular symbol-balanced
@@ -1274,7 +1280,7 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                 scans = [it[2] for it in items]
                 rgb_b, ok = _hybrid_group_dispatch(
                     hdr0, scans, mesh, idct=idct, upsample=upsample)
-                dispatched.append((items, rgb_b, ok, scans))
+                dispatched_by_slot[slot] = (items, rgb_b, ok, scans)
             else:
                 # DRI=0 streams: hybrid decode (host skeleton scan ->
                 # device lanes from TRUE MCU starts) when the native lib
@@ -1287,16 +1293,28 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                 if use_hybrid:
                     rgb_b, ok = _hybrid_group_dispatch(
                         hdr0, scans, mesh, idct=idct, upsample=upsample)
-                    dispatched.append((items, rgb_b, ok, scans))
+                    dispatched_by_slot[slot] = (items, rgb_b, ok, scans)
                 else:
                     rgb_b, ok = _spec_group_dispatch(
                         hdr0, scans, mesh, idct=idct, upsample=upsample)
-                    dispatched.append((items, rgb_b, ok, scans))
+                    dispatched_by_slot[slot] = (items, rgb_b, ok, scans)
         except Exception as e:  # noqa: BLE001
             for it in items:
                 results[it[0]] = BatchItem(
                     index=it[0], header=it[1], rgb_batch=None,
                     batch_index=-1, error=e)
+
+    group_list = list(groups.items())
+    if len(group_list) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            list(ex.map(lambda sk: _dispatch_group(sk[0], *sk[1]),
+                        enumerate(group_list)))
+    else:
+        for slot, (key, items) in enumerate(group_list):
+            _dispatch_group(slot, key, items)
+    dispatched = [d for d in dispatched_by_slot if d is not None]
 
     # Progressive frames: per-image device-lane decode (host does only
     # the position-only skeleton walks), overlapping the in-flight
