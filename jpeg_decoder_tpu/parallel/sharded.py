@@ -856,8 +856,24 @@ def _hybrid_group_dispatch_dyn(items, mesh: Mesh, *, idct, upsample):
     bpm = sum(h * v for h, v in comp_hv)
     block_comp = tuple(ci for ci, (h, v) in enumerate(comp_hv)
                        for _ in range(h * v))
-    mxb = _bucket_pow2(max(hdr.mcus_x for _, hdr, _s in items))
-    myb = _bucket_pow2(max(hdr.mcus_y for _, hdr, _s in items))
+    # Grouping is pow-2 (bounded group count) but PADDING inside the
+    # group is eighth-granularity of the group max: per-step and pixel
+    # cost scale with the padded dims, and pow-2 padding measured ~7%
+    # slower end-to-end (pad waste up to 2x per axis).  JD_DYN_PAD=
+    # max|pow2 for A/B.
+    pad_mode = os.environ.get("JD_DYN_PAD", "fine")
+    mx_t = max(hdr.mcus_x for _, hdr, _s in items)
+    my_t = max(hdr.mcus_y for _, hdr, _s in items)
+    if pad_mode == "max":
+        mxb, myb = mx_t, my_t
+    elif pad_mode == "pow2":
+        mxb, myb = _bucket_pow2(mx_t), _bucket_pow2(my_t)
+    else:
+        def _eighth(n):
+            step = 1 << max(n.bit_length() - 3, 0)
+            return -(-n // step) * step
+
+        mxb, myb = _eighth(mx_t), _eighth(my_t)
     n_mcus_b = mxb * myb
     comp_shapes_b = tuple((myb * v, mxb * h) for h, v in comp_hv)
     samplings = tuple((v_max // v, h_max // h) for h, v in comp_hv)
@@ -917,10 +933,14 @@ def _hybrid_group_dispatch_dyn(items, mesh: Mesh, *, idct, upsample):
         for _i, hdr, _s in items]).astype(np.int32)
 
     bp = -(-B // mesh.shape["data"]) * mesh.shape["data"]
-    # Lane count joins T in quarter-pow2 buckets: distinct batches of the
-    # same geometry bucket reuse ONE compiled program (C and T are static
-    # args of the step).
-    cp = -(-_bucket_T(C) // mesh.shape["seg"]) * mesh.shape["seg"]
+    # Lane-count bucketing must stay FINE: per-step cost is ~linear in
+    # total lanes (idle pad lanes still execute the masked gathers), so
+    # quarter-pow2 C rounding measured ~20% slower end-to-end on the
+    # corpus.  Eighth-granularity caps pad waste at ~12% while keeping
+    # compiled-program counts O(log) (C is a static arg of the step).
+    c_step = 1 << max(C.bit_length() - 3, 0)
+    cp = -(-(-(-C // c_step) * c_step) // mesh.shape["seg"]) \
+        * mesh.shape["seg"]
     pools = _pad_to(pools, bp, 0)
     starts = _pad_to(_pad_to(starts, bp, 0), cp, 1)
     nm_lane = _pad_to(_pad_to(nm_lane, bp, 0), cp, 1)
@@ -1223,6 +1243,19 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                 # kernel (img4 x16 = 800 lanes: 42.7 vs 31.9 MP/s).
                 n_seg0 = len(hdr0.scans[0].seg_offsets) - 1
                 uniform = len({it[3] for it in items}) == 1
+                if uniform and not (
+                        hdr0.scans[0].restart_interval
+                        and B * n_seg0 >= emit_max_lanes):
+                    # A UNIFORM group pays none of the dyn route's
+                    # dynamic-geometry overhead (per-image prep, device-
+                    # built gather maps): the exact emission dispatch
+                    # measured ~20% faster on same-size corpora, and
+                    # compiles the same O(1) programs for it.
+                    scans = [it[2] for it in items]
+                    rgb_b, ok = _hybrid_group_dispatch(
+                        hdr0, scans, mesh, idct=idct, upsample=upsample)
+                    dispatched_by_slot[slot] = (items, rgb_b, ok, scans)
+                    return
                 if (uniform and hdr0.scans[0].restart_interval
                         and B * n_seg0 >= emit_max_lanes):
                     prepped = [scan_prep.prepare_scan(hdr, scan)[:2]

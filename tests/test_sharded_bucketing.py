@@ -86,7 +86,10 @@ def test_bucketed_program_reuse_across_batches(mesh18):
     n_after_first = sharded._hybrid_full_step_emit_dyn._cache_size()
     items2 = sharded.decode_batch_sharded(batch2, mesh18)
     n_after_second = sharded._hybrid_full_step_emit_dyn._cache_size()
-    assert n_after_second <= n_after_first + 1
+    # The trip-count bucket T, the lane-count bucket C and the eighth-
+    # granularity pad dims may each flip one bucket between batches;
+    # growth stays O(1) per batch and zero for repeats.
+    assert n_after_second <= n_after_first + 2
     sharded.decode_batch_sharded(batch2, mesh18)
     assert (sharded._hybrid_full_step_emit_dyn._cache_size()
             == n_after_second)
