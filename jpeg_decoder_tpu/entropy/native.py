@@ -60,7 +60,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 16:
+        if lib.jd_abi_version() != 17:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_prog_skeleton_dc.restype = ctypes.c_int64
         lib.jd_prog_skeleton_dc.argtypes = [
@@ -154,6 +154,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,   # dc_luts, ac_luts
             ctypes.c_int64, ctypes.c_int64,     # n_mcus, stride
             ctypes.c_void_p, ctypes.c_void_p,   # out_bits, out_syms
+            ctypes.c_void_p,                    # out_pairs
         ]
         lib.jd_prog_dc_scan.restype = ctypes.c_int64
         lib.jd_prog_dc_scan.argtypes = [
@@ -610,7 +611,7 @@ def skeleton_scan(hdr: FrameHeader, scan: ScanHeader,
         data.ctypes.data, len(scan.data),
         len(comps), h.ctypes.data, v.ctypes.data,
         dc_ptrs, ac_ptrs, lay.n_mcus, stride, out.ctypes.data,
-        syms.ctypes.data if want_syms else None)
+        syms.ctypes.data if want_syms else None, None)
     if rc != 0:
         raise JPEGError(f"skeleton scan failed (code {rc})")
     return (out, syms) if want_syms else out
@@ -623,7 +624,9 @@ def skeleton_scan_segments(hdr: FrameHeader, scan: ScanHeader):
     jpeg.cpp:419-425), recording EVERY MCU's absolute start bit within
     ``scan.data`` and its Huffman symbol (probe) count.
 
-    Returns (bits (n_mcus,) int64, syms (n_mcus,) int32).
+    Returns (bits (n_mcus,) int64, syms (n_mcus,) int32,
+    pairs (n_mcus,) int32 — the paired emission kernel's per-MCU step
+    count, see ops.entropy_flat.decode_emit2).
     Raises JPEGError on malformed streams (callers fall back)."""
     lib = _load()
     lay = scan_layout(hdr)
@@ -648,6 +651,7 @@ def skeleton_scan_segments(hdr: FrameHeader, scan: ScanHeader):
     n_mcus = lay.n_mcus
     bits = np.zeros(n_mcus, np.int64)
     syms = np.zeros(n_mcus, np.int32)
+    pairs = np.zeros(n_mcus, np.int32)
     per_seg = ri if ri else n_mcus
     base_ptr = data.ctypes.data
     for s in range(n_segments):
@@ -659,12 +663,13 @@ def skeleton_scan_segments(hdr: FrameHeader, scan: ScanHeader):
             base_ptr + lo, hi - lo,
             len(comps), h.ctypes.data, v.ctypes.data,
             dc_ptrs, ac_ptrs, nm, 1,
-            bits.ctypes.data + m0 * 8, syms.ctypes.data + m0 * 4)
+            bits.ctypes.data + m0 * 8, syms.ctypes.data + m0 * 4,
+            pairs.ctypes.data + m0 * 4)
         if rc != 0:
             raise JPEGError(
                 f"skeleton scan failed in segment {s} (code {rc})")
         bits[m0:m1] += lo * 8
-    return bits, syms
+    return bits, syms, pairs
 
 
 def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,

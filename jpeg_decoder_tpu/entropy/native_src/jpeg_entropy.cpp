@@ -231,8 +231,37 @@ inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
 // as decode_block; this is the per-block body of the skeleton scan (hybrid
 // device decode: the host locates TRUE MCU start bits, the device extracts
 // coefficients from them with zero speculation overhead).
+// Greedy symbol-pairing simulator: mirrors the paired emission kernel
+// (ops/entropy_flat.decode_emit2), which decodes two symbols per step
+// whenever symbol A's bits fit in 16 (B's probe window stays valid) and
+// the pair fits the 32-bit window.  Counting is per MCU with a flush at
+// the boundary — an upper bound on the kernel's per-lane step count
+// (the kernel also pairs across MCU boundaries, which only saves).
+struct PairSim {
+  int pending = -1;   // held symbol A's total bits; -1 = none
+  int32_t steps = 0;
+  inline void feed(int total) {
+    if (pending < 0) {
+      pending = total;
+      return;
+    }
+    ++steps;
+    if (pending <= 16 && pending + total <= 32)
+      pending = -1;     // (A, B) paired into one step
+    else
+      pending = total;  // A emitted alone; B becomes the new A
+  }
+  inline int32_t flush() {
+    int32_t s = steps + (pending >= 0 ? 1 : 0);
+    pending = -1;
+    steps = 0;
+    return s;
+  }
+};
+
 inline int skip_block(BitReader& br, const LutEntry* dc_lut,
-                      const int32_t* ac_lut, int32_t& nsym) {
+                      const int32_t* ac_lut, int32_t& nsym,
+                      PairSim* ps = nullptr) {
   uint64_t w = br.window();
   int avail = 64 - int(br.pos & 7);
   LutEntry t = dc_lut[w >> 48];
@@ -244,6 +273,7 @@ inline int skip_block(BitReader& br, const LutEntry* dc_lut,
   w <<= len + size;
   avail -= len + size;
   ++nsym;
+  if (ps) ps->feed(len + size);
 
   int i = 1;
   while (i < 64) {
@@ -268,12 +298,14 @@ inline int skip_block(BitReader& br, const LutEntry* dc_lut,
       br.pos += len + csize;
       w <<= len + csize;
       avail -= len + csize;
+      if (ps) ps->feed(len + csize);
       continue;
     }
     const int bits = e & 31;
     br.pos += bits;
     w <<= bits;
     avail -= bits;
+    if (ps) ps->feed(bits);
     const int32_t val = e >> 13;
     const int run = (e >> 7) & 63;
     if (val == 0) {
@@ -913,7 +945,8 @@ int64_t jd_skeleton_scan(const uint8_t* data, int64_t data_len,
                          const int16_t* const* dc_luts,
                          const int32_t* const* ac_luts,
                          int64_t n_mcus, int64_t stride,
-                         int64_t* out_bits, int32_t* out_syms) {
+                         int64_t* out_bits, int32_t* out_syms,
+                         int32_t* out_pairs) {
   if (n_comps < 1 || n_comps > kMaxComps || stride < 1) return -1;
   int bpm = 0;
   int block_comp[kMaxComps * 16];
@@ -924,12 +957,14 @@ int64_t jd_skeleton_scan(const uint8_t* data, int64_t data_len,
     }
   BitReader br{data, 0, data_len * 8};
   int64_t lane = 0;
+  PairSim psim;
+  PairSim* ps = out_pairs ? &psim : nullptr;
   for (int64_t m = 0; m < n_mcus; ++m) {
     if (m % stride == 0) out_bits[lane++] = br.pos;
     int32_t nsym = 0;
     for (int k = 0; k < bpm; ++k) {
       int ci = block_comp[k];
-      int rc = skip_block(br, dc_luts[ci], ac_luts[ci], nsym);
+      int rc = skip_block(br, dc_luts[ci], ac_luts[ci], nsym, ps);
       if (rc) return rc;
       // Overrun check PER BLOCK (ADVICE r3): one block consumes at most
       // 64 symbols x 27 bits ~ 216 bytes, within the 256-byte zero pad;
@@ -938,6 +973,7 @@ int64_t jd_skeleton_scan(const uint8_t* data, int64_t data_len,
       if (br.pos > data_len * 8 + 64) return 6;  // ran past the stream
     }
     if (out_syms) out_syms[m] = nsym;
+    if (out_pairs) out_pairs[m] = psim.flush();
   }
   return 0;
 }
@@ -2434,6 +2470,6 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
   return 0;
 }
 
-int32_t jd_abi_version() { return 16; }
+int32_t jd_abi_version() { return 17; }
 
 }  // extern "C"

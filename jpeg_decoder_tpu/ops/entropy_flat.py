@@ -702,3 +702,112 @@ def decode_scan_baseline(hdr: FrameHeader, scan: ScanHeader,
         idx = seg_of * max_blocks + within
         out = jnp.take(out.reshape(-1, 64), jnp.asarray(idx), axis=0)
     return out if as_device else np.asarray(out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_comp", "n_comps", "T", "precision"))
+def decode_emit2(words, base_bits, nblocks, luts, lut_base=None, *,
+                 block_comp: tuple[int, ...], n_comps: int, T: int,
+                 precision: int = 8):
+    """Paired emission decode: up to TWO Huffman symbols per scan step.
+
+    A 32-bit window holds two typical symbols (~5-10 bits each): symbol A
+    is decoded from the window top and, when ``lenA + sizeA <= 16`` (the
+    16 probe bits for B are then fully valid) and the pair fits the
+    window (``advA + advB <= 32``), symbol B decodes from the SAME
+    window shifted — halving the per-step fixed cost (loop machinery +
+    lane-wide ALU) that dominates at the measured optimum lane count,
+    at the price of one extra dependent LUT gather per step.
+
+    ``T`` must be >= every lane's PAIRED step count (the native skeleton
+    scan counts it exactly; a safe bound is the symbol count).  Returns
+    (pos (T, 2, S) int32, val (T, 2, S) int32, err (S,) bool,
+    n_done (S,) int32) — same (pos, val) semantics as decode_emit with
+    two slots per step (slot 1 is -1 when unpaired).
+    """
+    S = base_bits.shape[0]
+    bpm = len(block_comp)
+    n_words = words.shape[0]
+    bc_arr = jnp.asarray(np.asarray(block_comp, np.int32))
+    max_dc, max_ac = (15, 14) if precision > 8 else (11, 10)
+
+    def sym_decode(window, blk, coef, active):
+        """One symbol from ``window``'s top bits on active lanes.
+        Returns (pos, val, adv uint32, blk', coef', bad)."""
+        w16 = (window >> 16).astype(jnp.int32)
+        comp = jnp.take(bc_arr, blk % bpm)
+        is_dc = coef == 0
+        row = comp * 2 + (~is_dc).astype(jnp.int32)
+        if lut_base is not None:
+            row = row + lut_base
+        entry = jnp.take(luts, row * 65536 + w16).astype(jnp.int32)
+        length = (entry & 31).astype(jnp.uint32)
+        sym = (entry >> 5) & 0xFF
+        bad = entry == 0
+        is_eob = (~is_dc) & (sym == 0)
+        run = jnp.where(sym == 0xF0, 16, sym >> 4)
+        csize = jnp.where(is_dc, sym, sym & 15).astype(jnp.uint32)
+        bad = bad | jnp.where(is_dc, sym > max_dc, (sym & 15) > max_ac)
+        csize = jnp.minimum(csize, 16)
+        raw = jnp.where(
+            csize == 0, jnp.uint32(0),
+            (window << length) >> (32 - jnp.maximum(csize, 1)))
+        val = _extend(raw, csize.astype(jnp.int32))
+        wpos = coef + run
+        overflow = (~is_dc) & (~is_eob) & (
+            (wpos > 64) | ((csize > 0) & (wpos >= 64)))
+        bad = bad | overflow
+        write_idx = jnp.where(is_dc, 0, jnp.clip(wpos, 0, 63))
+        do_write = active & ~bad & (is_dc | ((~is_eob) & (csize > 0)))
+        pos = jnp.where(do_write, blk * 64 + write_idx, -1)
+        coef_next = jnp.where(
+            is_dc, 1,
+            jnp.where(is_eob, 64, wpos + (csize > 0).astype(jnp.int32)))
+        ok = active & ~bad
+        block_done = ok & (~is_dc) & (coef_next >= 64)
+        blk_n = blk + block_done
+        coef_n = jnp.where(ok, jnp.where(block_done, 0, coef_next), coef)
+        adv = jnp.where(ok, (length + csize).astype(jnp.uint32), 0)
+        return pos, jnp.where(do_write, val, 0), adv, blk_n, coef_n, bad
+
+    w0 = (base_bits >> 5).astype(jnp.int32)
+    off0 = (base_bits & 31).astype(jnp.uint32)
+    carry0 = dict(
+        cur=jnp.take(words, jnp.minimum(w0, n_words - 1)),
+        nxt=jnp.take(words, jnp.minimum(w0 + 1, n_words - 1)),
+        off=off0, w_idx=w0 + 2,
+        blk=jnp.zeros((S,), jnp.int32),
+        coef=jnp.zeros((S,), jnp.int32),
+        err=jnp.zeros((S,), jnp.bool_))
+
+    def step(s, _):
+        active = ~s["err"] & (s["blk"] < nblocks)
+        window = _window32(s["cur"], s["nxt"], s["off"])
+        posA, valA, advA, blkA, coefA, badA = sym_decode(
+            window, s["blk"], s["coef"], active)
+        err1 = s["err"] | (badA & active)
+        activeB = ~err1 & (blkA < nblocks)
+        can_probe = advA <= 16
+        wB = window << advA
+        posB, valB, advB, blkB, coefB, badB = sym_decode(
+            wB, blkA, coefA, activeB & can_probe)
+        fit = can_probe & (advA + advB <= 32)
+        err2 = err1 | (badB & activeB & can_probe)
+        do_B = activeB & fit & ~badB
+        blk = jnp.where(do_B, blkB, blkA)
+        coef = jnp.where(do_B, coefB, coefA)
+        posB = jnp.where(do_B, posB, -1)
+        valB = jnp.where(do_B, valB, 0)
+        adv = advA + jnp.where(do_B, advB, 0)
+        offp = s["off"] + adv
+        need = offp >= 32
+        loaded = jnp.take(words, jnp.minimum(s["w_idx"], n_words - 1))
+        carry = dict(
+            cur=jnp.where(need, s["nxt"], s["cur"]),
+            nxt=jnp.where(need, loaded, s["nxt"]),
+            off=offp - jnp.where(need, 32, 0).astype(jnp.uint32),
+            w_idx=s["w_idx"] + need, blk=blk, coef=coef, err=err2)
+        return carry, (jnp.stack([posA, posB]), jnp.stack([valA, valB]))
+
+    end, (pos, val) = jax.lax.scan(step, carry0, None, length=T)
+    return pos, val, end["err"], end["blk"]

@@ -582,6 +582,15 @@ def _bucket_T(t: int) -> int:
     return -(-t // step) * step
 
 
+def use_pair_kernel() -> bool:
+    """Paired emission kernel (decode_emit2) selection: on by default
+    (measured 1.1-1.25x the single-symbol kernel on the v5e,
+    tools/emit_pair_ab.py); JD_EMIT_PAIR=0 reverts."""
+    import os
+
+    return os.environ.get("JD_EMIT_PAIR", "1") != "0"
+
+
 def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
                               max_chunks: int = 512,
                               threads: int | None = None,
@@ -612,11 +621,16 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
     MCU-granular, not segment-granular: an image with 50 restart
     segments still fills hundreds of balanced lanes.
 
+    Lane boundaries balance the PAIRED step counts (the skeleton scan
+    simulates the two-symbol-per-step emission kernel exactly), which is
+    what both kernels' trip counts track to within a few percent.
+
     Returns (pools (B, W) uint32, starts_rel (B, C) int32 bit offsets,
     nm_lane (B, C) int32 MCUs per lane, lane_off (B, C) int32 — the
     lane's first coefficient slot ``first_mcu * bpm * 64``, T (bucketed
-    max lane symbol count), C, seg_first_mcu (n_mcus,) int32,
-    skel_ok (B,) bool).
+    max lane SYMBOL count — decode_emit's trip count), T2 (bucketed max
+    lane PAIRED step count — decode_emit2's trip count), C,
+    seg_first_mcu (n_mcus,) int32, skel_ok (B,) bool).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -657,10 +671,10 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
         for b in range(B):
             scan_one(b)
 
-    syms_max = max((int(scanned[b][1].sum()) for b in range(B)
-                    if skel_ok[b]), default=64)
+    pairs_max = max((int(scanned[b][2].sum()) for b in range(B)
+                     if skel_ok[b]), default=64)
     C_goal = max(1, min(max_chunks, n_mcus,
-                        -(-syms_max // max(64, target_steps))))
+                        -(-pairs_max // max(64, target_steps))))
     seg_edges = list(seg_lo) + [n_mcus]
 
     def image_bounds(cum):
@@ -689,7 +703,7 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
         return np.asarray(bounds, np.int64)
 
     per_img = [image_bounds(np.concatenate(
-        [[0], np.cumsum(scanned[b][1].astype(np.int64))]))
+        [[0], np.cumsum(scanned[b][2].astype(np.int64))]))
         if skel_ok[b] else None for b in range(B)]
     C = max((len(bd) - 1 for bd in per_img if bd is not None), default=1)
 
@@ -697,11 +711,13 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
     nm_lane = np.zeros((B, C), np.int32)
     lane_off = np.zeros((B, C), np.int32)
     T = 64
+    T2 = 64
     for b in range(B):
         if per_img[b] is None:
             continue
-        bits, syms = scanned[b]
+        bits, syms, pairs = scanned[b]
         cum = np.concatenate([[0], np.cumsum(syms.astype(np.int64))])
+        cump = np.concatenate([[0], np.cumsum(pairs.astype(np.int64))])
         bounds = per_img[b]
         m_lo, m_hi = bounds[:-1], bounds[1:]
         k = len(m_lo)
@@ -710,17 +726,19 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
             np.int32)
         lane_off[b, :k] = (m_lo * bpm * 64).astype(np.int32)
         T = max(T, int((cum[m_hi] - cum[m_lo]).max()))
-    return (pools, starts_rel, nm_lane, lane_off, _bucket_T(T), C,
-            seg_first_mcu, skel_ok)
+        T2 = max(T2, int((cump[m_hi] - cump[m_lo]).max()))
+    return (pools, starts_rel, nm_lane, lane_off, _bucket_T(T),
+            _bucket_T(T2), C, seg_first_mcu, skel_ok)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block_comp", "n_comps", "T", "n_mcus", "C",
-                     "precision"))
+                     "precision", "pair"))
 def _hybrid_pipeline_batch_emit(pools, starts_rel, nm_lane, lane_off,
                                 seg_first_mcu, luts_flat, *, block_comp,
-                                n_comps, T, n_mcus, C, precision=8):
+                                n_comps, T, n_mcus, C, precision=8,
+                                pair=False):
     """Device half of the symbol-balanced hybrid decode: emission kernel
     + one post-loop scatter-add straight into scan order + segmented DC
     prefix sum.  Returns (blocks (B, n_mcus*bpm, 64), err (B,))."""
@@ -732,9 +750,13 @@ def _hybrid_pipeline_batch_emit(pools, starts_rel, nm_lane, lane_off,
     img_base = (jnp.arange(B, dtype=jnp.int32) * (W * 32))[:, None]
     base_abs = (img_base + starts_rel).reshape(-1)
     nblocks = (nm_lane * bpm).reshape(-1)
-    pos, val, err, n_done = entropy_flat.decode_emit(
+    kern = entropy_flat.decode_emit2 if pair else entropy_flat.decode_emit
+    pos, val, err, n_done = kern(
         pools.reshape(-1), base_abs, nblocks, luts_flat,
         block_comp=block_comp, n_comps=n_comps, T=T, precision=precision)
+    S_all = base_abs.shape[0]
+    pos = pos.reshape(-1, S_all)
+    val = val.reshape(-1, S_all)
     bad = (err | (n_done < nblocks)).reshape(B, C).any(axis=1)
 
     # Lane-local positions -> dense per-image scan-order slots: lanes
@@ -841,17 +863,19 @@ def decode_scan_hybrid(hdr: FrameHeader, scan: ScanHeader, *,
         ci for ci, c in enumerate(hdr.components) for _ in range(c.v * c.h))
     luts = entropy_flat.merged_luts(hdr, scan)
     if kernel == "emit":
-        (pools, starts_rel, nm_lane, lane_off, T, C, seg_first,
+        (pools, starts_rel, nm_lane, lane_off, T, T2, C, seg_first,
          skel_ok) = prepare_hybrid_batch_emit(hdr, [scan], threads=1)
         if not skel_ok[0]:
             raise JPEGError("skeleton scan failed (corrupt stream)")
+        pair = use_pair_kernel()
         blocks, bad = _hybrid_pipeline_batch_emit(
             jnp.asarray(pools), jnp.asarray(starts_rel),
             jnp.asarray(nm_lane), jnp.asarray(lane_off),
             jnp.asarray(seg_first), jnp.asarray(luts),
             block_comp=block_comp,
-            n_comps=len(hdr.components), T=T, n_mcus=lay.n_mcus, C=C,
-            precision=hdr.precision)
+            n_comps=len(hdr.components), T=(T2 if pair else T),
+            n_mcus=lay.n_mcus, C=C,
+            precision=hdr.precision, pair=pair)
     else:
         pools, starts_rel, nm_lane, stride, C, skel_ok = \
             prepare_hybrid_batch(

@@ -582,12 +582,13 @@ def _hybrid_full_step_flat(pools, starts_rel, nm_lane, skel_bad, src_idx,
     jax.jit,
     static_argnames=("block_comp", "n_comps", "T", "n_mcus", "C",
                      "precision", "comp_shapes", "samplings", "height",
-                     "width", "idct", "upsample", "color", "mesh_holder"))
+                     "width", "idct", "upsample", "color", "pair",
+                     "mesh_holder"))
 def _hybrid_full_step_emit(pools, starts_rel, nm_lane, skel_bad, lane_off,
                            seg_first, luts, qtables, comp_srcs, *,
                            block_comp, n_comps, T, n_mcus, C, precision,
                            comp_shapes, samplings, height, width, idct,
-                           upsample, color, mesh_holder):
+                           upsample, color, pair, mesh_holder):
     """Symbol-balanced hybrid group decode as ONE sharded program: the
     emission kernel (no in-loop stores; trip count = max lane symbol
     total ~ balanced ideal) under shard_map over ('data', 'seg'), one
@@ -606,10 +607,14 @@ def _hybrid_full_step_emit(pools, starts_rel, nm_lane, skel_bad, lane_off,
         img_base = (jnp.arange(b_l, dtype=jnp.int32) * (w * 32))[:, None]
         base_abs = (img_base + starts_l).reshape(-1)
         nblocks = (nm_l * bpm).reshape(-1)
-        pos, val, err, n_done = entropy_flat.decode_emit(
+        kern = (entropy_flat.decode_emit2 if pair
+                else entropy_flat.decode_emit)
+        pos, val, err, n_done = kern(
             pools_l.reshape(-1), base_abs, nblocks, luts_l,
             block_comp=block_comp, n_comps=n_comps, T=T,
             precision=precision)
+        pos = pos.reshape(-1, base_abs.shape[0])
+        val = val.reshape(-1, base_abs.shape[0])
         bad = (err | (n_done < nblocks)).reshape(b_l, c_l)
         # Scatter the local lanes' emissions into LOCAL per-image dense
         # planes; the 'seg' axis then reduces partial planes with one
@@ -691,8 +696,11 @@ def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
         (hdr.v_max // c.v, hdr.h_max // c.h) for c in hdr.components)
 
     if kernel == "emit":
-        (pools, starts, nm_lane, lane_off, T, C, seg_first,
+        (pools, starts, nm_lane, lane_off, T, T2, C, seg_first,
          skel_ok) = entropy_spec.prepare_hybrid_batch_emit(hdr, scans)
+        pair = entropy_spec.use_pair_kernel()
+        if pair:
+            T = T2
     elif kernel == "flat":
         (pools, starts, nm_lane, max_nm, C, src_idx,
          skel_ok) = entropy_spec.prepare_hybrid_batch_balanced(hdr, scans)
@@ -733,7 +741,7 @@ def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
                                NamedSharding(mesh, P(None,)))
         rgb, ok = _hybrid_full_step_emit(
             pools_j, starts_j, nm_j, sb_j, off_j, seg_j, luts_j, qtables,
-            comp_srcs, T=T, **common)
+            comp_srcs, T=T, pair=pair, **common)
     elif kernel == "flat":
         src_j = jax.device_put(jnp.asarray(_pad_to(src_idx, bp, 0)),
                                NamedSharding(mesh, P("data", None)))
@@ -752,13 +760,13 @@ def _hybrid_group_dispatch(hdr, scans, mesh: Mesh, *, idct, upsample):
     static_argnames=("block_comp", "n_comps", "T", "n_mcus_b", "C",
                      "precision", "comp_shapes_b", "comp_hv", "samplings",
                      "height_b", "width_b", "idct", "upsample", "color",
-                     "mesh_holder"))
+                     "pair", "mesh_holder"))
 def _hybrid_full_step_emit_dyn(pools, starts_rel, nm_lane, skel_bad,
                                lane_off, lut_base, luts, qtables_b, geom,
                                *, block_comp, n_comps, T, n_mcus_b, C,
                                precision, comp_shapes_b, comp_hv,
                                samplings, height_b, width_b, idct,
-                               upsample, color, mesh_holder):
+                               upsample, color, pair, mesh_holder):
     """GEOMETRY-BUCKETED emission group decode as ONE sharded program
     (VERDICT r3 item 4): a serving corpus of arbitrary image sizes
     compiles O(log sizes) sharded programs, not one per distinct size.
@@ -789,10 +797,14 @@ def _hybrid_full_step_emit_dyn(pools, starts_rel, nm_lane, skel_bad,
         base_abs = (img_base + starts_l).reshape(-1)
         nblocks = (nm_l * bpm).reshape(-1)
         lutb = jnp.broadcast_to(lutb_l[:, None], (b_l, c_l)).reshape(-1)
-        pos, val, err, n_done = entropy_flat.decode_emit(
+        kern = (entropy_flat.decode_emit2 if pair
+                else entropy_flat.decode_emit)
+        pos, val, err, n_done = kern(
             pools_l.reshape(-1), base_abs, nblocks, luts_l, lutb,
             block_comp=block_comp, n_comps=n_comps, T=T,
             precision=precision)
+        pos = pos.reshape(-1, base_abs.shape[0])
+        val = val.reshape(-1, base_abs.shape[0])
         bad = (err | (n_done < nblocks)).reshape(b_l, c_l)
         img_out = (jnp.arange(b_l, dtype=jnp.int32)
                    * (n_mcus_b * bpm * 64))[:, None]
@@ -898,8 +910,9 @@ def _hybrid_group_dispatch_dyn(items, mesh: Mesh, *, idct, upsample):
     # Pool width is an array SHAPE (a trace key): bucket it like T so
     # batches of assorted byte sizes share one compiled program.
     W = _bucket_T(max(p[0].shape[1] for p in preps))
-    C = max(p[5] for p in preps)
-    T = max(p[4] for p in preps)
+    C = max(p[6] for p in preps)
+    pair = entropy_spec.use_pair_kernel()
+    T = max(p[5] if pair else p[4] for p in preps)
     pools = np.zeros((B, W), np.uint32)
     starts = np.zeros((B, C), np.int32)
     nm_lane = np.zeros((B, C), np.int32)
@@ -917,7 +930,7 @@ def _hybrid_group_dispatch_dyn(items, mesh: Mesh, *, idct, upsample):
         starts[k, :c_k] = p[1][0]
         nm_lane[k, :c_k] = p[2][0]
         lane_off[k, :c_k] = p[3][0]
-        skel_bad[k] = not bool(p[7][0])
+        skel_bad[k] = not bool(p[8][0])
         geom[k] = (hdr.mcus_x, hdr.mcus_y, hdr.height, hdr.width,
                    scan.restart_interval)
         luts_k = entropy_flat.merged_luts(hdr, scan)
@@ -971,7 +984,7 @@ def _hybrid_group_dispatch_dyn(items, mesh: Mesh, *, idct, upsample):
         comp_shapes_b=comp_shapes_b, comp_hv=comp_hv,
         samplings=samplings, height_b=height_b, width_b=width_b,
         idct=idct, upsample=upsample, color=hdr0.colorspace,
-        mesh_holder=_MeshHolder(mesh))
+        pair=pair, mesh_holder=_MeshHolder(mesh))
     return rgb[:B], ok[:B]
 
 

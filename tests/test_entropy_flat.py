@@ -126,3 +126,50 @@ def test_fuzz_random_streams_all_device_impls(seed):
         got = entropy_spec.decode_scan_speculative(
             hdr, scan, chunk_bytes=int(rng.choice([512, 1024, 4096])))
         assert np.array_equal(got, ref)
+
+
+def test_decode_emit2_pairs_match_single():
+    """Paired emission kernel == single-symbol kernel on corpus lanes,
+    with the skeleton's paired step count sufficient (T2 bound holds)."""
+    import jax.numpy as jnp
+
+    from conftest import corpus_path
+    from jpeg_decoder_tpu.entropy import native
+    from jpeg_decoder_tpu.ops import entropy_spec as es
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    for name in ("img.jpg", "img4.jpg"):
+        hdr = parser.parse_file(corpus_path(name))
+        scan = hdr.scans[0]
+        (pools, starts, nm, _off, T, T2, C, _segf,
+         ok) = es.prepare_hybrid_batch_emit(hdr, [scan])
+        assert ok[0] and T2 <= T
+        bc = tuple(ci for ci, c in enumerate(hdr.components)
+                   for _ in range(c.v * c.h))
+        bpm = len(bc)
+        luts = jnp.asarray(entropy_flat.merged_luts(hdr, scan))
+        words = jnp.asarray(pools[0])
+        base = jnp.asarray(starts[0].astype(np.int32))
+        nblocks = jnp.asarray((nm[0] * bpm).astype(np.int32))
+        kw = dict(block_comp=bc, n_comps=len(hdr.components))
+        p1, v1, e1, nd1 = entropy_flat.decode_emit(
+            words, base, nblocks, luts, T=T, **kw)
+        p2, v2, e2, nd2 = entropy_flat.decode_emit2(
+            words, base, nblocks, luts, T=T2, **kw)
+        assert not bool(np.asarray(e1).any())
+        assert not bool(np.asarray(e2).any())
+        assert bool(np.asarray(nd2 == nblocks).all()), (
+            "skeleton paired-step bound must cover every lane")
+        S = base.shape[0]
+        n_slots = int(nm[0].max()) * bpm * 64
+        lane_off = jnp.arange(S, dtype=jnp.int32) * n_slots
+
+        def dense(pos, val):
+            fp = jnp.where(pos >= 0, pos + lane_off, S * n_slots)
+            return jnp.zeros((S * n_slots,), jnp.int32).at[
+                fp.reshape(-1)].add(val.reshape(-1), mode="drop")
+
+        assert np.array_equal(np.asarray(dense(p1, v1)),
+                              np.asarray(dense(p2.reshape(-1, S),
+                                               v2.reshape(-1, S))))

@@ -330,7 +330,7 @@ def test_hybrid_emit_corpus_bit_exact(name):
 
     hdr = parser.parse_file(corpus_path(name))
     scans = [hdr.scans[0]] * 2
-    pools, starts, nm, lane_off, T, C, seg_first, ok = \
+    pools, starts, nm, lane_off, T, _T2, C, seg_first, ok = \
         es.prepare_hybrid_batch_emit(hdr, scans)
     assert ok.all()
     lay = scan_layout(hdr)
@@ -361,7 +361,7 @@ def test_hybrid_emit_tight_T_flags_error():
 
     hdr = parser.parse_file(corpus_path("img2.jpg"))
     scans = [hdr.scans[0]]
-    pools, starts, nm, lane_off, T, C, seg_first, ok = \
+    pools, starts, nm, lane_off, T, _T2, C, seg_first, ok = \
         es.prepare_hybrid_batch_emit(hdr, scans)
     lay = scan_layout(hdr)
     bc = tuple(ci for ci, c in enumerate(hdr.components)
@@ -410,7 +410,7 @@ def test_hybrid_emit_restart_stream():
 
     lay = scan_layout(hdr)
     bpm = lay.blocks_per_mcu
-    pools, starts, nm, lane_off, T, C, seg_first, ok = \
+    pools, starts, nm, lane_off, T, _T2, C, seg_first, ok = \
         es.prepare_hybrid_batch_emit(hdr, [scan])
     assert ok.all()
     # Every segment start is a lane boundary (a lane never crosses the
@@ -442,7 +442,7 @@ def test_hybrid_emit_restart_mcu_granular():
     ref = python_ref.decode_scan_baseline(hdr, scan)
     got = es.decode_scan_hybrid(hdr, scan)
     assert np.array_equal(got, ref)
-    pools, starts, nm, lane_off, T, C, seg_first, ok = \
+    pools, starts, nm, lane_off, T, _T2, C, seg_first, ok = \
         es.prepare_hybrid_batch_emit(hdr, [scan])
     assert ok.all()
     assert int((nm[0] > 0).sum()) > n_seg

@@ -55,7 +55,7 @@ def main():
             if C_want > lay.n_mcus:
                 continue
             scans = [parser.parse_file(path).scans[0] for _ in range(B)]
-            (pools, starts, nm, off, T, C, seg_first, ok) = \
+            (pools, starts, nm, off, T, _T2, C, seg_first, ok) = \
                 es.prepare_hybrid_batch_emit(
                     hdr, scans, max_chunks=C_want, target_steps=64)
             assert ok.all()

@@ -104,7 +104,7 @@ def main():
         t_f = min(_t(run_f) for _ in range(3))
 
         # ---- emit (symbol-balanced lanes, no in-loop stores) ----
-        (pools3, starts3, nm3, off3, T, C3, seg3,
+        (pools3, starts3, nm3, off3, T, _T2, C3, seg3,
          ok3) = es.prepare_hybrid_batch_emit(hdr, scans)
         assert ok3.all()
         args_e = (jax.device_put(jnp.asarray(pools3), dev),
