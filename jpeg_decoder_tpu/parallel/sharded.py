@@ -1401,17 +1401,28 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                 index=i, header=it.header, rgb_batch=it.rgb_batch,
                 batch_index=it.batch_index, error=it.error)
 
-    # Phase 2: fetch the per-group flags (one (B,) bool each) and finalize.
-    for items, rgb_b, flags, scans in dispatched:
+    # Phase 2: fetch ALL groups' flags with ONE device concatenation +
+    # D2H transfer — a per-group fetch paid one full link round trip
+    # per group (~50-200 ms each on tunnel-attached chips).
+    flags_np: list = []
+    if dispatched:
+        cat = np.asarray(jnp.concatenate(
+            [jnp.ravel(d[2]) for d in dispatched]))
+        o = 0
+        for d in dispatched:
+            n = int(np.prod(np.shape(d[2])))
+            flags_np.append(cat[o: o + n])
+            o += n
+    for (items, rgb_b, flags, scans), fl in zip(dispatched, flags_np):
         hdr0 = items[0][1]
         try:
             if scans is None:  # restart path: flags = per-image error
                 errs = [JPEGError("device entropy decode failed")
-                        if bool(f) else None for f in np.asarray(flags)]
+                        if bool(f) else None for f in fl]
             elif scans == "dyn":
                 # Bucketed group: patch failed rows per image at the
                 # image's OWN geometry (the group's members differ).
-                ok_np = np.asarray(flags)
+                ok_np = fl
                 errs = [None] * len(items)
                 for k in np.flatnonzero(~ok_np):
                     _i, hdr_k, scan_k, _key = items[int(k)]
@@ -1425,7 +1436,7 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                         errs[int(k)] = e
             else:
                 # hybrid/spec ok flags are self-sufficient device bools.
-                ok_np = np.asarray(flags)
+                ok_np = fl
                 rgb_b, errs = _spec_group_finalize(
                     hdr0, scans, rgb_b, ok_np, idct=idct,
                     upsample=upsample)
