@@ -549,6 +549,51 @@ def _scan_block_comp(hdr, scan):
         for _ in range(hdr.components[ci].v * hdr.components[ci].h))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "max_blocks", "al", "first"),
+    donate_argnums=(0,))
+def _apply_dc_scan(planes_t, words, base_bits, nblocks, pred0, luts2d,
+                   tgts_t, *, block_comp, max_blocks, al, first):
+    """ONE device program per DC scan: kernel (or closed-form refine
+    gather) + per-component scatter-add, plane buffers donated in place
+    — a single dispatch where kernel + N scatters cost N+1 round-trip-
+    priced dispatches on tunnel-attached devices."""
+    if first:
+        vals, err = decode_dc_first(
+            words, base_bits, nblocks, pred0, luts2d,
+            block_comp=block_comp, max_blocks=max_blocks, al=al)
+    else:
+        vals = dc_refine_bits(words, base_bits, nblocks, max_blocks, al)
+        err = jnp.zeros(base_bits.shape, jnp.bool_)
+    out = []
+    for pl, tgt in zip(planes_t, tgts_t):
+        out.append(pl.at[tgt.reshape(-1), 0].add(
+            vals.reshape(-1), mode="drop"))
+    return tuple(out), err
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_blocks", "ss", "se", "al", "first"),
+    donate_argnums=(0,))
+def _apply_ac_scan(plane, words, base_bits, nblocks, eobrun0, lut, tgt,
+                   *, max_blocks, ss, se, al, first):
+    """ONE device program per AC scan: (zigzag view +) kernel +
+    scatter-add, plane donated in place."""
+    if first:
+        delta, err = decode_ac_first(
+            words, base_bits, nblocks, eobrun0, lut,
+            max_blocks=max_blocks, ss=ss, se=se, al=al)
+    else:
+        zz_rows = jnp.take(plane, jnp.asarray(ZIGZAG), axis=1)
+        delta, err = decode_ac_refine(
+            words, base_bits, nblocks, eobrun0, lut, zz_rows, tgt,
+            max_blocks=max_blocks, ss=ss, se=se, al=al)
+    return plane.at[tgt.reshape(-1)].add(
+        delta.reshape(-1, 64), mode="drop"), err
+
+
 def apply_scan_device(hdr: FrameHeader, scan: ScanHeader, planes,
                       lanes=None, err_sink: list | None = None):
     """Apply ONE progressive scan to device-resident flat planes.
@@ -594,42 +639,33 @@ def apply_scan_device(hdr: FrameHeader, scan: ScanHeader, planes,
         max_blocks = max_mcus * bpm
         nblocks = (n_per.astype(np.int64) * bpm).astype(np.int32)
         if scan.ah == 0:
-            luts2d = np.stack([
+            luts2d = jnp.asarray(np.stack([
                 build_lut(scan.dc_specs[scan.dc_table_ids[k]])
-                for k in range(len(scan.comp_indices))])
-            vals, err = decode_dc_first(
-                words, jnp.asarray(base_bits), jnp.asarray(nblocks),
-                jnp.asarray(pred0), jnp.asarray(luts2d),
-                block_comp=block_comp, max_blocks=max_blocks, al=scan.al)
+                for k in range(len(scan.comp_indices))]))
         else:
-            vals = dc_refine_bits(words, jnp.asarray(base_bits),
-                                  jnp.asarray(nblocks), max_blocks, scan.al)
-            err = jnp.zeros((S,), jnp.bool_)
-        for ci, tgt in _dc_slot_map(hdr, scan, mcu_first, n_per,
-                                    max_blocks):
-            planes[ci] = planes[ci].at[
-                jnp.asarray(tgt.reshape(-1)), 0].add(
-                vals.reshape(-1), mode="drop")
+            luts2d = jnp.zeros((1, 1), jnp.uint16)  # unused in refine
+        slot_map = _dc_slot_map(hdr, scan, mcu_first, n_per, max_blocks)
+        cis = [ci for ci, _t in slot_map]
+        planes_t = tuple(planes[ci] for ci in cis)
+        tgts_t = tuple(jnp.asarray(t) for _ci, t in slot_map)
+        out_t, err = _apply_dc_scan(
+            planes_t, words, jnp.asarray(base_bits), jnp.asarray(nblocks),
+            jnp.asarray(pred0), luts2d, tgts_t,
+            block_comp=block_comp, max_blocks=max_blocks, al=scan.al,
+            first=scan.ah == 0)
+        for ci, pl in zip(cis, out_t):
+            planes[ci] = pl
     else:
         lut = build_lut(scan.ac_specs[scan.ac_table_ids[0]])
         ci, tgt, n_rows = _ac_slot_map(hdr, scan, mcu_first, n_per,
                                        max_mcus)
-        if scan.ah == 0:
-            delta, err = decode_ac_first(
-                words, jnp.asarray(base_bits),
-                jnp.asarray(n_per.astype(np.int32)),
-                jnp.asarray(eobrun0), jnp.asarray(lut),
-                max_blocks=max_mcus, ss=scan.ss, se=scan.se, al=scan.al)
-        else:
-            zz_rows = jnp.take(planes[ci], jnp.asarray(ZIGZAG), axis=1)
-            delta, err = decode_ac_refine(
-                words, jnp.asarray(base_bits),
-                jnp.asarray(n_per.astype(np.int32)),
-                jnp.asarray(eobrun0), jnp.asarray(lut), zz_rows,
-                jnp.asarray(tgt.astype(np.int32)),
-                max_blocks=max_mcus, ss=scan.ss, se=scan.se, al=scan.al)
-        planes[ci] = planes[ci].at[jnp.asarray(tgt.reshape(-1))].add(
-            delta.reshape(-1, 64), mode="drop")
+        planes[ci], err = _apply_ac_scan(
+            planes[ci], words, jnp.asarray(base_bits),
+            jnp.asarray(n_per.astype(np.int32)),
+            jnp.asarray(eobrun0), jnp.asarray(lut),
+            jnp.asarray(tgt.astype(np.int32)),
+            max_blocks=max_mcus, ss=scan.ss, se=scan.se, al=scan.al,
+            first=scan.ah == 0)
     if err_sink is not None:
         err_sink.append(err)
     elif bool(np.asarray(err).any()):
