@@ -1364,9 +1364,12 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
 
     # Progressive frames: per-image device-lane decode (host does only
     # the position-only skeleton walks), overlapping the in-flight
-    # baseline groups; a frame whose device decode fails falls back to
-    # the host path with the others.
-    for i, hdr in prog_frames:
+    # baseline groups; frames run on a 2-thread pool (the skeleton
+    # walks release the GIL, jax dispatch is thread-safe) so one
+    # image's host walks overlap another's device programs.  A frame
+    # whose device decode fails falls back to the host path.
+    def _prog_one(arg):
+        i, hdr = arg
         try:
             from ..ops import entropy_prog
 
@@ -1386,6 +1389,15 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
                                    rgb_batch=rgb[None], batch_index=0)
         except Exception:  # noqa: BLE001 — per-image isolation
             host_fallback.append(i)
+
+    if len(prog_frames) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            list(ex.map(_prog_one, prog_frames))
+    else:
+        for pf in prog_frames:
+            _prog_one(pf)
 
     # Host-path frames decode while the device groups are in flight: the
     # BatchDecoder's host entropy stage runs now, its own device pixel
