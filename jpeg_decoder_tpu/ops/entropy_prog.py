@@ -594,8 +594,123 @@ def _apply_ac_scan(plane, words, base_bits, nblocks, eobrun0, lut, tgt,
         delta.reshape(-1, 64), mode="drop"), err
 
 
+class _MeshHolder:
+    """Hashable Mesh wrapper for jit static args (mirror of
+    parallel.sharded._MeshHolder; duplicated to avoid a circular
+    import)."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash((tuple(self.mesh.shape.items()),
+                     tuple(d.id for d in self.mesh.devices.flat)))
+
+    def __eq__(self, other):
+        return (isinstance(other, _MeshHolder)
+                and self.mesh.shape == other.mesh.shape
+                and [d.id for d in self.mesh.devices.flat]
+                == [d.id for d in other.mesh.devices.flat])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_comp", "max_blocks", "al", "first",
+                     "mesh_holder"),
+    donate_argnums=(0,))
+def _apply_dc_scan_mesh(planes_t, words, base_bits, nblocks, pred0,
+                        luts2d, tgts_t, *, block_comp, max_blocks, al,
+                        first, mesh_holder):
+    """Mesh-sharded DC scan: lanes shard over ALL mesh axes (a
+    progressive image's lanes are its only parallel axis), each shard
+    scatters its lanes' DC values into a local column, and one psum
+    reduces the disjoint partial columns — the same collective pattern
+    as the baseline emission path."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = mesh_holder.mesh
+    axes = tuple(mesh.axis_names)
+    lane = P(axes)          # dim 0 sharded over every axis, flattened
+    n_rows_t = tuple(pl.shape[0] for pl in planes_t)
+
+    def local(words_l, base_l, nb_l, pred_l, luts_l, *tgts_l):
+        if first:
+            vals, err = decode_dc_first(
+                words_l, base_l, nb_l, pred_l, luts_l,
+                block_comp=block_comp, max_blocks=max_blocks, al=al)
+        else:
+            vals = dc_refine_bits(words_l, base_l, nb_l, max_blocks, al)
+            err = jnp.zeros(base_l.shape, jnp.bool_)
+        outs = []
+        for tgt_l, n_rows in zip(tgts_l, n_rows_t):
+            col = jnp.zeros((n_rows,), jnp.int32).at[
+                tgt_l.reshape(-1)].add(vals.reshape(-1), mode="drop")
+            outs.append(jax.lax.psum(col, axes))
+        return (*outs, err)
+
+    res = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None), lane, lane, P(axes, None), P(None, None),
+                  *([P(axes, None)] * len(tgts_t))),
+        out_specs=(*([P(None)] * len(tgts_t)), lane),
+        check_vma=False,
+    )(words, base_bits, nblocks, pred0, luts2d, *tgts_t)
+    cols, err = res[:-1], res[-1]
+    out = tuple(pl.at[:, 0].add(col)
+                for pl, col in zip(planes_t, cols))
+    return out, err
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_blocks", "ss", "se", "al", "first",
+                     "mesh_holder"),
+    donate_argnums=(0,))
+def _apply_ac_scan_mesh(plane, words, base_bits, nblocks, eobrun0, lut,
+                        tgt, *, max_blocks, ss, se, al, first,
+                        mesh_holder):
+    """Mesh-sharded AC scan: lanes shard over all mesh axes; each shard
+    scatters its delta rows locally; one psum reduces the disjoint
+    partials into the replicated plane.  The refinement kernel reads
+    the REPLICATED current plane (zigzag view), so no value exchange is
+    needed during the walk."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = mesh_holder.mesh
+    axes = tuple(mesh.axis_names)
+    lane = P(axes)
+    n_rows1 = plane.shape[0]
+    zz = (jnp.take(plane, jnp.asarray(ZIGZAG), axis=1) if not first
+          else jnp.zeros((1, 64), jnp.int32))
+
+    def local(words_l, base_l, nb_l, eob_l, lut_l, zz_l, tgt_l):
+        if first:
+            delta, err = decode_ac_first(
+                words_l, base_l, nb_l, eob_l, lut_l,
+                max_blocks=max_blocks, ss=ss, se=se, al=al)
+        else:
+            delta, err = decode_ac_refine(
+                words_l, base_l, nb_l, eob_l, lut_l, zz_l, tgt_l,
+                max_blocks=max_blocks, ss=ss, se=se, al=al)
+        part = jnp.zeros((n_rows1, 64), jnp.int32).at[
+            tgt_l.reshape(-1)].add(delta.reshape(-1, 64), mode="drop")
+        return jax.lax.psum(part, axes), err
+
+    part, err = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None), lane, lane, lane, P(None), P(None, None),
+                  P(axes, None)),
+        out_specs=(P(None, None), lane),
+        check_vma=False,
+    )(words, base_bits, nblocks, eobrun0, lut, zz, tgt)
+    return plane + part, err
+
+
 def apply_scan_device(hdr: FrameHeader, scan: ScanHeader, planes,
-                      lanes=None, err_sink: list | None = None):
+                      lanes=None, err_sink: list | None = None,
+                      mesh=None):
     """Apply ONE progressive scan to device-resident flat planes.
 
     ``planes``: list of (n_blocks_c + 1, 64) int32 device arrays in
@@ -605,8 +720,10 @@ def apply_scan_device(hdr: FrameHeader, scan: ScanHeader, planes,
     ``err_sink``: when given, the per-lane error flags are APPENDED to it
     as a device array instead of being fetched here — callers check once
     per frame (one host sync instead of one per scan; see
-    check_errors()).  Returns the updated planes; without a sink, raises
-    JPEGError when any lane errors.
+    check_errors()).  ``mesh``: optional jax Mesh — lanes then shard
+    over ALL mesh axes under shard_map (planes replicated; disjoint
+    partial scatters reduce with one psum).  Returns the updated planes;
+    without a sink, raises JPEGError when any lane errors.
     """
     comps = hdr.components
     interleaved = len(scan.comp_indices) > 1
@@ -630,6 +747,21 @@ def apply_scan_device(hdr: FrameHeader, scan: ScanHeader, planes,
     else:
         base_bits, n_per, mcu_first, eobrun0, pred0 = lanes
         S = len(base_bits)
+    if mesh is not None:
+        # Pad the lane axis to the mesh size (padded lanes decode
+        # nothing; their slot targets drop).
+        ms = int(np.prod(list(mesh.shape.values())))
+        Sp = -(-max(S, 1) // ms) * ms
+        if Sp != S:
+            pad = Sp - S
+            base_bits = np.concatenate([base_bits, np.zeros(pad, np.int64)])
+            n_per = np.concatenate([n_per, np.zeros(pad, n_per.dtype)])
+            mcu_first = np.concatenate(
+                [mcu_first, np.full(pad, 1 << 40, np.int64)])
+            eobrun0 = np.concatenate([eobrun0, np.zeros(pad, np.int32)])
+            pred0 = np.concatenate(
+                [pred0, np.zeros((pad, pred0.shape[1]), np.int32)])
+            S = Sp
     words = jnp.asarray(scan_words(scan))
     block_comp = _scan_block_comp(hdr, scan)
     bpm = len(block_comp)
@@ -648,24 +780,35 @@ def apply_scan_device(hdr: FrameHeader, scan: ScanHeader, planes,
         cis = [ci for ci, _t in slot_map]
         planes_t = tuple(planes[ci] for ci in cis)
         tgts_t = tuple(jnp.asarray(t) for _ci, t in slot_map)
-        out_t, err = _apply_dc_scan(
-            planes_t, words, jnp.asarray(base_bits), jnp.asarray(nblocks),
-            jnp.asarray(pred0), luts2d, tgts_t,
-            block_comp=block_comp, max_blocks=max_blocks, al=scan.al,
-            first=scan.ah == 0)
+        kw = dict(block_comp=block_comp, max_blocks=max_blocks,
+                  al=scan.al, first=scan.ah == 0)
+        if mesh is not None:
+            out_t, err = _apply_dc_scan_mesh(
+                planes_t, words, jnp.asarray(base_bits),
+                jnp.asarray(nblocks), jnp.asarray(pred0), luts2d,
+                tgts_t, mesh_holder=_MeshHolder(mesh), **kw)
+        else:
+            out_t, err = _apply_dc_scan(
+                planes_t, words, jnp.asarray(base_bits),
+                jnp.asarray(nblocks), jnp.asarray(pred0), luts2d,
+                tgts_t, **kw)
         for ci, pl in zip(cis, out_t):
             planes[ci] = pl
     else:
         lut = build_lut(scan.ac_specs[scan.ac_table_ids[0]])
         ci, tgt, n_rows = _ac_slot_map(hdr, scan, mcu_first, n_per,
                                        max_mcus)
-        planes[ci], err = _apply_ac_scan(
-            planes[ci], words, jnp.asarray(base_bits),
-            jnp.asarray(n_per.astype(np.int32)),
-            jnp.asarray(eobrun0), jnp.asarray(lut),
-            jnp.asarray(tgt.astype(np.int32)),
-            max_blocks=max_mcus, ss=scan.ss, se=scan.se, al=scan.al,
-            first=scan.ah == 0)
+        kw = dict(max_blocks=max_mcus, ss=scan.ss, se=scan.se,
+                  al=scan.al, first=scan.ah == 0)
+        args = (planes[ci], words, jnp.asarray(base_bits),
+                jnp.asarray(n_per.astype(np.int32)),
+                jnp.asarray(eobrun0), jnp.asarray(lut),
+                jnp.asarray(tgt.astype(np.int32)))
+        if mesh is not None:
+            planes[ci], err = _apply_ac_scan_mesh(
+                *args, mesh_holder=_MeshHolder(mesh), **kw)
+        else:
+            planes[ci], err = _apply_ac_scan(*args, **kw)
     if err_sink is not None:
         err_sink.append(err)
     elif bool(np.asarray(err).any()):
@@ -687,7 +830,8 @@ def check_errors(err_sink: list) -> None:
             f"{np.flatnonzero(flags)[:8].tolist()}")
 
 
-def decode_progressive_device(hdr: FrameHeader, as_device: bool = False):
+def decode_progressive_device(hdr: FrameHeader, as_device: bool = False,
+                              mesh=None):
     """Decode ALL scans of a progressive frame with device lane kernels.
 
     Lanes come from restart segments; a DRI=0 scan runs as one lane
@@ -705,7 +849,8 @@ def decode_progressive_device(hdr: FrameHeader, as_device: bool = False):
         planes.append(jnp.zeros((rows * cols + 1, 64), jnp.int32))
     errs: list = []
     for scan in hdr.scans:
-        planes = apply_scan_device(hdr, scan, planes, err_sink=errs)
+        planes = apply_scan_device(hdr, scan, planes, err_sink=errs,
+                                   mesh=mesh)
     check_errors(errs)
     out = [p[:-1].reshape(r, c, 64) for p, (r, c) in zip(planes, shapes)]
     if as_device:
@@ -714,7 +859,8 @@ def decode_progressive_device(hdr: FrameHeader, as_device: bool = False):
 
 
 def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
-                              target_lanes: int | None = None):
+                              target_lanes: int | None = None,
+                              mesh=None):
     """DRI=0 progressive decode with DEVICE lanes from native skeleton
     scans: the host walks each scan position-only (jd_prog_skeleton_*,
     maintaining per-component nonzero bitmaps so refinement bit
@@ -778,7 +924,7 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
             bits, eob = native.prog_skeleton_ac(hdr, scan, stride, nzmap)
             lanes = _stride_lanes(bits, stride, n_blocks, eobrun=eob)
         planes = apply_scan_device(hdr, scan, planes, lanes=lanes,
-                                   err_sink=errs)
+                                   err_sink=errs, mesh=mesh)
     check_errors(errs)
 
     out = [p[:-1].reshape(r, c, 64) for p, (r, c) in zip(planes, shapes)]
@@ -801,16 +947,19 @@ def _stride_lanes(bits: np.ndarray, stride: int, n_mcus: int, *,
     return bits, n_per, mcu_first, eob0, pred0
 
 
-def decode_progressive_lanes(hdr: FrameHeader, as_device: bool = False):
+def decode_progressive_lanes(hdr: FrameHeader, as_device: bool = False,
+                             mesh=None):
     """Best available device-lane progressive decode: native skeleton
-    lanes when possible, segment lanes otherwise."""
+    lanes when possible, segment lanes otherwise.  With ``mesh``, lanes
+    shard over all mesh axes (shard_map + psum plane reduction)."""
     if hdr.precision == 8 and all(
             len(s.seg_offsets) == 2 for s in hdr.scans):
         try:
             from ..entropy import native
 
             if native.available():
-                return decode_progressive_hybrid(hdr, as_device=as_device)
+                return decode_progressive_hybrid(hdr, as_device=as_device,
+                                                 mesh=mesh)
         except ImportError:
             pass
-    return decode_progressive_device(hdr, as_device=as_device)
+    return decode_progressive_device(hdr, as_device=as_device, mesh=mesh)

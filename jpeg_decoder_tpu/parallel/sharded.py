@@ -1374,7 +1374,7 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="fast",
             from ..ops import entropy_prog
 
             planes = entropy_prog.decode_progressive_lanes(
-                hdr, as_device=True)
+                hdr, as_device=True, mesh=mesh)
             qtables = tuple(jnp.asarray(hdr.quant_tables[c.tq].values)
                             for c in hdr.components)
             samplings = tuple(

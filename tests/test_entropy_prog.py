@@ -193,3 +193,20 @@ def test_jax_backend_progressive_decode():
     for backend in ("jax", "hybrid"):
         got = decode(path, entropy=backend, idct="fast", upsample="nn").rgb
         assert np.array_equal(got, ref), backend
+
+
+def test_progressive_lanes_shard_over_mesh():
+    """Progressive scan lanes shard over ALL mesh axes (shard_map +
+    psum plane reduction): bit-exact vs the unsharded decode, on both
+    the skeleton-lane and segment-lane paths."""
+    from jpeg_decoder_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh((2, 4), ("data", "seg"))
+    for blob in (_pil_progressive(seed=33, size=(152, 96)),
+                 _pil_progressive(seed=34, size=(120, 88),
+                                  restart_blocks=4)):
+        hdr = parser.parse(blob)
+        want = prog_ref.decode_progressive(hdr)
+        got = entropy_prog.decode_progressive_lanes(hdr, mesh=mesh)
+        for w, g in zip(want, got):
+            assert np.array_equal(w, g)
