@@ -13,6 +13,7 @@ def test_examples_run():
     for cmd in (
         [sys.executable, "examples/serving_pipeline.py", "--platform", "cpu"],
         [sys.executable, "examples/sharded_decode.py", "4"],
+        [sys.executable, "examples/mixed_corpus_serving.py", "4"],
     ):
         r = subprocess.run(cmd, cwd=REPO, capture_output=True,
                            text=True, timeout=240)
