@@ -23,8 +23,16 @@ import sys
 sys.path.insert(0, ".")
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-os.environ.setdefault(
-    "XLA_FLAGS", f"--xla_force_host_platform_device_count={N}")
+import re  # noqa: E402
+
+_flags = os.environ.get("XLA_FLAGS", "")
+_want = f"--xla_force_host_platform_device_count={N}"
+if "--xla_force_host_platform_device_count" in _flags:
+    _flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                    _want, _flags)
+else:
+    _flags = f"{_flags} {_want}"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
