@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 CORPUS_GLOB = "/root/reference/images/img*.jpg"
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", "48"))
 WAVE = int(os.environ.get("BENCH_WAVE", "48"))
-TRIALS = int(os.environ.get("BENCH_TRIALS", "6"))
+TRIALS = int(os.environ.get("BENCH_TRIALS", "8"))
 
 
 def log(*a):
@@ -213,7 +213,7 @@ def main() -> int:
     value, dts = 0.0, []
     for k in range(TRIALS):
         if k:
-            time.sleep(8)  # sample a different tunnel-bandwidth window
+            time.sleep(12)  # sample a different tunnel-bandwidth window
         t0 = time.perf_counter()
         items = bd.decode(workload, wave=WAVE)
         sync(items)
