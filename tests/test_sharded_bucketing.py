@@ -123,3 +123,17 @@ def test_bucketed_failed_row_patches_per_image(mesh18):
     assert items[1].error is None
     assert np.asarray(items[1].rgb).shape == decode(
         good, idct="fast", upsample="nn").rgb.shape
+
+
+def test_default_idct_kron_matches_single_decode(mesh18):
+    """decode_batch_sharded's default idct (kron) is bit-exact vs the
+    single-image decode at the same mode."""
+    if not _native_ok():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(41)
+    blobs = [_blob(rng, 150, 120), _blob(rng, 100, 170)]
+    items = sharded.decode_batch_sharded(blobs, mesh18)
+    for it, b in zip(items, blobs):
+        assert it.error is None
+        ref = decode(b, idct="kron", upsample="fancy").rgb
+        assert np.array_equal(np.asarray(it.rgb), ref)
