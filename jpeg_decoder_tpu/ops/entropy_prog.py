@@ -301,6 +301,13 @@ def decode_ac_refine(words, base_bits, nblocks, eobrun0, lut, plane_rows,
     row_idx: (S, max_blocks) int32 plane row of each lane's block slot
       (n_plane_blocks for padded slots).
 
+    Inner iterations are BATCHED: one correction bit per nonzero-history
+    band position would cost up to 63 iterations per block; instead each
+    iteration distributes up to 32 window bits across the positions by
+    RANK (a cumulative count over the history mask), so a block costs
+    ~#symbols + ceil(#correction_bits / 32) iterations — measured ~8x
+    fewer for the dense final refinement scans.
+
     Returns (delta (S, max_blocks, 64) int32 natural order — add to the
     plane, err (S,) bool).  Parity: entropy/progressive._ac_refine_scan.
     """
@@ -308,6 +315,7 @@ def decode_ac_refine(words, base_bits, nblocks, eobrun0, lut, plane_rows,
     n_words = words.shape[0]
     lane64 = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
     p1 = 1 << al
+    CAP = 32  # correction bits consumed per batched iteration
 
     w0 = (base_bits >> 5).astype(jnp.int32)
     off0 = (base_bits & 31).astype(jnp.uint32)
@@ -326,25 +334,27 @@ def decode_ac_refine(words, base_bits, nblocks, eobrun0, lut, plane_rows,
     def body(s):
         b = s["b"]
         active = ~s["err"] & (b < nblocks)
-        # Current history rows for this slot (one per-lane row gather).
         rows = jnp.take(row_idx, b, axis=1)
         cur_vals = jnp.take(plane_rows, rows, axis=0)   # (S, 64) zigzag
+        hist_nz = cur_vals != 0
+        corr_step = jnp.where(cur_vals > 0, p1, -p1)
+        # Python's correct() guards (nz & p1) == 0 — always true on
+        # conformant streams; honored exactly for parity.
+        guard_ok = (cur_vals & p1) == 0
         in_eob0 = s["eobrun"] > 0
 
-        # Unified per-event inner loop.  Each iteration processes exactly
-        # one event on every live lane: a symbol probe (phase SYM) or one
-        # band position (phases RUN/TAIL).  Per-lane state:
-        #   phase: 0 = need symbol, 1 = advancing run/corrections,
-        #          2 = EOB-run correction tail
-        #   k: band position; r: pending zero-run; newval: pending +-p1
+        # Per-event inner loop.  Phases: 0 = symbol probe, 1 = RUN
+        # (zero-run walk with batched corrections), 2 = TAIL (batched
+        # corrections to band end).
         def ev_cond(c):
             return jnp.any(c["in"])
 
         def ev_body(c):
             window = _window32(c["cur"], c["nxt"], c["off"])
-            sym_phase = c["in"] & (c["phase"] == 0)
+            live = c["in"]
+            sym_phase = live & (c["phase"] == 0)
 
-            # --- phase SYM: one symbol probe
+            # --- SYM: one probe (unchanged semantics)
             entry = jnp.take(lut, (window >> 16).astype(jnp.int32)
                              ).astype(jnp.int32)
             length = (entry & 31).astype(jnp.uint32)
@@ -353,90 +363,91 @@ def decode_ac_refine(words, base_bits, nblocks, eobrun0, lut, plane_rows,
             sz = sym & 15
             bad = sym_phase & ((entry == 0) | ((sz != 0) & (sz != 1)))
             is_eobrun = (sz == 0) & (r_s < 15)
-            # Unsigned shift count (see decode_ac_first).
             ebits = jnp.where(
                 r_s == 0, jnp.uint32(0),
                 (window << length)
                 >> (32 - jnp.maximum(r_s, 1).astype(jnp.uint32)))
             new_eob = (1 << r_s) + jnp.where(
                 r_s > 0, ebits, 0).astype(jnp.int32)
-            # newval bit (sz == 1): right after the code.
             nv_bit = (window << length) >> 31
-            newval = jnp.where(sz == 1,
-                               jnp.where(nv_bit == 1, p1, -p1), 0)
+            newval_s = jnp.where(sz == 1,
+                                 jnp.where(nv_bit == 1, p1, -p1), 0)
             sym_adv = length + jnp.where(
                 is_eobrun, r_s.astype(jnp.uint32),
                 jnp.where(sz == 1, jnp.uint32(1), jnp.uint32(0)))
 
-            # --- phases RUN/TAIL: process band position k
-            pos_phase = c["in"] & (c["phase"] != 0)
-            hist = jnp.sum(
-                jnp.where(lane64 == c["k"][:, None], cur_vals, 0), axis=1)
-            nonzero = hist != 0
-            corr_bit = (window >> 31).astype(jnp.int32)
-            # Correction: nonzero-history position reads one bit; if set
-            # (and bit al still clear — always true on conformant
-            # streams), add +-p1 toward larger magnitude.
-            do_corr = pos_phase & nonzero & (corr_bit == 1) \
-                & ((hist & p1) == 0)
-            corr = jnp.where(hist > 0, p1, -p1)
-            # RUN phase at a zero-history position: r == 0 places newval.
-            place = pos_phase & (c["phase"] == 1) & ~nonzero & (c["r"] == 0)
-            delta = jnp.where(do_corr, corr, 0) + jnp.where(
-                place, c["newval"], 0)
-            acc = c["acc"] + jnp.where(
-                pos_phase[:, None] & (lane64 == c["k"][:, None]),
-                delta[:, None], 0)
-            pos_adv = jnp.where(pos_phase & nonzero, jnp.uint32(1),
-                                jnp.uint32(0))
-            r = jnp.where(pos_phase & (c["phase"] == 1) & ~nonzero & ~place,
-                          c["r"] - 1, c["r"])
+            # --- RUN / TAIL: batched correction distribution
+            pos_phase = live & (c["phase"] != 0)
+            is_run = c["phase"] == 1
+            valid = (lane64 >= c["k"][:, None]) & (lane64 <= se)
+            nzv = valid & hist_nz
+            zv = valid & ~hist_nz
+            zrank = jnp.cumsum(zv.astype(jnp.int32), axis=1)
+            # RUN stop: the (r+1)-th zero-history position (newval site).
+            stop = zv & (zrank == (c["r"] + 1)[:, None]) & is_run[:, None]
+            has_stop = stop.any(axis=1)
+            p_stop = jnp.min(jnp.where(stop, lane64, 64), axis=1)
+            # Correctable positions this phase: nonzero-history, before
+            # the stop (RUN) or to band end (TAIL).
+            lim = jnp.where(is_run & has_stop, p_stop, 64)
+            crossed = nzv & (lane64 < lim[:, None])
+            crank = jnp.cumsum(crossed.astype(jnp.int32), axis=1) \
+                - crossed.astype(jnp.int32)           # 0-based ranks
+            n_cross = jnp.sum(crossed.astype(jnp.int32), axis=1)
+            take_n = jnp.minimum(n_cross, CAP)
+            use = crossed & (crank < take_n[:, None])
+            bit = (window[:, None]
+                   >> (31 - jnp.minimum(crank, 31)).astype(jnp.uint32)) & 1
+            do_corr = pos_phase[:, None] & use & (bit == 1) & guard_ok
+            delta = jnp.where(do_corr, corr_step, 0)
+            partial = n_cross > CAP
+            # Partial chunk: resume after the CAP-th correction.
+            j_cut = jnp.min(jnp.where(
+                crossed & (crank == (take_n - 1)[:, None]), lane64, 64),
+                axis=1)
+            k_resume = jnp.minimum(j_cut + 1, 64)
+            zeros_used = jnp.sum(
+                (zv & (lane64 <= j_cut[:, None])).astype(jnp.int32),
+                axis=1)
+            # Full chunk outcomes.
+            place = is_run & has_stop & (c["newval"] != 0)
+            delta = delta + jnp.where(
+                (pos_phase & place & ~partial)[:, None]
+                & (lane64 == p_stop[:, None]),
+                c["newval"][:, None], 0)
+            k_full = jnp.where(is_run & has_stop, p_stop + 1, 65)
+            acc = c["acc"] + jnp.where(pos_phase[:, None], delta, 0)
 
             # --- state transitions
             phase = c["phase"]
             k = c["k"]
-            eob = c["eob"]
+            r = c["r"]
             nv = c["newval"]
-            # SYM outcomes:
-            #  eobrun symbol -> phase TAIL with eob run counted
-            #  else -> phase RUN with r (ZRL keeps r=15+skip16? python
-            #  walks 16 zero-history via r counting: ZRL -> r = 15 and
-            #  sz = 0 -> newval 0; run phase crosses 16 zero-history
-            #  positions: r 15..0 then "r == 0 -> place newval(0)" must
-            #  NOT place: python breaks out of the walk when r == 0 at a
-            #  zero-history coef (no write), then k += 1 (skipped 16th).
+            eob = c["eob"]
+            # SYM outcomes
             phase = jnp.where(sym_phase,
                               jnp.where(is_eobrun, 2, 1), phase)
             eob = jnp.where(sym_phase & is_eobrun, new_eob, eob)
             r = jnp.where(sym_phase & ~is_eobrun, r_s, r)
-            nv = jnp.where(sym_phase & ~is_eobrun, newval, nv)
-            # RUN phase completion: after placing newval (or hitting
-            # r == 0 with newval == 0, the ZRL walk end), advance k and
-            # go back to SYM phase.  After a correction/zero-skip just
-            # advance k; k > se in RUN phase -> back to SYM only via
-            # band end (block done below).
-            run_end = pos_phase & (c["phase"] == 1) & ~nonzero \
-                & (c["r"] == 0)
-            k = jnp.where(pos_phase, k + 1, k)
-            phase = jnp.where(run_end, 0, phase)
-            band_done_run = (c["phase"] == 1) & pos_phase & (k > se) \
-                & ~run_end
-            # RUN phase walking past se without r exhausting: python's
-            # inner while exits at k > se, then (newval and k <= se)
-            # fails -> next symbol.  Our k tracks the python k exactly;
-            # when k passes se the run phase ends and the block is done
-            # (python's outer while k <= se exits too).
-            band_done_tail = (c["phase"] == 2) & pos_phase & (k > se)
-            blk_done = band_done_run | band_done_tail | run_end & (k > se)
-            # block completes when k passes se in any phase; lanes whose
-            # RUN ended with k <= se probe the next symbol.
-            in_next = c["in"] & ~bad & ~blk_done & ~(
-                sym_phase & is_eobrun & (k > se))
-            # a fresh EOB-run symbol puts the lane in TAIL phase at its
-            # current k (corrections to band end), handled next iters.
+            nv = jnp.where(sym_phase & ~is_eobrun, newval_s, nv)
+            # RUN/TAIL outcomes
+            k = jnp.where(pos_phase,
+                          jnp.where(partial, k_resume, k_full), k)
+            r = jnp.where(pos_phase & is_run & partial,
+                          r - zeros_used, r)
+            phase = jnp.where(pos_phase & ~partial & is_run & has_stop,
+                              0, phase)
+            blk_done = pos_phase & ~partial & (
+                (is_run & (~has_stop | (k_full > se)))
+                | (~is_run))
+            in_next = live & ~bad & ~blk_done & ~(
+                sym_phase & jnp.zeros_like(bad))
+            in_next = in_next & ~(pos_phase & ~partial & is_run
+                                  & has_stop & (p_stop + 1 > se))
 
-            adv = jnp.where(sym_phase, sym_adv, pos_adv)
-            adv = jnp.where(c["in"] & ~bad, adv, 0)
+            adv = jnp.where(sym_phase, sym_adv,
+                            take_n.astype(jnp.uint32))
+            adv = jnp.where(live & ~bad, adv, 0)
             offp = c["off"] + adv
             need = offp >= 32
             loaded = jnp.take(words, jnp.minimum(c["w_idx"], n_words - 1))
@@ -886,46 +897,79 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
     if target_lanes is None:
         target_lanes = int(os.environ.get("JD_PROG_LANES", "512"))
 
-    planes = []
+    n_comps = len(hdr.components)
     shapes = []
-    for ci in range(len(hdr.components)):
+    for ci in range(n_comps):
         rows = hdr.mcus_y * hdr.components[ci].v
         cols = hdr.mcus_x * hdr.components[ci].h
         shapes.append((rows, cols))
-        planes.append(jnp.zeros((rows * cols + 1, 64), jnp.int32))
 
-    errs: list = []
-    nzmaps: dict[int, np.ndarray] = {}
+    # Scans partition into INDEPENDENT chains writing disjoint
+    # coefficient sets — all DC scans (k=0 only) and each component's AC
+    # scans (its k>=1 band); refinements depend only on earlier scans of
+    # the same chain (see entropy/native._scan_chains).  Each chain runs
+    # on its own thread with its OWN zero plane accumulators (skeleton
+    # walks release the GIL; jax dispatch is thread-safe), so chain B's
+    # host skeletons overlap chain A's device programs; the final merge
+    # is one exact add per component (disjoint coefficients).
+    chains: dict = {}
     for scan in hdr.scans:
-        if scan.ss == 0:
-            interleaved = len(scan.comp_indices) > 1
-            if interleaved:
-                n_mcus = hdr.mcus_x * hdr.mcus_y
+        key = "dc" if scan.ss == 0 else ("ac", scan.comp_indices[0])
+        chains.setdefault(key, []).append(scan)
+
+    def run_chain(scans):
+        planes = [jnp.zeros((r * c + 1, 64), jnp.int32)
+                  for r, c in shapes]
+        errs: list = []
+        nzmaps: dict[int, np.ndarray] = {}
+        for scan in scans:
+            if scan.ss == 0:
+                interleaved = len(scan.comp_indices) > 1
+                if interleaved:
+                    n_mcus = hdr.mcus_x * hdr.mcus_y
+                else:
+                    r, c = comp_dims_unpadded(hdr, scan.comp_indices[0])
+                    n_mcus = r * c
+                if scan.ah == 0:
+                    stride = max(1, -(-n_mcus // target_lanes))
+                    bits, preds = native.prog_skeleton_dc(hdr, scan,
+                                                          stride)
+                    lanes = _stride_lanes(bits, stride, n_mcus,
+                                          preds=preds)
+                else:
+                    # DC refinement is one vectorized gather — a single
+                    # lane costs no loop at all.
+                    lanes = None
             else:
-                r, c = comp_dims_unpadded(hdr, scan.comp_indices[0])
-                n_mcus = r * c
-            if scan.ah == 0:
-                stride = max(1, -(-n_mcus // target_lanes))
-                bits, preds = native.prog_skeleton_dc(hdr, scan, stride)
-                lanes = _stride_lanes(bits, stride, n_mcus, preds=preds)
-            else:
-                # DC refinement is one vectorized gather — a single lane
-                # costs no loop at all.
-                lanes = None
-        else:
-            ci = scan.comp_indices[0]
-            r, c = comp_dims_unpadded(hdr, ci)
-            n_blocks = r * c
-            nzmap = nzmaps.get(ci)
-            if nzmap is None:
-                nzmap = nzmaps.setdefault(
-                    ci, np.zeros(n_blocks, np.uint64))
-            stride = max(1, -(-n_blocks // target_lanes))
-            bits, eob = native.prog_skeleton_ac(hdr, scan, stride, nzmap)
-            lanes = _stride_lanes(bits, stride, n_blocks, eobrun=eob)
-        planes = apply_scan_device(hdr, scan, planes, lanes=lanes,
-                                   err_sink=errs, mesh=mesh)
+                ci = scan.comp_indices[0]
+                r, c = comp_dims_unpadded(hdr, ci)
+                n_blocks = r * c
+                nzmap = nzmaps.get(ci)
+                if nzmap is None:
+                    nzmap = nzmaps.setdefault(
+                        ci, np.zeros(n_blocks, np.uint64))
+                stride = max(1, -(-n_blocks // target_lanes))
+                bits, eob = native.prog_skeleton_ac(hdr, scan, stride,
+                                                    nzmap)
+                lanes = _stride_lanes(bits, stride, n_blocks, eobrun=eob)
+            planes = apply_scan_device(hdr, scan, planes, lanes=lanes,
+                                       err_sink=errs, mesh=mesh)
+        return planes, errs
+
+    chain_list = list(chains.values())
+    if len(chain_list) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(4, len(chain_list))) as ex:
+            results = list(ex.map(run_chain, chain_list))
+    else:
+        results = [run_chain(chain_list[0])]
+
+    errs = [e for _pl, es in results for e in es]
     check_errors(errs)
+    planes = list(results[0][0])
+    for pl_t, _es in results[1:]:
+        planes = [a + b for a, b in zip(planes, pl_t)]
 
     out = [p[:-1].reshape(r, c, 64) for p, (r, c) in zip(planes, shapes)]
     if as_device:
