@@ -60,7 +60,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 17:
+        if lib.jd_abi_version() != 18:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_prog_skeleton_dc.restype = ctypes.c_int64
         lib.jd_prog_skeleton_dc.argtypes = [
@@ -79,6 +79,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,                 # ac_lut, nzmap
             ctypes.c_int64, ctypes.c_int64,                   # n_blocks,stride
             ctypes.c_void_p, ctypes.c_void_p,                 # bits, eobrun
+            ctypes.c_void_p,                                  # syms
         ]
         lib.jd_prog_dc_scan_arith.restype = ctypes.c_int64
         lib.jd_prog_dc_scan_arith.argtypes = [
@@ -1103,12 +1104,15 @@ def prog_skeleton_dc(hdr: FrameHeader, scan: ScanHeader, stride: int):
 
 
 def prog_skeleton_ac(hdr: FrameHeader, scan: ScanHeader, stride: int,
-                     nzmap: np.ndarray):
+                     nzmap: np.ndarray, want_syms: bool = False):
     """Skeleton of a DRI=0 AC scan (first pass or refinement): returns
     (bits (L,) int64, eobrun (L,) int32) lane states and UPDATES
     ``nzmap`` — the component's (n_blocks,) uint64 band-position bitmap
     persisted across its scan chain (bit k <=> zigzag coefficient k
-    nonzero), which determines refinement bit consumption."""
+    nonzero), which determines refinement bit consumption.  With
+    ``want_syms`` (first-pass scans only) also returns the per-block
+    symbol count (n_blocks,) int32 — the emission AC kernel's exact
+    per-lane trip counts."""
     from ..layout import comp_dims_unpadded
 
     lib = _load()
@@ -1124,11 +1128,13 @@ def prog_skeleton_ac(hdr: FrameHeader, scan: ScanHeader, stride: int,
     n_lanes = -(-n_blocks // stride)
     bits = np.zeros(n_lanes, np.int64)
     eob = np.zeros(n_lanes, np.int32)
+    syms = np.zeros(n_blocks, np.int32) if want_syms else None
     rc = lib.jd_prog_skeleton_ac(
         data.ctypes.data, int(scan.seg_offsets[0]), len(scan.data),
         1 if scan.ah == 0 else 0, scan.ss, scan.se,
         lut.ctypes.data, nzmap.ctypes.data, n_blocks, stride,
-        bits.ctypes.data, eob.ctypes.data)
+        bits.ctypes.data, eob.ctypes.data,
+        syms.ctypes.data if want_syms else None)
     if rc != 0:
         raise JPEGError(f"progressive AC skeleton failed (code {rc})")
-    return bits, eob
+    return (bits, eob, syms) if want_syms else (bits, eob)

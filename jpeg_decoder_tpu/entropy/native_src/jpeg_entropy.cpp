@@ -2355,7 +2355,7 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
                             int32_t ss, int32_t se, const int16_t* ac_lut,
                             uint64_t* nzmap, int64_t n_blocks,
                             int64_t stride, int64_t* out_bits,
-                            int32_t* out_eobrun) {
+                            int32_t* out_eobrun, int32_t* out_syms) {
   if (stride < 1 || ss < 1 || se > 63 || ss > se) return -1;
   BitReader br{data, start_byte * 8, data_len * 8};
   int64_t eobrun = 0;
@@ -2387,14 +2387,17 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
     if (first) {
       if (eobrun > 0) {
         --eobrun;
+        if (out_syms) out_syms[b] = 0;
         continue;
       }
+      int32_t nsym = 0;
       int k = ss;
       while (k <= se) {
         need(31);
         LutEntry e = ac_lut[w >> 48];
         int len = e & 31;
         if (!len) return 3;
+        ++nsym;
         int sym = e >> 5;
         int r = sym >> 4, sz = sym & 0x0F;
         if (sz == 0) {
@@ -2414,6 +2417,7 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
           ++k;
         }
       }
+      if (out_syms) out_syms[b] = nsym;
     } else {
       int k = ss;
       if (eobrun == 0) {
@@ -2470,6 +2474,6 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
   return 0;
 }
 
-int32_t jd_abi_version() { return 17; }
+int32_t jd_abi_version() { return 18; }
 
 }  // extern "C"

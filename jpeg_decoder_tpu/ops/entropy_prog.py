@@ -488,6 +488,88 @@ def decode_ac_refine(words, base_bits, nblocks, eobrun0, lut, plane_rows,
     return out, s["err"]
 
 
+@functools.partial(jax.jit, static_argnames=("T", "ss", "se", "al"))
+def decode_ac_first_emit(words, base_bits, nblocks, eobrun0, lut, *,
+                         T: int, ss: int, se: int, al: int):
+    """Emission-style AC-first scan: one symbol per step, and an EOB run
+    advances the block counter in ONE step (the lockstep form iterates
+    every skipped block slot and pays the max-over-lanes slot skew).
+    ``T`` must be >= every lane's total symbol count (the AC skeleton
+    counts it exactly; EOB-skipped blocks count zero).
+
+    Returns (pos (T, S) int32 — lane-local ``blk * 64 + natural_index``
+    or -1, val (T, S) int32 already ``<< al``, err (S,) bool,
+    n_done (S,) int32).  Parity: entropy/progressive._ac_first_scan.
+    """
+    S = base_bits.shape[0]
+    n_words = words.shape[0]
+    zig = jnp.asarray(ZIGZAG.astype(np.int32))
+
+    w0 = (base_bits >> 5).astype(jnp.int32)
+    off0 = (base_bits & 31).astype(jnp.uint32)
+    carry0 = dict(
+        cur=jnp.take(words, jnp.minimum(w0, n_words - 1)),
+        nxt=jnp.take(words, jnp.minimum(w0 + 1, n_words - 1)),
+        off=off0, w_idx=w0 + 2,
+        blk=jnp.minimum(eobrun0.astype(jnp.int32), nblocks),
+        k=jnp.full((S,), ss, jnp.int32),
+        err=jnp.zeros((S,), jnp.bool_))
+
+    def step(c, _):
+        active = ~c["err"] & (c["blk"] < nblocks)
+        window = _window32(c["cur"], c["nxt"], c["off"])
+        entry = jnp.take(lut, (window >> 16).astype(jnp.int32)
+                         ).astype(jnp.int32)
+        length = (entry & 31).astype(jnp.uint32)
+        sym = (entry >> 5) & 0xFF
+        bad = (entry == 0) & active
+        r = sym >> 4
+        sz = (sym & 15).astype(jnp.uint32)
+        is_eob = (sz == 0) & (r < 15)
+        ebits = jnp.where(
+            r == 0, jnp.uint32(0),
+            (window << length)
+            >> (32 - jnp.maximum(r, 1).astype(jnp.uint32)))
+        n_eob = (1 << r) - 1 + jnp.where(r > 0, ebits, 0).astype(
+            jnp.int32)
+        wpos = c["k"] + r
+        overflow = (~is_eob) & (sz > 0) & (wpos > se)
+        bad = bad | (overflow & active)
+        szc = jnp.minimum(sz, 16)
+        raw = jnp.where(
+            szc == 0, jnp.uint32(0),
+            (window << length) >> (32 - jnp.maximum(szc, 1)))
+        val = _extend(raw, szc.astype(jnp.int32)) << al
+        live = active & ~bad
+        do_write = live & ~is_eob & (sz > 0)
+        nat = jnp.take(zig, jnp.clip(wpos, 0, 63))
+        pos = jnp.where(do_write, c["blk"] * 64 + nat, -1)
+
+        k1 = jnp.where(is_eob, ss,
+                       jnp.where(sz > 0, wpos + 1, c["k"] + 16))
+        blk_in = jnp.where(is_eob, c["blk"] + 1 + n_eob, c["blk"])
+        end_blk = live & ~is_eob & (k1 > se)
+        blk = jnp.where(live, blk_in + end_blk, c["blk"])
+        k = jnp.where(live, jnp.where(end_blk | is_eob, ss, k1), c["k"])
+
+        adv = jnp.where(
+            live,
+            length + jnp.where(is_eob, r.astype(jnp.uint32), szc), 0)
+        offp = c["off"] + adv
+        need = offp >= 32
+        loaded = jnp.take(words, jnp.minimum(c["w_idx"], n_words - 1))
+        carry = dict(
+            cur=jnp.where(need, c["nxt"], c["cur"]),
+            nxt=jnp.where(need, loaded, c["nxt"]),
+            off=offp - jnp.where(need, 32, 0).astype(jnp.uint32),
+            w_idx=c["w_idx"] + need, blk=blk, k=k,
+            err=c["err"] | bad)
+        return carry, (pos, jnp.where(do_write, val, 0))
+
+    end, (pos, val) = jax.lax.scan(step, carry0, None, length=T)
+    return pos, val, end["err"], jnp.minimum(end["blk"], nblocks)
+
+
 # ---------------------------------------------------------------------------
 # Scan application + whole-frame orchestration
 # ---------------------------------------------------------------------------
@@ -584,14 +666,42 @@ def _apply_dc_scan(planes_t, words, base_bits, nblocks, pred0, luts2d,
     return tuple(out), err
 
 
+def _emit_global_scatter(plane, pos, val, tgt, max_blocks):
+    """Scatter emission-kernel (pos, val) pairs into the flat plane:
+    lane-local ``blk * 64 + nat`` maps to plane row ``tgt[lane, blk]``.
+    Out-of-range blk (EOB runs past the lane) and pos = -1 drop."""
+    S = tgt.shape[0]
+    n_total = plane.shape[0] * 64
+    blk = pos >> 6
+    nat = pos & 63
+    lane = jax.lax.broadcasted_iota(jnp.int32, pos.shape, pos.ndim - 1)
+    row = jnp.take(tgt.reshape(-1),
+                   jnp.clip(lane * max_blocks + blk, 0,
+                            S * max_blocks - 1))
+    gpos = jnp.where((pos >= 0) & (blk < max_blocks),
+                     row * 64 + nat, n_total)
+    flat = plane.reshape(-1).at[gpos.reshape(-1)].add(
+        val.reshape(-1), mode="drop")
+    return flat.reshape(plane.shape)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("max_blocks", "ss", "se", "al", "first"),
+    static_argnames=("max_blocks", "ss", "se", "al", "first", "t_sym"),
     donate_argnums=(0,))
 def _apply_ac_scan(plane, words, base_bits, nblocks, eobrun0, lut, tgt,
-                   *, max_blocks, ss, se, al, first):
+                   *, max_blocks, ss, se, al, first, t_sym=None):
     """ONE device program per AC scan: (zigzag view +) kernel +
-    scatter-add, plane donated in place."""
+    scatter-add, plane donated in place.  ``t_sym``: when the skeleton
+    supplied exact per-lane symbol counts, AC-first runs the
+    emission-style kernel (EOB runs advance whole block ranges in one
+    step) with trip count t_sym."""
+    if first and t_sym is not None:
+        pos, val, err, _nd = decode_ac_first_emit(
+            words, base_bits, nblocks, eobrun0, lut,
+            T=t_sym, ss=ss, se=se, al=al)
+        return _emit_global_scatter(plane, pos, val, tgt,
+                                    max_blocks), err
     if first:
         delta, err = decode_ac_first(
             words, base_bits, nblocks, eobrun0, lut,
@@ -676,11 +786,11 @@ def _apply_dc_scan_mesh(planes_t, words, base_bits, nblocks, pred0,
 @functools.partial(
     jax.jit,
     static_argnames=("max_blocks", "ss", "se", "al", "first",
-                     "mesh_holder"),
+                     "mesh_holder", "t_sym"),
     donate_argnums=(0,))
 def _apply_ac_scan_mesh(plane, words, base_bits, nblocks, eobrun0, lut,
                         tgt, *, max_blocks, ss, se, al, first,
-                        mesh_holder):
+                        mesh_holder, t_sym=None):
     """Mesh-sharded AC scan: lanes shard over all mesh axes; each shard
     scatters its delta rows locally; one psum reduces the disjoint
     partials into the replicated plane.  The refinement kernel reads
@@ -697,6 +807,14 @@ def _apply_ac_scan_mesh(plane, words, base_bits, nblocks, eobrun0, lut,
           else jnp.zeros((1, 64), jnp.int32))
 
     def local(words_l, base_l, nb_l, eob_l, lut_l, zz_l, tgt_l):
+        if first and t_sym is not None:
+            pos, val, err, _nd = decode_ac_first_emit(
+                words_l, base_l, nb_l, eob_l, lut_l,
+                T=t_sym, ss=ss, se=se, al=al)
+            part = _emit_global_scatter(
+                jnp.zeros((n_rows1, 64), jnp.int32), pos, val, tgt_l,
+                max_blocks)
+            return jax.lax.psum(part, axes), err
         if first:
             delta, err = decode_ac_first(
                 words_l, base_l, nb_l, eob_l, lut_l,
@@ -750,13 +868,16 @@ def apply_scan_device(hdr: FrameHeader, scan: ScanHeader, planes,
         rows_u, cols_u = comp_dims_unpadded(hdr, scan.comp_indices[0])
         n_mcus = rows_u * cols_u
 
+    t_sym = None
     if lanes is None:
         base_bits, n_per, mcu_first = segment_lanes(scan, n_mcus)
         S = len(base_bits)
         eobrun0 = np.zeros(S, np.int32)
         pred0 = np.zeros((S, len(scan.comp_indices)), np.int32)
     else:
-        base_bits, n_per, mcu_first, eobrun0, pred0 = lanes
+        base_bits, n_per, mcu_first, eobrun0, pred0 = lanes[:5]
+        if len(lanes) > 5:
+            t_sym = lanes[5]
         S = len(base_bits)
     if mesh is not None:
         # Pad the lane axis to the mesh size (padded lanes decode
@@ -810,7 +931,7 @@ def apply_scan_device(hdr: FrameHeader, scan: ScanHeader, planes,
         ci, tgt, n_rows = _ac_slot_map(hdr, scan, mcu_first, n_per,
                                        max_mcus)
         kw = dict(max_blocks=max_mcus, ss=scan.ss, se=scan.se,
-                  al=scan.al, first=scan.ah == 0)
+                  al=scan.al, first=scan.ah == 0, t_sym=t_sym)
         args = (planes[ci], words, jnp.asarray(base_bits),
                 jnp.asarray(n_per.astype(np.int32)),
                 jnp.asarray(eobrun0), jnp.asarray(lut),
@@ -949,9 +1070,26 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
                     nzmap = nzmaps.setdefault(
                         ci, np.zeros(n_blocks, np.uint64))
                 stride = max(1, -(-n_blocks // target_lanes))
-                bits, eob = native.prog_skeleton_ac(hdr, scan, stride,
-                                                    nzmap)
-                lanes = _stride_lanes(bits, stride, n_blocks, eobrun=eob)
+                if scan.ah == 0:
+                    bits, eob, syms = native.prog_skeleton_ac(
+                        hdr, scan, stride, nzmap, want_syms=True)
+                    # Exact per-lane trip count for the emission
+                    # AC-first kernel (quarter-pow2 bucketed so corpora
+                    # compile O(log) variants).
+                    cum = np.concatenate(
+                        [[0], np.cumsum(syms.astype(np.int64))])
+                    edges = np.arange(0, n_blocks, stride)
+                    hi = np.minimum(edges + stride, n_blocks)
+                    t_sym = int((cum[hi] - cum[edges]).max()) if len(
+                        edges) else 1
+                    t_sym = _bucket_trip(max(t_sym, 16))
+                    lanes = _stride_lanes(bits, stride, n_blocks,
+                                          eobrun=eob) + (t_sym,)
+                else:
+                    bits, eob = native.prog_skeleton_ac(hdr, scan,
+                                                        stride, nzmap)
+                    lanes = _stride_lanes(bits, stride, n_blocks,
+                                          eobrun=eob)
             planes = apply_scan_device(hdr, scan, planes, lanes=lanes,
                                        err_sink=errs, mesh=mesh)
         return planes, errs
@@ -975,6 +1113,13 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
     if as_device:
         return out
     return [np.asarray(p) for p in out]
+
+
+def _bucket_trip(t: int) -> int:
+    """Quarter-pow2 trip-count bucket (see entropy_spec._bucket_T)."""
+    t = max(16, int(t))
+    step = max(16, 1 << (t.bit_length() - 3))
+    return -(-t // step) * step
 
 
 def _stride_lanes(bits: np.ndarray, stride: int, n_mcus: int, *,
