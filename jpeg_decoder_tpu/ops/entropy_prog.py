@@ -1095,13 +1095,19 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
         return planes, errs
 
     chain_list = list(chains.values())
-    if len(chain_list) > 1:
+    # Threaded chains are safe single-process, or multihost only when
+    # the programs carry no collectives (mesh is None): under
+    # jax.distributed every process must enqueue collective programs in
+    # the same order.
+    can_thread = len(chain_list) > 1 and (
+        mesh is None or jax.process_count() == 1)
+    if can_thread:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(min(4, len(chain_list))) as ex:
             results = list(ex.map(run_chain, chain_list))
     else:
-        results = [run_chain(chain_list[0])]
+        results = [run_chain(ch) for ch in chain_list]
 
     errs = [e for _pl, es in results for e in es]
     check_errors(errs)

@@ -1357,7 +1357,11 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="kron",
                     batch_index=-1, error=e)
 
     group_list = list(groups.items())
-    if len(group_list) > 1:
+    # Threaded dispatch is SINGLE-PROCESS only: under jax.distributed,
+    # every process must enqueue the same collective programs in the
+    # same order, and a thread pool could interleave two groups'
+    # psum-bearing programs differently across processes (deadlock).
+    if len(group_list) > 1 and jax.process_count() == 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(2) as ex:
@@ -1396,7 +1400,7 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="kron",
         except Exception:  # noqa: BLE001 — per-image isolation
             host_fallback.append(i)
 
-    if len(prog_frames) > 1:
+    if len(prog_frames) > 1 and jax.process_count() == 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(2) as ex:
@@ -1424,8 +1428,17 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="kron",
     # per group (~50-200 ms each on tunnel-attached chips).
     flags_np: list = []
     if dispatched:
-        cat = np.asarray(jnp.concatenate(
-            [jnp.ravel(d[2]) for d in dispatched]))
+        cat_dev = jnp.concatenate([jnp.ravel(d[2]) for d in dispatched])
+        if jax.process_count() > 1:
+            # Multihost: the flags are sharded over 'data'; gather the
+            # full array on every process (np.asarray on a non-fully-
+            # addressable global array raises).
+            from jax.experimental import multihost_utils
+
+            cat = np.asarray(
+                multihost_utils.process_allgather(cat_dev, tiled=True))
+        else:
+            cat = np.asarray(cat_dev)
         o = 0
         for d in dispatched:
             n = int(np.prod(np.shape(d[2])))

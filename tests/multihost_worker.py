@@ -101,5 +101,56 @@ for name, blob in geometry_workload():
     print(f"GEOM {name}: batch={batch} mesh={nproc}x{local_devices} "
           f"compile+run {dt:.2f}s bad_shards={n_bad}", flush=True)
 
+# ---- Phase 2: the blob-level serving API across processes ----
+# decode_batch_sharded with a MIXED batch (two baseline sizes sharing a
+# geometry bucket, one progressive frame, one corrupt blob).  Device
+# programs (incl. the progressive scan kernels' psum reductions) must
+# enqueue in the same order on every process; flags gather via
+# process_allgather.
+import io
+
+from PIL import Image
+from jax.experimental import multihost_utils
+
+from jpeg_decoder_tpu import decode as _decode_one
+
+
+def _blob(w, h, seed, progressive=False):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, size=(h // 8 + 1, w // 8 + 1, 3))
+    arr = np.kron(base, np.ones((8, 8, 1)))[:h, :w].astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=88,
+                              progressive=progressive)
+    return buf.getvalue()
+
+
+blobs = [_blob(120, 96, 1), _blob(88, 128, 2),
+         _blob(96, 80, 3, progressive=True), b"\xff\xd8garbage"]
+t0 = time.perf_counter()
+items = sharded.decode_batch_sharded(blobs, mesh, idct="fast",
+                                     upsample="nn")
+dt = time.perf_counter() - t0
+n_bad = 0
+for it, blob in zip(items, blobs):
+    if blob == blobs[-1]:
+        if it.error is None:
+            n_bad += 1
+        continue
+    if it.error is not None:
+        n_bad += 1
+        continue
+    got = np.asarray(multihost_utils.process_allgather(
+        it.rgb_batch, tiled=True))[it.batch_index]
+    got = got[: it.header.height, : it.header.width]
+    exp = _decode_one(blob, entropy="python", idct="fast",
+                      upsample="nn").rgb
+    if not np.array_equal(got, exp):
+        n_bad += 1
+if n_bad:
+    ok = False
+print(f"BATCH-API: mesh={nproc}x{local_devices} {dt:.2f}s "
+      f"bad={n_bad}", flush=True)
+
 print("MULTIHOST_OK" if ok else "MULTIHOST_MISMATCH", flush=True)
 sys.exit(0 if ok else 1)

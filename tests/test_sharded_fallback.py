@@ -79,3 +79,30 @@ def test_fallback_isolation_inside_host_batch(mesh18):
     assert items[1].error is None
     ref = decode(arith, idct="fast", upsample="nn").rgb
     assert np.array_equal(np.asarray(items[1].rgb), ref)
+
+
+def test_corrupt_progressive_isolated(mesh18):
+    """A truncated progressive stream through decode_batch_sharded is
+    isolated (error or best-effort) and neighbors stay exact."""
+    from conftest import corpus_path as cp
+
+    good = open(cp("prograssive-sample-2.jpg"), "rb").read()
+    base = open(cp("img2.jpg"), "rb").read()
+    # Cut the middle of the entropy region: still parseable.
+    sos = good.find(b"\xff\xda")
+    eoi = good.rfind(b"\xff\xd9")
+    cut_a = sos + (eoi - sos) // 3
+    cut_b = sos + 2 * (eoi - sos) // 3
+    bad = good[:cut_a] + good[cut_b:]
+    items = decode_batch_sharded([base, bad, good], mesh18,
+                                 idct="fast", upsample="nn")
+    ref_base = decode(base, idct="fast", upsample="nn").rgb
+    assert items[0].error is None
+    assert np.array_equal(np.asarray(items[0].rgb), ref_base)
+    ref_good = decode(good, idct="fast", upsample="nn").rgb
+    assert items[2].error is None
+    assert np.array_equal(np.asarray(items[2].rgb), ref_good)
+    # The corrupt one either errors cleanly or decodes best-effort with
+    # the right shape — never poisons the batch.
+    if items[1].error is None:
+        assert np.asarray(items[1].rgb).shape == ref_good.shape
