@@ -67,6 +67,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch", action="store_true",
                    help="decode all inputs through the batched device "
                         "pipeline (geometry-grouped single dispatches)")
+    p.add_argument("--device-entropy", action="store_true",
+                   help="with --batch: fully device-resident path "
+                        "(decode_batch_sharded) — entropy decode runs as "
+                        "device lanes; host does parse+unstuff+skeleton "
+                        "only")
     return p
 
 
@@ -213,10 +218,26 @@ def _run_batch(args, timer, outdir, cfg) -> int:
 
     if not blobs:
         return rc
-    bd = BatchDecoder(**cfg.batch_kwargs())
     t0 = time.perf_counter()
-    with timer.stage("batch decode"):
-        items = bd.decode(blobs)
+    if args.device_entropy:
+        # Fully device-resident serving path: entropy decode as device
+        # lanes (parallel/sharded.decode_batch_sharded), 1x1 mesh on the
+        # default device; multi-chip callers use the Python API with a
+        # real mesh.
+        import jax
+        from jax.sharding import Mesh
+
+        from .parallel.sharded import decode_batch_sharded
+
+        mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                    ("data", "seg"))
+        with timer.stage("batch decode (device entropy)"):
+            items = decode_batch_sharded(
+                blobs, mesh, idct=args.idct, upsample=args.upsample)
+    else:
+        bd = BatchDecoder(**cfg.batch_kwargs())
+        with timer.stage("batch decode"):
+            items = bd.decode(blobs)
     dt = time.perf_counter() - t0
 
     total_mp = 0.0
