@@ -1147,8 +1147,17 @@ def decode_progressive_lanes(hdr: FrameHeader, as_device: bool = False,
     """Best available device-lane progressive decode: native skeleton
     lanes when possible, segment lanes otherwise.  With ``mesh``, lanes
     shard over all mesh axes (shard_map + psum plane reduction)."""
-    if hdr.precision == 8 and all(
-            len(s.seg_offsets) == 2 for s in hdr.scans):
+    if hdr.precision != 8:
+        # The device DC kernels (and the Python oracle) implement the
+        # 8-bit size categories; keep non-8-bit progressive on the host
+        # path rather than erroring from the kernels.
+        from ..entropy import progressive
+
+        planes = progressive.decode_progressive(hdr)
+        if as_device:
+            return [jnp.asarray(pl) for pl in planes]
+        return planes
+    if all(len(s.seg_offsets) == 2 for s in hdr.scans):
         try:
             from ..entropy import native
 

@@ -1218,6 +1218,11 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="kron",
             exact_key = (
                 hdr.width, hdr.height,
                 tuple((c.h, c.v) for c in hdr.components),
+                # colorspace is a pixel-stage static: two same-geometry
+                # same-table streams can differ only in APP14/JFIF
+                # markers (stored-RGB vs YCbCr) and must not share a
+                # compiled group (review r4 finding).
+                hdr.colorspace,
                 scan.restart_interval,
                 tuple(sorted((tid, spec.counts.tobytes(),
                               spec.symbols.tobytes())

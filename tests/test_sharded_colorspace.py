@@ -151,3 +151,31 @@ def test_batch_pixel_pipeline_rgb_stored(blobs, mesh18):
     ref = decode(blob, idct="fast", upsample="nn").rgb
     for i in range(8):
         assert np.array_equal(np.asarray(rgb)[i], ref)
+
+
+def test_exact_group_key_separates_colorspaces(mesh18, monkeypatch):
+    """Review r4 finding: two same-geometry same-table restart streams
+    differing only in colorspace (stored-RGB vs YCbCr markers) must not
+    share an exact-geometry group — each decodes in its own space."""
+    rng = np.random.default_rng(55)
+    p3 = _smooth(rng, 64, 80, 3)
+    rgb_blob, _ = encode(None, raw_planes=p3, samplings=((1, 1),) * 3,
+                         quality=92, app14_transform=0,
+                         restart_interval=2)
+    ycc_blob, _ = encode(None, raw_planes=p3, samplings=((1, 1),) * 3,
+                         quality=92, app14_transform=1,
+                         restart_interval=2)
+    assert parser.parse(rgb_blob).colorspace == "rgb"
+    assert parser.parse(ycc_blob).colorspace == "ycbcr"
+    from jpeg_decoder_tpu.parallel.sharded import decode_batch_sharded
+
+    # Force the exact-geometry (non-bucketed) routes, where the bug hid.
+    monkeypatch.setenv("JD_SHARDED_BUCKET", "off")
+    for lanes in ("512", "0"):  # emit route and lockstep route
+        monkeypatch.setenv("JD_RESTART_EMIT_MAX_LANES", lanes)
+        items = decode_batch_sharded([rgb_blob, ycc_blob], mesh18,
+                                     idct="fast", upsample="nn")
+        for it, b in zip(items, (rgb_blob, ycc_blob)):
+            assert it.error is None
+            ref = decode(b, idct="fast", upsample="nn").rgb
+            assert np.array_equal(np.asarray(it.rgb), ref)
