@@ -1038,11 +1038,32 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
         key = "dc" if scan.ss == 0 else ("ac", scan.comp_indices[0])
         chains.setdefault(key, []).append(scan)
 
+    ms = (int(np.prod(list(mesh.shape.values())))
+          if mesh is not None else 1)
+
+    def _pad_lanes(base_bits, n_per, mcu_first, eobrun0, pred0):
+        S = len(base_bits)
+        Sp = -(-max(S, 1) // ms) * ms
+        if Sp != S:
+            pad = Sp - S
+            base_bits = np.concatenate(
+                [base_bits, np.zeros(pad, np.int64)])
+            n_per = np.concatenate([n_per, np.zeros(pad, n_per.dtype)])
+            mcu_first = np.concatenate(
+                [mcu_first, np.full(pad, 1 << 40, np.int64)])
+            eobrun0 = np.concatenate([eobrun0, np.zeros(pad, np.int32)])
+            pred0 = np.concatenate(
+                [pred0, np.zeros((pad, pred0.shape[1]), np.int32)])
+        return base_bits, n_per, mcu_first, eobrun0, pred0
+
     def run_chain(scans):
+        # Host half: skeleton walks + lane tables + slot maps for EVERY
+        # scan of the chain, then ONE fused device program applies them
+        # all (per-scan programs paid one link round trip each).
         planes = [jnp.zeros((r * c + 1, 64), jnp.int32)
                   for r, c in shapes]
-        errs: list = []
         nzmaps: dict[int, np.ndarray] = {}
+        metas, inputs = [], []
         for scan in scans:
             if scan.ss == 0:
                 interleaved = len(scan.comp_indices) > 1
@@ -1058,9 +1079,32 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
                     lanes = _stride_lanes(bits, stride, n_mcus,
                                           preds=preds)
                 else:
-                    # DC refinement is one vectorized gather — a single
-                    # lane costs no loop at all.
-                    lanes = None
+                    lanes = segment_lanes(scan, n_mcus) + (
+                        np.zeros(1, np.int32),
+                        np.zeros((1, len(scan.comp_indices)), np.int32))
+                base_bits, n_per, mcu_first, eobrun0, pred0 = \
+                    _pad_lanes(*lanes)
+                block_comp = _scan_block_comp(hdr, scan)
+                bpm = len(block_comp)
+                max_mcus = int(n_per.max())
+                max_blocks = max_mcus * bpm
+                nblocks = (n_per.astype(np.int64) * bpm).astype(np.int32)
+                if scan.ah == 0:
+                    luts2d = jnp.asarray(np.stack([
+                        build_lut(scan.dc_specs[scan.dc_table_ids[k]])
+                        for k in range(len(scan.comp_indices))]))
+                else:
+                    luts2d = jnp.zeros((1, 1), jnp.uint16)
+                slot_map = _dc_slot_map(hdr, scan, mcu_first, n_per,
+                                        max_blocks)
+                cis = tuple(ci for ci, _t in slot_map)
+                tgts_t = tuple(jnp.asarray(t) for _ci, t in slot_map)
+                metas.append(("dc", block_comp, max_blocks, scan.al,
+                              scan.ah == 0, cis))
+                inputs.append((jnp.asarray(scan_words(scan)),
+                               jnp.asarray(base_bits),
+                               jnp.asarray(nblocks),
+                               jnp.asarray(pred0), luts2d, tgts_t))
             else:
                 ci = scan.comp_indices[0]
                 r, c = comp_dims_unpadded(hdr, ci)
@@ -1070,6 +1114,7 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
                     nzmap = nzmaps.setdefault(
                         ci, np.zeros(n_blocks, np.uint64))
                 stride = max(1, -(-n_blocks // target_lanes))
+                t_sym = None
                 if scan.ah == 0:
                     bits, eob, syms = native.prog_skeleton_ac(
                         hdr, scan, stride, nzmap, want_syms=True)
@@ -1083,15 +1128,35 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
                     t_sym = int((cum[hi] - cum[edges]).max()) if len(
                         edges) else 1
                     t_sym = _bucket_trip(max(t_sym, 16))
-                    lanes = _stride_lanes(bits, stride, n_blocks,
-                                          eobrun=eob) + (t_sym,)
                 else:
                     bits, eob = native.prog_skeleton_ac(hdr, scan,
                                                         stride, nzmap)
-                    lanes = _stride_lanes(bits, stride, n_blocks,
-                                          eobrun=eob)
-            planes = apply_scan_device(hdr, scan, planes, lanes=lanes,
-                                       err_sink=errs, mesh=mesh)
+                lanes = _stride_lanes(bits, stride, n_blocks, eobrun=eob)
+                base_bits, n_per, mcu_first, eobrun0, _p0 = \
+                    _pad_lanes(*lanes)
+                max_mcus = int(n_per.max())
+                ci2, tgt, _n_rows = _ac_slot_map(hdr, scan, mcu_first,
+                                                 n_per, max_mcus)
+                metas.append(("ac", max_mcus, scan.ss, scan.se, scan.al,
+                              scan.ah == 0, t_sym, ci2))
+                inputs.append((jnp.asarray(scan_words(scan)),
+                               jnp.asarray(base_bits),
+                               jnp.asarray(n_per.astype(np.int32)),
+                               jnp.asarray(eobrun0),
+                               jnp.asarray(build_lut(
+                                   scan.ac_specs[scan.ac_table_ids[0]])),
+                               jnp.asarray(tgt.astype(np.int32))))
+        holder = _MeshHolder(mesh) if mesh is not None else None
+        if os.environ.get("JD_PROG_FUSE", "1") != "0":
+            planes_t, flags = _apply_chain(
+                tuple(planes), tuple(inputs), meta=tuple(metas),
+                mesh_holder=holder)
+            return list(planes_t), [flags]
+        # Per-scan programs (A/B reference: JD_PROG_FUSE=0).
+        errs = []
+        for m, inp in zip(metas, inputs):
+            planes, err = _chain_step(planes, m, inp, mesh)
+            errs.append(err)
         return planes, errs
 
     chain_list = list(chains.values())
@@ -1167,3 +1232,140 @@ def decode_progressive_lanes(hdr: FrameHeader, as_device: bool = False,
         except ImportError:
             pass
     return decode_progressive_device(hdr, as_device=as_device, mesh=mesh)
+
+
+# ---------------------------------------------------------------------------
+# Chain-fused scan application: one device program per independent chain
+# ---------------------------------------------------------------------------
+#
+# On link-attached devices each dispatched program pays round-trip
+# overhead that dwarfs these kernels (the 12 MP DC-first kernel measures
+# 9.3 ms isolated vs ~10 per-scan programs x ~30-50 ms link cost), so
+# the hybrid path traces a WHOLE chain's scans into one jitted program.
+
+
+def _chain_step(planes, m, inp, mesh):
+    """Apply one scan (traced inline) to the planes list.  ``m`` is the
+    static descriptor, ``inp`` the dynamic arrays (see
+    decode_progressive_hybrid.run_chain)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names) if mesh is not None else ()
+    lane = P(axes) if mesh is not None else None
+    if m[0] == "dc":
+        _, block_comp, max_blocks, al, first, cis = m
+        words, base, nblocks, pred0, luts2d, tgts_t = inp
+        if mesh is None:
+            if first:
+                vals, err = decode_dc_first(
+                    words, base, nblocks, pred0, luts2d,
+                    block_comp=block_comp, max_blocks=max_blocks, al=al)
+            else:
+                vals = dc_refine_bits(words, base, nblocks, max_blocks,
+                                      al)
+                err = jnp.zeros(base.shape, jnp.bool_)
+            for ci, tgt in zip(cis, tgts_t):
+                planes[ci] = planes[ci].at[tgt.reshape(-1), 0].add(
+                    vals.reshape(-1), mode="drop")
+            return planes, err
+        n_rows_t = tuple(planes[ci].shape[0] for ci in cis)
+
+        def local(words_l, base_l, nb_l, pred_l, luts_l, *tgts_l):
+            if first:
+                vals, err = decode_dc_first(
+                    words_l, base_l, nb_l, pred_l, luts_l,
+                    block_comp=block_comp, max_blocks=max_blocks, al=al)
+            else:
+                vals = dc_refine_bits(words_l, base_l, nb_l, max_blocks,
+                                      al)
+                err = jnp.zeros(base_l.shape, jnp.bool_)
+            outs = []
+            for tgt_l, n_rows in zip(tgts_l, n_rows_t):
+                col = jnp.zeros((n_rows,), jnp.int32).at[
+                    tgt_l.reshape(-1)].add(vals.reshape(-1), mode="drop")
+                outs.append(jax.lax.psum(col, axes))
+            return (*outs, err)
+
+        res = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None), lane, lane, P(axes, None), P(None, None),
+                      *([P(axes, None)] * len(tgts_t))),
+            out_specs=(*([P(None)] * len(tgts_t)), lane),
+            check_vma=False,
+        )(words, base, nblocks, pred0, luts2d, *tgts_t)
+        cols, err = res[:-1], res[-1]
+        for ci, col in zip(cis, cols):
+            planes[ci] = planes[ci].at[:, 0].add(col)
+        return planes, err
+
+    _, max_blocks, ss, se, al, first, t_sym, ci = m
+    words, base, nblocks, eob0, lut, tgt = inp
+    if mesh is None:
+        if first and t_sym is not None:
+            pos, val, err, _nd = decode_ac_first_emit(
+                words, base, nblocks, eob0, lut,
+                T=t_sym, ss=ss, se=se, al=al)
+            planes[ci] = _emit_global_scatter(planes[ci], pos, val, tgt,
+                                              max_blocks)
+            return planes, err
+        if first:
+            delta, err = decode_ac_first(
+                words, base, nblocks, eob0, lut,
+                max_blocks=max_blocks, ss=ss, se=se, al=al)
+        else:
+            zz_rows = jnp.take(planes[ci], jnp.asarray(ZIGZAG), axis=1)
+            delta, err = decode_ac_refine(
+                words, base, nblocks, eob0, lut, zz_rows, tgt,
+                max_blocks=max_blocks, ss=ss, se=se, al=al)
+        planes[ci] = planes[ci].at[tgt.reshape(-1)].add(
+            delta.reshape(-1, 64), mode="drop")
+        return planes, err
+    n_rows1 = planes[ci].shape[0]
+    zz = (jnp.take(planes[ci], jnp.asarray(ZIGZAG), axis=1)
+          if not first else jnp.zeros((1, 64), jnp.int32))
+
+    def local(words_l, base_l, nb_l, eob_l, lut_l, zz_l, tgt_l):
+        if first and t_sym is not None:
+            pos, val, err, _nd = decode_ac_first_emit(
+                words_l, base_l, nb_l, eob_l, lut_l,
+                T=t_sym, ss=ss, se=se, al=al)
+            part = _emit_global_scatter(
+                jnp.zeros((n_rows1, 64), jnp.int32), pos, val, tgt_l,
+                max_blocks)
+            return jax.lax.psum(part, axes), err
+        if first:
+            delta, err = decode_ac_first(
+                words_l, base_l, nb_l, eob_l, lut_l,
+                max_blocks=max_blocks, ss=ss, se=se, al=al)
+        else:
+            delta, err = decode_ac_refine(
+                words_l, base_l, nb_l, eob_l, lut_l, zz_l, tgt_l,
+                max_blocks=max_blocks, ss=ss, se=se, al=al)
+        part = jnp.zeros((n_rows1, 64), jnp.int32).at[
+            tgt_l.reshape(-1)].add(delta.reshape(-1, 64), mode="drop")
+        return jax.lax.psum(part, axes), err
+
+    part, err = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None), lane, lane, lane, P(None), P(None, None),
+                  P(axes, None)),
+        out_specs=(P(None, None), lane),
+        check_vma=False,
+    )(words, base, nblocks, eob0, lut, zz, tgt)
+    planes[ci] = planes[ci] + part
+    return planes, err
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "mesh_holder"), donate_argnums=(0,))
+def _apply_chain(planes_t, scan_inputs, *, meta, mesh_holder=None):
+    """ONE device program for a whole chain of scans (traced in order);
+    returns (planes, per-scan any-err flags)."""
+    planes = list(planes_t)
+    flags = []
+    mesh = mesh_holder.mesh if mesh_holder is not None else None
+    for m, inp in zip(meta, scan_inputs):
+        planes, err = _chain_step(planes, m, inp, mesh)
+        flags.append(err.any())
+    return tuple(planes), jnp.stack(flags)
