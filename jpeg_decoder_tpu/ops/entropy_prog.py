@@ -642,28 +642,23 @@ def _scan_block_comp(hdr, scan):
         for _ in range(hdr.components[ci].v * hdr.components[ci].h))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_comp", "max_blocks", "al", "first"),
-    donate_argnums=(0,))
-def _apply_dc_scan(planes_t, words, base_bits, nblocks, pred0, luts2d,
-                   tgts_t, *, block_comp, max_blocks, al, first):
-    """ONE device program per DC scan: kernel (or closed-form refine
-    gather) + per-component scatter-add, plane buffers donated in place
-    — a single dispatch where kernel + N scatters cost N+1 round-trip-
-    priced dispatches on tunnel-attached devices."""
-    if first:
-        vals, err = decode_dc_first(
-            words, base_bits, nblocks, pred0, luts2d,
-            block_comp=block_comp, max_blocks=max_blocks, al=al)
-    else:
-        vals = dc_refine_bits(words, base_bits, nblocks, max_blocks, al)
-        err = jnp.zeros(base_bits.shape, jnp.bool_)
-    out = []
-    for pl, tgt in zip(planes_t, tgts_t):
-        out.append(pl.at[tgt.reshape(-1), 0].add(
-            vals.reshape(-1), mode="drop"))
-    return tuple(out), err
+class _MeshHolder:
+    """Hashable Mesh wrapper for jit static args (mirror of
+    parallel.sharded._MeshHolder; duplicated to avoid a circular
+    import)."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash((tuple(self.mesh.shape.items()),
+                     tuple(d.id for d in self.mesh.devices.flat)))
+
+    def __eq__(self, other):
+        return (isinstance(other, _MeshHolder)
+                and self.mesh.shape == other.mesh.shape
+                and [d.id for d in self.mesh.devices.flat]
+                == [d.id for d in other.mesh.devices.flat])
 
 
 def _emit_global_scatter(plane, pos, val, tgt, max_blocks):
@@ -687,51 +682,19 @@ def _emit_global_scatter(plane, pos, val, tgt, max_blocks):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_blocks", "ss", "se", "al", "first", "t_sym"),
+    static_argnames=("block_comp", "max_blocks", "al", "first"),
     donate_argnums=(0,))
-def _apply_ac_scan(plane, words, base_bits, nblocks, eobrun0, lut, tgt,
-                   *, max_blocks, ss, se, al, first, t_sym=None):
-    """ONE device program per AC scan: (zigzag view +) kernel +
-    scatter-add, plane donated in place.  ``t_sym``: when the skeleton
-    supplied exact per-lane symbol counts, AC-first runs the
-    emission-style kernel (EOB runs advance whole block ranges in one
-    step) with trip count t_sym."""
-    if first and t_sym is not None:
-        pos, val, err, _nd = decode_ac_first_emit(
-            words, base_bits, nblocks, eobrun0, lut,
-            T=t_sym, ss=ss, se=se, al=al)
-        return _emit_global_scatter(plane, pos, val, tgt,
-                                    max_blocks), err
-    if first:
-        delta, err = decode_ac_first(
-            words, base_bits, nblocks, eobrun0, lut,
-            max_blocks=max_blocks, ss=ss, se=se, al=al)
-    else:
-        zz_rows = jnp.take(plane, jnp.asarray(ZIGZAG), axis=1)
-        delta, err = decode_ac_refine(
-            words, base_bits, nblocks, eobrun0, lut, zz_rows, tgt,
-            max_blocks=max_blocks, ss=ss, se=se, al=al)
-    return plane.at[tgt.reshape(-1)].add(
-        delta.reshape(-1, 64), mode="drop"), err
-
-
-class _MeshHolder:
-    """Hashable Mesh wrapper for jit static args (mirror of
-    parallel.sharded._MeshHolder; duplicated to avoid a circular
-    import)."""
-
-    def __init__(self, mesh):
-        self.mesh = mesh
-
-    def __hash__(self):
-        return hash((tuple(self.mesh.shape.items()),
-                     tuple(d.id for d in self.mesh.devices.flat)))
-
-    def __eq__(self, other):
-        return (isinstance(other, _MeshHolder)
-                and self.mesh.shape == other.mesh.shape
-                and [d.id for d in self.mesh.devices.flat]
-                == [d.id for d in other.mesh.devices.flat])
+def _apply_dc_scan(planes_t, words, base_bits, nblocks, pred0, luts2d,
+                   tgts_t, *, block_comp, max_blocks, al, first):
+    """ONE device program per DC scan — thin wrapper over _chain_step
+    (the chain-fused path traces many scans into one program)."""
+    planes = list(planes_t)
+    m = ("dc", block_comp, max_blocks, al, first,
+         tuple(range(len(planes_t))))
+    planes, err = _chain_step(
+        planes, m, (words, base_bits, nblocks, pred0, luts2d, tgts_t),
+        None)
+    return tuple(planes), err
 
 
 @functools.partial(
@@ -742,45 +705,28 @@ class _MeshHolder:
 def _apply_dc_scan_mesh(planes_t, words, base_bits, nblocks, pred0,
                         luts2d, tgts_t, *, block_comp, max_blocks, al,
                         first, mesh_holder):
-    """Mesh-sharded DC scan: lanes shard over ALL mesh axes (a
-    progressive image's lanes are its only parallel axis), each shard
-    scatters its lanes' DC values into a local column, and one psum
-    reduces the disjoint partial columns — the same collective pattern
-    as the baseline emission path."""
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
+    """Mesh-sharded DC scan (lanes over all mesh axes, psum column
+    reduction) — thin wrapper over _chain_step."""
+    planes = list(planes_t)
+    m = ("dc", block_comp, max_blocks, al, first,
+         tuple(range(len(planes_t))))
+    planes, err = _chain_step(
+        planes, m, (words, base_bits, nblocks, pred0, luts2d, tgts_t),
+        mesh_holder.mesh)
+    return tuple(planes), err
 
-    mesh = mesh_holder.mesh
-    axes = tuple(mesh.axis_names)
-    lane = P(axes)          # dim 0 sharded over every axis, flattened
-    n_rows_t = tuple(pl.shape[0] for pl in planes_t)
 
-    def local(words_l, base_l, nb_l, pred_l, luts_l, *tgts_l):
-        if first:
-            vals, err = decode_dc_first(
-                words_l, base_l, nb_l, pred_l, luts_l,
-                block_comp=block_comp, max_blocks=max_blocks, al=al)
-        else:
-            vals = dc_refine_bits(words_l, base_l, nb_l, max_blocks, al)
-            err = jnp.zeros(base_l.shape, jnp.bool_)
-        outs = []
-        for tgt_l, n_rows in zip(tgts_l, n_rows_t):
-            col = jnp.zeros((n_rows,), jnp.int32).at[
-                tgt_l.reshape(-1)].add(vals.reshape(-1), mode="drop")
-            outs.append(jax.lax.psum(col, axes))
-        return (*outs, err)
-
-    res = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(None), lane, lane, P(axes, None), P(None, None),
-                  *([P(axes, None)] * len(tgts_t))),
-        out_specs=(*([P(None)] * len(tgts_t)), lane),
-        check_vma=False,
-    )(words, base_bits, nblocks, pred0, luts2d, *tgts_t)
-    cols, err = res[:-1], res[-1]
-    out = tuple(pl.at[:, 0].add(col)
-                for pl, col in zip(planes_t, cols))
-    return out, err
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_blocks", "ss", "se", "al", "first", "t_sym"),
+    donate_argnums=(0,))
+def _apply_ac_scan(plane, words, base_bits, nblocks, eobrun0, lut, tgt,
+                   *, max_blocks, ss, se, al, first, t_sym=None):
+    """ONE device program per AC scan — thin wrapper over _chain_step."""
+    m = ("ac", max_blocks, ss, se, al, first, t_sym, 0)
+    planes, err = _chain_step(
+        [plane], m, (words, base_bits, nblocks, eobrun0, lut, tgt), None)
+    return planes[0], err
 
 
 @functools.partial(
@@ -791,50 +737,12 @@ def _apply_dc_scan_mesh(planes_t, words, base_bits, nblocks, pred0,
 def _apply_ac_scan_mesh(plane, words, base_bits, nblocks, eobrun0, lut,
                         tgt, *, max_blocks, ss, se, al, first,
                         mesh_holder, t_sym=None):
-    """Mesh-sharded AC scan: lanes shard over all mesh axes; each shard
-    scatters its delta rows locally; one psum reduces the disjoint
-    partials into the replicated plane.  The refinement kernel reads
-    the REPLICATED current plane (zigzag view), so no value exchange is
-    needed during the walk."""
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    mesh = mesh_holder.mesh
-    axes = tuple(mesh.axis_names)
-    lane = P(axes)
-    n_rows1 = plane.shape[0]
-    zz = (jnp.take(plane, jnp.asarray(ZIGZAG), axis=1) if not first
-          else jnp.zeros((1, 64), jnp.int32))
-
-    def local(words_l, base_l, nb_l, eob_l, lut_l, zz_l, tgt_l):
-        if first and t_sym is not None:
-            pos, val, err, _nd = decode_ac_first_emit(
-                words_l, base_l, nb_l, eob_l, lut_l,
-                T=t_sym, ss=ss, se=se, al=al)
-            part = _emit_global_scatter(
-                jnp.zeros((n_rows1, 64), jnp.int32), pos, val, tgt_l,
-                max_blocks)
-            return jax.lax.psum(part, axes), err
-        if first:
-            delta, err = decode_ac_first(
-                words_l, base_l, nb_l, eob_l, lut_l,
-                max_blocks=max_blocks, ss=ss, se=se, al=al)
-        else:
-            delta, err = decode_ac_refine(
-                words_l, base_l, nb_l, eob_l, lut_l, zz_l, tgt_l,
-                max_blocks=max_blocks, ss=ss, se=se, al=al)
-        part = jnp.zeros((n_rows1, 64), jnp.int32).at[
-            tgt_l.reshape(-1)].add(delta.reshape(-1, 64), mode="drop")
-        return jax.lax.psum(part, axes), err
-
-    part, err = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(None), lane, lane, lane, P(None), P(None, None),
-                  P(axes, None)),
-        out_specs=(P(None, None), lane),
-        check_vma=False,
-    )(words, base_bits, nblocks, eobrun0, lut, zz, tgt)
-    return plane + part, err
+    """Mesh-sharded AC scan — thin wrapper over _chain_step."""
+    m = ("ac", max_blocks, ss, se, al, first, t_sym, 0)
+    planes, err = _chain_step(
+        [plane], m, (words, base_bits, nblocks, eobrun0, lut, tgt),
+        mesh_holder.mesh)
+    return planes[0], err
 
 
 def apply_scan_device(hdr: FrameHeader, scan: ScanHeader, planes,
