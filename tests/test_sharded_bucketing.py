@@ -137,3 +137,38 @@ def test_default_idct_kron_matches_single_decode(mesh18):
         assert it.error is None
         ref = decode(b, idct="kron", upsample="fancy").rgb
         assert np.array_equal(np.asarray(it.rgb), ref)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_randomized_streams_through_serving_api(mesh18, seed):
+    """Property sweep: random sizes, sampling factors, DRI and quality
+    through decode_batch_sharded (bucketed default route) — bit-exact
+    vs the single-image decoder at matching modes."""
+    if not _native_ok():
+        pytest.skip("native lib not built")
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from encoder import encode as raw_encode
+
+    rng = np.random.default_rng(seed)
+    blobs = []
+    for _ in range(5):
+        w = int(rng.integers(40, 220))
+        h = int(rng.integers(40, 220))
+        samp = [((1, 1), (1, 1), (1, 1)), ((2, 2), (1, 1), (1, 1)),
+                ((2, 1), (1, 2), (1, 1)),
+                ((2, 2), (2, 1), (1, 1))][int(rng.integers(0, 4))]
+        dri = int(rng.integers(0, 6))
+        q = int(rng.integers(60, 96))
+        base = rng.integers(0, 255, size=(h // 8 + 1, w // 8 + 1, 3))
+        rgb = np.kron(base, np.ones((8, 8, 1)))[:h, :w].astype(np.uint8)
+        blob, _ = raw_encode(rgb, samplings=samp, quality=q,
+                             restart_interval=dri)
+        blobs.append(blob)
+    items = sharded.decode_batch_sharded(blobs, mesh18, idct="fast",
+                                         upsample="fancy")
+    for it, b in zip(items, blobs):
+        assert it.error is None, it.error
+        ref = decode(b, idct="fast", upsample="fancy").rgb
+        assert np.array_equal(np.asarray(it.rgb), ref)
