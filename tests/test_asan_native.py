@@ -35,12 +35,34 @@ def all_backends(hdr):
     native.decode_scan_nibble(hdr, scan)
     native.decode_scan_slots(hdr, scan, 16)
     native.decode_scan_subset(hdr, scan)
+    native.skeleton_scan_segments(hdr, scan)  # r4: pair-sim counting
     if len(scan.seg_offsets) == 2:
         native.decode_scan_speculative(hdr, scan)
 
+def prog_skeletons(hdr):
+    # r4 entry points: position-only progressive walks + band bitmaps.
+    from jpeg_decoder_tpu.layout import comp_dims_unpadded
+    nz = {{}}
+    for scan in hdr.scans:
+        if len(scan.seg_offsets) != 2:
+            continue
+        if scan.ss == 0:
+            if scan.ah == 0:
+                native.prog_skeleton_dc(hdr, scan, 7)
+        else:
+            ci = scan.comp_indices[0]
+            r, c = comp_dims_unpadded(hdr, ci)
+            m = nz.setdefault(ci, np.zeros(r * c, np.uint64))
+            native.prog_skeleton_ac(hdr, scan, 7, m,
+                                    want_syms=scan.ah == 0)
+
 for p in sorted(glob.glob('/root/reference/images/*.jpg')):
     hdr = parser.parse(np.frombuffer(open(p, 'rb').read(), np.uint8))
-    native.decode_progressive(hdr) if hdr.progressive else all_backends(hdr)
+    if hdr.progressive:
+        native.decode_progressive(hdr)
+        prog_skeletons(hdr)
+    else:
+        all_backends(hdr)
 
 rng = np.random.default_rng(0)
 blob = open('/root/reference/images/img2.jpg', 'rb').read()
@@ -58,8 +80,11 @@ for trial in range(80):
         b[at:at + 8] = bytes(rng.integers(0, 256, 8, dtype=np.uint8))
     try:
         hdr = parser.parse(np.frombuffer(bytes(b), np.uint8))
-        native.decode_progressive(hdr) if hdr.progressive \
-            else all_backends(hdr)
+        if hdr.progressive:
+            native.decode_progressive(hdr)
+            prog_skeletons(hdr)
+        else:
+            all_backends(hdr)
     except Exception:
         pass
 print("ASAN SWEEP OK")
