@@ -60,7 +60,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 18:
+        if lib.jd_abi_version() != 19:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_prog_skeleton_dc.restype = ctypes.c_int64
         lib.jd_prog_skeleton_dc.argtypes = [
@@ -1110,9 +1110,11 @@ def prog_skeleton_ac(hdr: FrameHeader, scan: ScanHeader, stride: int,
     ``nzmap`` — the component's (n_blocks,) uint64 band-position bitmap
     persisted across its scan chain (bit k <=> zigzag coefficient k
     nonzero), which determines refinement bit consumption.  With
-    ``want_syms`` (first-pass scans only) also returns the per-block
-    symbol count (n_blocks,) int32 — the emission AC kernel's exact
-    per-lane trip counts."""
+    ``want_syms`` also returns a per-block (n_blocks,) int32 count: the
+    Huffman symbol count for first-pass scans, or the emission refine
+    kernel's per-block EVENT count (merged chunk rule, see the C++
+    comment on jd_prog_skeleton_ac) for refinement scans — the exact
+    per-lane trip counts / balance weights for the emission kernels."""
     from ..layout import comp_dims_unpadded
 
     lib = _load()

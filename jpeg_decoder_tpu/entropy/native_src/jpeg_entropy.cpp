@@ -2350,6 +2350,17 @@ int64_t jd_prog_skeleton_dc(const uint8_t* data, int64_t start_byte,
 // band-position bitmap, persisted by the caller across the component's
 // scan chain.  out_bits/out_eobrun: (ceil(n_blocks / stride),) lane
 // states (absolute start bit, pending EOB run entering the lane).
+//
+// out_syms (optional, (n_blocks,)): for FIRST-pass scans the per-block
+// Huffman symbol count (exact trip counts for the emission AC-first
+// kernel); for REFINEMENT scans the per-block EVENT count of the
+// emission refine kernel (ops/entropy_prog.decode_ac_refine_emit) under
+// its merged chunk rule — each symbol costs one event that also
+// distributes up to (32 - symbol_bits) correction bits, each further
+// 32-bit correction chunk costs one event, and an EOB-run-covered block
+// costs ceil(n_corrections / 32) events (zero-correction covered blocks
+// are skipped for free on device).  Run with stride == 1 these arrays
+// let the host pick event-BALANCED lane boundaries.
 int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
                             int64_t data_len, int32_t first,
                             int32_t ss, int32_t se, const int16_t* ac_lut,
@@ -2420,6 +2431,14 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
       if (out_syms) out_syms[b] = nsym;
     } else {
       int k = ss;
+      // Emission-kernel event accounting: extra chunk events beyond the
+      // first cap0 correction bits a phase's opening event distributes.
+      int32_t ev = 0;
+      auto extra = [](int nc, int cap0) -> int32_t {
+        return nc <= cap0 ? 0 : (nc - cap0 + 31) / 32;
+      };
+      int pend_bits = 0;  // symbol bits of an EOB opened THIS block
+      bool entered_eob = eobrun > 0;
       if (eobrun == 0) {
         while (k <= se) {
           need(31);
@@ -2434,39 +2453,52 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
             if (r < 15) {
               eobrun = int64_t(1) << r;
               if (r) eobrun += take(r);
+              pend_bits = len + r;
               break;
             }
             // ZRL: 16 zero-history skips, no value
+            pend_bits = len;
           } else {
             if (sz != 1) return 5;
             need(1);
             take(1);
             newval = true;
+            pend_bits = len + 1;
           }
+          int nc = 0;
           while (k <= se) {
             if (map & (uint64_t(1) << k)) {
               need(1);
               take(1);  // correction bit
+              ++nc;
             } else {
               if (r == 0) break;
               --r;
             }
             ++k;
           }
+          ev += 1 + extra(nc, 32 - pend_bits);
           if (newval && k <= se) map |= uint64_t(1) << k;
           ++k;
         }
       }
       if (eobrun > 0) {
+        int nc = 0;
         while (k <= se) {
           if (map & (uint64_t(1) << k)) {
             need(1);
             take(1);
+            ++nc;
           }
           ++k;
         }
         --eobrun;
+        if (entered_eob)
+          ev += (nc + 31) / 32;  // covered block: pure correction chunks
+        else
+          ev += 1 + extra(nc, 32 - pend_bits);  // EOB decoded this block
       }
+      if (out_syms) out_syms[b] = ev;
     }
     nzmap[b] = map;
     if (br.pos > br.end + 64) return 6;
@@ -2474,6 +2506,6 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
   return 0;
 }
 
-int32_t jd_abi_version() { return 18; }
+int32_t jd_abi_version() { return 19; }
 
 }  // extern "C"
