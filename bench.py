@@ -318,14 +318,16 @@ def main() -> int:
                          for c in phdr.components)
 
             def run_prog_dev():
+                sink: list = []
                 planes = entropy_prog.decode_progressive_lanes(
-                    phdr, as_device=True)
+                    phdr, as_device=True, err_sink=sink)
                 rgb = pixel_ops.pixel_pipeline(
                     tuple(planes), qts, height=phdr.height,
                     width=phdr.width, samplings=samp, idct="fast",
                     upsample="fancy", color=phdr.colorspace,
                     precision=phdr.precision)
                 rgb.block_until_ready()
+                entropy_prog.check_errors(sink)
 
             run_prog_dev()  # warm (compiles)
             best = float("inf")

@@ -488,6 +488,215 @@ def decode_ac_refine(words, base_bits, nblocks, eobrun0, lut, plane_rows,
     return out, s["err"]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("T", "ss", "se", "al", "n_blocks"))
+def decode_ac_refine_emit(words, base_bits, nblocks, eobrun0, mcu_first,
+                          lut, zz_rows, np0, *, T: int, ss: int,
+                          se: int, al: int, n_blocks: int):
+    """Emission-style AC refinement (T.81 G.2.3): ONE flat event loop.
+
+    The lockstep refine kernel (decode_ac_refine) iterates block slots in
+    unison, paying sum-over-slots of the max-over-lanes per-block event
+    count (measured 2.6-4.4x the balanced ideal on the 12 MP corpus
+    sample).  Here every lane advances through its OWN event stream —
+    one lax.scan step per event — and the trip count is the max lane
+    total, which event-balanced lane boundaries push to ~the mean.
+
+    An EVENT is one of:
+      * SYM: decode one symbol (EOB-run / ZRL / coefficient) AND
+        distribute up to ``32 - symbol_bits`` correction bits of the
+        phase it opens (merged rule — most blocks cost ~#symbols
+        events);
+      * RUN/TAIL continuation: distribute up to 32 more correction bits
+        toward the pending zero-run stop / band end.
+    EOB-run-covered blocks cost ceil(n_corrections / 32) events; covered
+    blocks with NO nonzero-history band positions are skipped for free
+    via ``nextp`` (next processable block in flat block space, computed
+    from the scan-start plane).  The native skeleton counts events per
+    block with the SAME rule (jd_prog_skeleton_ac, ABI 19), so the event
+    schedule is host-predictable: the caller gathers each block's delta
+    from the emitted per-event accumulator at its precomputed block-done
+    step (see _refine_emit_apply) — no per-lane scatters anywhere.
+
+    Args:
+      words: (N,) uint32 big-endian word pool (whole scan, shared).
+      base_bits / nblocks / eobrun0 / mcu_first: (S,) lane tables —
+        absolute start bit, block count, pending EOB run entering the
+        lane, and the lane's first block in flat (row-major unpadded)
+        block space.
+      lut: (65536,) uint16 AC table.
+      zz_rows: (n_blocks + 1, 64) int32 — scan-start coefficient rows
+        in ZIGZAG order, ordered by FLAT block index (row m == block m;
+        the caller pre-gathers the component plane into this order),
+        last row zeros.  History decides bit consumption.  COLUMN 0
+        (the DC slot — never read by an AC band, ss >= 1) carries
+        nextp[m + 1]: the next flat block index > m with nonzero band
+        history (n_blocks if none), so the block-advance skip needs no
+        extra per-event gather.
+      np0: (S,) int32 — nextp at each lane's first block (inclusive),
+        for the lane-entry skip.
+
+    Returns (acc_ys (T, S, 64) int32 per-event accumulator snapshots in
+    ZIGZAG order, err (S,) bool, end_blk (S,) int32).
+    Parity: entropy/progressive._ac_refine_scan.
+    """
+    S = base_bits.shape[0]
+    n_words = words.shape[0]
+    n_rows_zz = zz_rows.shape[0]
+    lane64 = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
+    p1 = 1 << al
+
+    w0 = (base_bits >> 5).astype(jnp.int32)
+    off0 = (base_bits & 31).astype(jnp.uint32)
+
+    # Lane init replicates the block-advance rule for lanes entering
+    # mid-EOB-run: skip straight to the first processable covered block,
+    # or past the run when none has corrections.
+    eob_end0 = eobrun0.astype(jnp.int32) - 1          # lane-local
+    in_run0 = eob_end0 >= 0
+    np0l = (np0 - mcu_first).astype(jnp.int32)
+    blk0 = jnp.where(in_run0,
+                     jnp.where(np0l <= eob_end0, np0l, eob_end0 + 1),
+                     0)
+    phase0 = jnp.where(in_run0 & (np0l <= eob_end0), 2, 0)
+
+    carry0 = dict(
+        cur=jnp.take(words, jnp.minimum(w0, n_words - 1)),
+        nxt=jnp.take(words, jnp.minimum(w0 + 1, n_words - 1)),
+        off=off0, w_idx=w0 + 2,
+        blk=blk0,
+        k=jnp.full((S,), ss, jnp.int32),
+        phase=phase0.astype(jnp.int32),   # 0 SYM, 1 RUN, 2 TAIL
+        r=jnp.zeros((S,), jnp.int32),
+        newval=jnp.zeros((S,), jnp.int32),
+        eob_end=eob_end0,
+        acc=jnp.zeros((S, 64), jnp.int32),
+        err=jnp.zeros((S,), jnp.bool_))
+
+    def step(c, _):
+        active = ~c["err"] & (c["blk"] < nblocks)
+        m = jnp.clip(c["blk"] + mcu_first, 0, n_rows_zz - 2)
+        cur_vals = jnp.take(zz_rows, m, axis=0)        # (S, 64) zigzag
+        hist_nz = cur_vals != 0
+        corr_step = jnp.where(cur_vals > 0, p1, -p1)
+        guard_ok = (cur_vals & p1) == 0
+        window = _window32(c["cur"], c["nxt"], c["off"])
+
+        # --- SYM (phase 0 lanes): one probe, merged with corrections
+        needsym = active & (c["phase"] == 0)
+        entry = jnp.take(lut, (window >> 16).astype(jnp.int32)
+                         ).astype(jnp.int32)
+        length = (entry & 31).astype(jnp.uint32)
+        sym = (entry >> 5) & 0xFF
+        r_s = sym >> 4
+        sz = sym & 15
+        bad = needsym & ((entry == 0) | ((sz != 0) & (sz != 1)))
+        is_eobr = (sz == 0) & (r_s < 15)
+        ebits = jnp.where(
+            r_s == 0, jnp.uint32(0),
+            (window << length)
+            >> (32 - jnp.maximum(r_s, 1).astype(jnp.uint32)))
+        n_eob = (1 << r_s) + jnp.where(r_s > 0, ebits, 0).astype(jnp.int32)
+        nv_bit = (window << length) >> 31
+        newval_s = jnp.where(sz == 1,
+                             jnp.where(nv_bit == 1, p1, -p1), 0)
+        sym_ok = needsym & ~bad
+        symbits = jnp.where(
+            sym_ok,
+            length + jnp.where(is_eobr, r_s.astype(jnp.uint32),
+                               sz.astype(jnp.uint32)),
+            jnp.uint32(0))
+        phase1 = jnp.where(sym_ok, jnp.where(is_eobr, 2, 1), c["phase"])
+        r1 = jnp.where(sym_ok & ~is_eobr, r_s, c["r"])
+        nv1 = jnp.where(sym_ok & ~is_eobr, newval_s, c["newval"])
+        eob_end1 = jnp.where(sym_ok & is_eobr,
+                             c["blk"] + n_eob - 1, c["eob_end"])
+
+        # --- correction distribution (every live lane, RUN or TAIL)
+        corr_live = active & ~bad
+        is_run = phase1 == 1
+        valid = (lane64 >= c["k"][:, None]) & (lane64 <= se)
+        nzv = valid & hist_nz
+        zv = valid & ~hist_nz
+        zrank = jnp.cumsum(zv.astype(jnp.int32), axis=1)
+        stop = zv & (zrank == (r1 + 1)[:, None]) & is_run[:, None]
+        has_stop = stop.any(axis=1)
+        p_stop = jnp.min(jnp.where(stop, lane64, 64), axis=1)
+        lim = jnp.where(is_run & has_stop, p_stop, 64)
+        crossed = nzv & (lane64 < lim[:, None])
+        crank = jnp.cumsum(crossed.astype(jnp.int32), axis=1) \
+            - crossed.astype(jnp.int32)
+        n_cross = jnp.sum(crossed.astype(jnp.int32), axis=1)
+        cap_ev = (32 - symbits).astype(jnp.int32)
+        take_n = jnp.minimum(n_cross, cap_ev)
+        use = crossed & (crank < take_n[:, None])
+        shifted = window << symbits
+        bitw = (shifted[:, None]
+                >> (31 - jnp.minimum(crank, 31)).astype(jnp.uint32)) & 1
+        do_corr = corr_live[:, None] & use & (bitw == 1) & guard_ok
+        delta = jnp.where(do_corr, corr_step, 0)
+        partial = corr_live & (n_cross > cap_ev)
+        j_cut = jnp.min(jnp.where(
+            crossed & (crank == (take_n - 1)[:, None]), lane64, 64),
+            axis=1)
+        k_resume = jnp.minimum(j_cut + 1, 64)
+        zeros_used = jnp.sum(
+            (zv & (lane64 <= j_cut[:, None])).astype(jnp.int32), axis=1)
+        place = is_run & has_stop & (nv1 != 0)
+        delta = delta + jnp.where(
+            (corr_live & place & ~partial)[:, None]
+            & (lane64 == p_stop[:, None]),
+            nv1[:, None], 0)
+        k_full = jnp.where(is_run & has_stop, p_stop + 1, 65)
+        acc1 = c["acc"] + jnp.where(corr_live[:, None], delta, 0)
+
+        # --- transitions
+        k2 = jnp.where(corr_live,
+                       jnp.where(partial, k_resume, k_full), c["k"])
+        r2 = jnp.where(corr_live & is_run & partial,
+                       r1 - zeros_used, r1)
+        phase2 = jnp.where(
+            corr_live & ~partial & is_run & has_stop & (k_full <= se),
+            0, phase1)
+        blk_done = corr_live & ~partial & ((~is_run) | (k_full > se))
+
+        # --- block advance (with free skip of zero-correction covered
+        # blocks; matches the skeleton's zero-event accounting)
+        nxt_b = c["blk"] + 1
+        covered = eob_end1 >= nxt_b
+        # nextp[m + 1] rides column 0 of the current block's row (the DC
+        # slot an AC band never reads) — no extra gather.
+        np_rel = cur_vals[:, 0] - mcu_first
+        jump_tail = covered & (np_rel <= eob_end1)
+        cand = jnp.where(covered,
+                         jnp.where(jump_tail, np_rel, eob_end1 + 1),
+                         nxt_b)
+        blk2 = jnp.where(blk_done, cand, c["blk"])
+        phase3 = jnp.where(blk_done,
+                           jnp.where(jump_tail, 2, 0), phase2)
+        k3 = jnp.where(blk_done, ss, k2)
+        acc2 = jnp.where(blk_done[:, None], 0, acc1)
+
+        adv = jnp.where(corr_live,
+                        symbits + take_n.astype(jnp.uint32), 0)
+        offp = c["off"] + adv
+        need = offp >= 32
+        loaded = jnp.take(words, jnp.minimum(c["w_idx"], n_words - 1))
+        carry = dict(
+            cur=jnp.where(need, c["nxt"], c["cur"]),
+            nxt=jnp.where(need, loaded, c["nxt"]),
+            off=offp - jnp.where(need, 32, 0).astype(jnp.uint32),
+            w_idx=c["w_idx"] + need,
+            blk=blk2, k=k3, phase=phase3, r=r2, newval=nv1,
+            eob_end=eob_end1, acc=acc2,
+            err=c["err"] | bad)
+        return carry, acc1
+
+    end, acc_ys = jax.lax.scan(step, carry0, None, length=T)
+    err = end["err"] | (end["blk"] < nblocks)
+    return acc_ys, err, end["blk"]
+
+
 @functools.partial(jax.jit, static_argnames=("T", "ss", "se", "al"))
 def decode_ac_first_emit(words, base_bits, nblocks, eobrun0, lut, *,
                          T: int, ss: int, se: int, al: int):
@@ -571,6 +780,140 @@ def decode_ac_first_emit(words, base_bits, nblocks, eobrun0, lut, *,
 
 
 # ---------------------------------------------------------------------------
+# Emission-refine application + event-balanced lanes
+# ---------------------------------------------------------------------------
+
+def _balanced_lane_edges(weights: np.ndarray, S: int) -> np.ndarray:
+    """Lane boundaries (S + 1 edges over flat block space) equalizing
+    per-lane weight sums — per-block emission event counts from the
+    native skeleton.  Pushes the emission kernels' trip count (max lane
+    sum) to ~the mean instead of the uniform-stride max (measured
+    1.3-2.9x on the corpus progressive samples)."""
+    n = len(weights)
+    cum = np.cumsum(weights.astype(np.int64))
+    total = int(cum[-1]) if n else 0
+    tgt = (np.arange(1, S, dtype=np.int64) * total) // S
+    inner = np.searchsorted(cum, tgt, side="left")
+    edges = np.concatenate([[0], inner, [n]])
+    return np.maximum.accumulate(edges)
+
+
+def _lane_weight_max(weights: np.ndarray, edges: np.ndarray) -> int:
+    cum = np.concatenate([[0], np.cumsum(weights.astype(np.int64))])
+    sums = cum[edges[1:]] - cum[edges[:-1]]
+    return int(sums.max()) if len(sums) else 0
+
+
+def _refine_emit_prep(plane, *, ss, se, cols_u, plane_cols, n_blocks):
+    """Replicated precompute for the emission refine scan: the
+    scan-start history in flat block order and the next-processable
+    table.  Returns (zz_m (n_blocks + 1, 64) int32 zigzag rows with
+    nextp[m + 1] stuffed into the unread DC column — see
+    decode_ac_refine_emit, nextp (n_blocks + 1,) int32)."""
+    m_all = jnp.arange(n_blocks, dtype=jnp.int32)
+    rows_m = (m_all // cols_u) * plane_cols + (m_all % cols_u)
+    zz = jnp.take(plane, jnp.asarray(ZIGZAG), axis=1)
+    zz_m = jnp.concatenate(
+        [jnp.take(zz, rows_m, axis=0), jnp.zeros((1, 64), jnp.int32)])
+    band_nz = jnp.any(zz_m[:-1, ss:se + 1] != 0, axis=1)
+    idx = jnp.where(band_nz, m_all, n_blocks)
+    nextp = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(idx)))
+    nextp = jnp.concatenate(
+        [nextp, jnp.full((2,), n_blocks, jnp.int32)])
+    zz_m = zz_m.at[:, 0].set(nextp[1:])
+    return zz_m, nextp
+
+
+def _refine_emit_core(words, base_bits, n_per, eobrun0, mcu_first, lut,
+                      ev, zz_m, nextp, *, T, max_blocks, ss, se, al,
+                      cols_u, plane_cols, n_rows1):
+    """Traced body of one emission refine scan: returns (partial
+    (n_rows1, 64) natural-order delta plane to ADD, err (S,)).
+
+    The partial-accumulator form keeps the mesh path trivial (lanes
+    shard, partials psum).  ``ev``: (n_blocks,) per-block event counts
+    (uint8/int32, skeleton ABI 19) — the deterministic schedule that
+    maps every block to its block-done step in the emitted accumulator
+    stream.
+    """
+    S = base_bits.shape[0]
+    n_rows = n_rows1 - 1
+    n_blocks = ev.shape[0]
+
+    np0 = jnp.take(nextp, jnp.clip(mcu_first, 0, n_blocks))
+    acc_ys, err, _blk = decode_ac_refine_emit(
+        words, base_bits, n_per, eobrun0, mcu_first, lut, zz_m, np0,
+        T=T, ss=ss, se=se, al=al, n_blocks=n_blocks)
+
+    evi = ev.astype(jnp.int32)
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(evi)])
+    slot = jax.lax.broadcasted_iota(jnp.int32, (S, max_blocks), 1)
+    m = mcu_first[:, None] + slot
+    m_c = jnp.clip(m, 0, n_blocks - 1)
+    t_done = (jnp.take(cum, m_c + 1)
+              - jnp.take(cum, jnp.clip(mcu_first, 0, n_blocks))[:, None]
+              - 1)
+    has = (jnp.take(evi, m_c) > 0) & (slot < n_per[:, None])
+    ys_s = acc_ys.transpose(1, 0, 2)          # (S, T, 64)
+    delta = jnp.take_along_axis(
+        ys_s, jnp.clip(t_done, 0, T - 1)[:, :, None], axis=1)
+    delta = jnp.where(has[:, :, None], delta, 0)
+    delta = jnp.take(delta, jnp.asarray(ZIGZAG_INV), axis=2)
+    rows_tgt = jnp.where(
+        slot < n_per[:, None],
+        (m_c // cols_u) * plane_cols + (m_c % cols_u), n_rows)
+    part = jnp.zeros((n_rows1, 64), jnp.int32).at[
+        rows_tgt.reshape(-1)].add(delta.reshape(-1, 64), mode="drop")
+    return part, err
+
+
+def _ac_rows_device(mcu_first, n_per, *, cols_u, plane_cols, n_rows,
+                    max_blocks):
+    """(S, max_blocks) int32 plane-row targets of a single-component AC
+    scan — the on-device closed form of _ac_slot_map (no multi-MB host
+    tgt upload over the H2D link)."""
+    slot = jax.lax.broadcasted_iota(jnp.int32, (mcu_first.shape[0],
+                                                max_blocks), 1)
+    m = mcu_first[:, None] + slot
+    tgt = (m // cols_u) * plane_cols + (m % cols_u)
+    return jnp.where(slot < n_per[:, None], tgt, n_rows)
+
+
+def _dc_rows_device(mcu_first, n_per, *, geom, max_blocks):
+    """Per-component (ci, (S, max_blocks) int32 row targets) of a DC
+    scan — the on-device closed form of _dc_slot_map.
+
+    ``geom``: ("single", ci, cols_u, plane_cols, n_rows) or
+    ("il", mcus_x, j_ci, j_v, j_h, ((ci, v, h, plane_cols, n_rows), ...))
+    with j_* the per-within-MCU-block component/v/h tuples.
+    """
+    S = mcu_first.shape[0]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (S, max_blocks), 1)
+    if geom[0] == "single":
+        _tag, ci, cols_u, plane_cols, n_rows = geom
+        m = mcu_first[:, None] + slot
+        tgt = (m // cols_u) * plane_cols + (m % cols_u)
+        return [(ci, jnp.where(slot < n_per[:, None], tgt, n_rows))]
+    _tag, mcus_x, j_ci, j_v, j_h, comps_geo = geom
+    bpm = len(j_ci)
+    t = slot // bpm
+    j = slot % bpm
+    m = mcu_first[:, None] + t
+    my = m // mcus_x
+    mx = m % mcus_x
+    jci = jnp.take(jnp.asarray(np.asarray(j_ci, np.int32)), j)
+    jv = jnp.take(jnp.asarray(np.asarray(j_v, np.int32)), j)
+    jh = jnp.take(jnp.asarray(np.asarray(j_h, np.int32)), j)
+    out = []
+    for ci, v, h, plane_cols, n_rows in comps_geo:
+        tgt = (my * v + jv) * plane_cols + (mx * h + jh)
+        mine = (jci == ci) & (slot < (n_per * bpm)[:, None])
+        out.append((ci, jnp.where(mine, tgt, n_rows)))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Scan application + whole-frame orchestration
 # ---------------------------------------------------------------------------
 
@@ -640,6 +983,12 @@ def _scan_block_comp(hdr, scan):
     return tuple(
         k for k, ci in enumerate(scan.comp_indices)
         for _ in range(hdr.components[ci].v * hdr.components[ci].h))
+
+
+# JD_PROG_TRACE=1 appends ("prep"/"dispatch", [scan kinds], ms) tuples
+# here from decode_progressive_hybrid — in-process phase attribution for
+# the perf tools (cross-run comparison is meaningless on this tunnel).
+PROG_TRACE: list = []
 
 
 class _MeshHolder:
@@ -871,7 +1220,7 @@ def check_errors(err_sink: list) -> None:
 
 
 def decode_progressive_device(hdr: FrameHeader, as_device: bool = False,
-                              mesh=None):
+                              mesh=None, err_sink: list | None = None):
     """Decode ALL scans of a progressive frame with device lane kernels.
 
     Lanes come from restart segments; a DRI=0 scan runs as one lane
@@ -891,7 +1240,10 @@ def decode_progressive_device(hdr: FrameHeader, as_device: bool = False,
     for scan in hdr.scans:
         planes = apply_scan_device(hdr, scan, planes, err_sink=errs,
                                    mesh=mesh)
-    check_errors(errs)
+    if err_sink is not None:
+        err_sink.extend(errs)
+    else:
+        check_errors(errs)
     out = [p[:-1].reshape(r, c, 64) for p, (r, c) in zip(planes, shapes)]
     if as_device:
         return out
@@ -900,7 +1252,7 @@ def decode_progressive_device(hdr: FrameHeader, as_device: bool = False,
 
 def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
                               target_lanes: int | None = None,
-                              mesh=None):
+                              mesh=None, err_sink: list | None = None):
     """DRI=0 progressive decode with DEVICE lanes from native skeleton
     scans: the host walks each scan position-only (jd_prog_skeleton_*,
     maintaining per-component nonzero bitmaps so refinement bit
@@ -948,117 +1300,43 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
 
     ms = (int(np.prod(list(mesh.shape.values())))
           if mesh is not None else 1)
+    use_emit_refine = os.environ.get("JD_PROG_REFINE", "emit") \
+        != "lockstep"
 
-    def _pad_lanes(base_bits, n_per, mcu_first, eobrun0, pred0):
-        S = len(base_bits)
-        Sp = -(-max(S, 1) // ms) * ms
-        if Sp != S:
-            pad = Sp - S
-            base_bits = np.concatenate(
-                [base_bits, np.zeros(pad, np.int64)])
-            n_per = np.concatenate([n_per, np.zeros(pad, n_per.dtype)])
-            mcu_first = np.concatenate(
-                [mcu_first, np.full(pad, 1 << 40, np.int64)])
-            eobrun0 = np.concatenate([eobrun0, np.zeros(pad, np.int32)])
-            pred0 = np.concatenate(
-                [pred0, np.zeros((pad, pred0.shape[1]), np.int32)])
-        return base_bits, n_per, mcu_first, eobrun0, pred0
+    trace = PROG_TRACE if os.environ.get("JD_PROG_TRACE") else None
 
     def run_chain(scans):
-        # Host half: skeleton walks + lane tables + slot maps for EVERY
-        # scan of the chain, then ONE fused device program applies them
-        # all (per-scan programs paid one link round trip each).
+        # Host half: skeleton walks + lane tables for EVERY scan of the
+        # chain, then ONE fused device program applies them all (per-scan
+        # programs paid one link round trip each).  Slot maps are closed
+        # forms computed ON DEVICE ("dcd"/"ace"/"acr" kinds) — the r4
+        # host-built tgt uploads measured up to ~14 MB/scan on the H2D
+        # tunnel.
+        import time as _time
+
+        t0 = _time.perf_counter()
         planes = [jnp.zeros((r * c + 1, 64), jnp.int32)
                   for r, c in shapes]
         nzmaps: dict[int, np.ndarray] = {}
         metas, inputs = [], []
         for scan in scans:
-            if scan.ss == 0:
-                interleaved = len(scan.comp_indices) > 1
-                if interleaved:
-                    n_mcus = hdr.mcus_x * hdr.mcus_y
-                else:
-                    r, c = comp_dims_unpadded(hdr, scan.comp_indices[0])
-                    n_mcus = r * c
-                if scan.ah == 0:
-                    stride = max(1, -(-n_mcus // target_lanes))
-                    bits, preds = native.prog_skeleton_dc(hdr, scan,
-                                                          stride)
-                    lanes = _stride_lanes(bits, stride, n_mcus,
-                                          preds=preds)
-                else:
-                    lanes = segment_lanes(scan, n_mcus) + (
-                        np.zeros(1, np.int32),
-                        np.zeros((1, len(scan.comp_indices)), np.int32))
-                base_bits, n_per, mcu_first, eobrun0, pred0 = \
-                    _pad_lanes(*lanes)
-                block_comp = _scan_block_comp(hdr, scan)
-                bpm = len(block_comp)
-                max_mcus = int(n_per.max())
-                max_blocks = max_mcus * bpm
-                nblocks = (n_per.astype(np.int64) * bpm).astype(np.int32)
-                if scan.ah == 0:
-                    luts2d = jnp.asarray(np.stack([
-                        build_lut(scan.dc_specs[scan.dc_table_ids[k]])
-                        for k in range(len(scan.comp_indices))]))
-                else:
-                    luts2d = jnp.zeros((1, 1), jnp.uint16)
-                slot_map = _dc_slot_map(hdr, scan, mcu_first, n_per,
-                                        max_blocks)
-                cis = tuple(ci for ci, _t in slot_map)
-                tgts_t = tuple(jnp.asarray(t) for _ci, t in slot_map)
-                metas.append(("dc", block_comp, max_blocks, scan.al,
-                              scan.ah == 0, cis))
-                inputs.append((jnp.asarray(scan_words(scan)),
-                               jnp.asarray(base_bits),
-                               jnp.asarray(nblocks),
-                               jnp.asarray(pred0), luts2d, tgts_t))
-            else:
-                ci = scan.comp_indices[0]
-                r, c = comp_dims_unpadded(hdr, ci)
-                n_blocks = r * c
-                nzmap = nzmaps.get(ci)
-                if nzmap is None:
-                    nzmap = nzmaps.setdefault(
-                        ci, np.zeros(n_blocks, np.uint64))
-                stride = max(1, -(-n_blocks // target_lanes))
-                t_sym = None
-                if scan.ah == 0:
-                    bits, eob, syms = native.prog_skeleton_ac(
-                        hdr, scan, stride, nzmap, want_syms=True)
-                    # Exact per-lane trip count for the emission
-                    # AC-first kernel (quarter-pow2 bucketed so corpora
-                    # compile O(log) variants).
-                    cum = np.concatenate(
-                        [[0], np.cumsum(syms.astype(np.int64))])
-                    edges = np.arange(0, n_blocks, stride)
-                    hi = np.minimum(edges + stride, n_blocks)
-                    t_sym = int((cum[hi] - cum[edges]).max()) if len(
-                        edges) else 1
-                    t_sym = _bucket_trip(max(t_sym, 16))
-                else:
-                    bits, eob = native.prog_skeleton_ac(hdr, scan,
-                                                        stride, nzmap)
-                lanes = _stride_lanes(bits, stride, n_blocks, eobrun=eob)
-                base_bits, n_per, mcu_first, eobrun0, _p0 = \
-                    _pad_lanes(*lanes)
-                max_mcus = int(n_per.max())
-                ci2, tgt, _n_rows = _ac_slot_map(hdr, scan, mcu_first,
-                                                 n_per, max_mcus)
-                metas.append(("ac", max_mcus, scan.ss, scan.se, scan.al,
-                              scan.ah == 0, t_sym, ci2))
-                inputs.append((jnp.asarray(scan_words(scan)),
-                               jnp.asarray(base_bits),
-                               jnp.asarray(n_per.astype(np.int32)),
-                               jnp.asarray(eobrun0),
-                               jnp.asarray(build_lut(
-                                   scan.ac_specs[scan.ac_table_ids[0]])),
-                               jnp.asarray(tgt.astype(np.int32))))
+            m, inp = hybrid_scan_prep(
+                hdr, scan, nzmaps, target_lanes=target_lanes, ms=ms,
+                use_emit_refine=use_emit_refine)
+            metas.append(m)
+            inputs.append(inp)
         holder = _MeshHolder(mesh) if mesh is not None else None
+        if trace is not None:
+            trace.append(("prep", [m[0] for m in metas],
+                          (_time.perf_counter() - t0) * 1e3))
+            t0 = _time.perf_counter()
         if os.environ.get("JD_PROG_FUSE", "1") != "0":
             planes_t, flags = _apply_chain(
                 tuple(planes), tuple(inputs), meta=tuple(metas),
                 mesh_holder=holder)
+            if trace is not None:
+                trace.append(("dispatch", [m[0] for m in metas],
+                              (_time.perf_counter() - t0) * 1e3))
             return list(planes_t), [flags]
         # Per-scan programs (A/B reference: JD_PROG_FUSE=0).
         errs = []
@@ -1083,7 +1361,13 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
         results = [run_chain(ch) for ch in chain_list]
 
     errs = [e for _pl, es in results for e in es]
-    check_errors(errs)
+    if err_sink is not None:
+        # Deferred: the caller folds/fetches the flags after its own
+        # downstream dispatches — avoids one blocking link round trip
+        # between entropy and pixel stages.
+        err_sink.extend(errs)
+    else:
+        check_errors(errs)
     planes = list(results[0][0])
     for pl_t, _es in results[1:]:
         planes = [a + b for a, b in zip(planes, pl_t)]
@@ -1115,11 +1399,155 @@ def _stride_lanes(bits: np.ndarray, stride: int, n_mcus: int, *,
     return bits, n_per, mcu_first, eob0, pred0
 
 
+def _pad_lane_tables(lanes, ms):
+    """Pad a (base_bits, n_per, mcu_first, eobrun0, pred0) lane tuple to
+    a multiple of the mesh size (padded lanes decode nothing)."""
+    base_bits, n_per, mcu_first, eobrun0, pred0 = lanes
+    S = len(base_bits)
+    Sp = -(-max(S, 1) // ms) * ms
+    if Sp != S:
+        pad = Sp - S
+        base_bits = np.concatenate([base_bits, np.zeros(pad, np.int64)])
+        n_per = np.concatenate([n_per, np.zeros(pad, n_per.dtype)])
+        mcu_first = np.concatenate(
+            [mcu_first, np.zeros(pad, mcu_first.dtype)])
+        eobrun0 = np.concatenate([eobrun0, np.zeros(pad, np.int32)])
+        pred0 = np.concatenate(
+            [pred0, np.zeros((pad, pred0.shape[1]), np.int32)])
+    return base_bits, n_per, mcu_first, eobrun0, pred0
+
+
+def hybrid_scan_prep(hdr: FrameHeader, scan: ScanHeader, nzmaps: dict, *,
+                     target_lanes: int, ms: int = 1,
+                     use_emit_refine: bool = True):
+    """Host half of one hybrid (DRI=0 skeleton-lane) progressive scan:
+    native skeleton walk + lane tables + device inputs.  Returns
+    (meta, inputs) for :func:`_chain_step`.
+
+    ``nzmaps`` persists each component's per-block band bitmap across
+    its AC scan chain.  Slot maps ship as closed-form statics in the
+    meta ("dcd"/"ace"/"acr" kinds) and are computed on device.
+    """
+    from ..entropy import native
+
+    comps = hdr.components
+    S_lanes = -(-target_lanes // ms) * ms
+    if scan.ss == 0:
+        interleaved = len(scan.comp_indices) > 1
+        if interleaved:
+            n_mcus = hdr.mcus_x * hdr.mcus_y
+        else:
+            r, c = comp_dims_unpadded(hdr, scan.comp_indices[0])
+            n_mcus = r * c
+        if scan.ah == 0:
+            stride = max(1, -(-n_mcus // target_lanes))
+            bits, preds = native.prog_skeleton_dc(hdr, scan, stride)
+            lanes = _stride_lanes(bits, stride, n_mcus, preds=preds)
+        else:
+            lanes = segment_lanes(scan, n_mcus) + (
+                np.zeros(1, np.int32),
+                np.zeros((1, len(scan.comp_indices)), np.int32))
+        base_bits, n_per, mcu_first, eobrun0, pred0 = \
+            _pad_lane_tables(lanes, ms)
+        block_comp = _scan_block_comp(hdr, scan)
+        bpm = len(block_comp)
+        max_blocks = int(n_per.max()) * bpm
+        nblocks = (n_per.astype(np.int64) * bpm).astype(np.int32)
+        if scan.ah == 0:
+            luts2d = jnp.asarray(np.stack([
+                build_lut(scan.dc_specs[scan.dc_table_ids[k]])
+                for k in range(len(scan.comp_indices))]))
+        else:
+            luts2d = jnp.zeros((1, 1), jnp.uint16)
+        if interleaved:
+            blocks = [(ci, v, h) for ci in scan.comp_indices
+                      for v in range(comps[ci].v)
+                      for h in range(comps[ci].h)]
+            comps_geo = tuple(
+                (ci, comps[ci].v, comps[ci].h, hdr.mcus_x * comps[ci].h,
+                 (hdr.mcus_y * comps[ci].v) * (hdr.mcus_x * comps[ci].h))
+                for ci in sorted(set(scan.comp_indices)))
+            geom = ("il", hdr.mcus_x,
+                    tuple(b[0] for b in blocks),
+                    tuple(b[1] for b in blocks),
+                    tuple(b[2] for b in blocks), comps_geo)
+        else:
+            ci = scan.comp_indices[0]
+            rows_u, cols_u = comp_dims_unpadded(hdr, ci)
+            plane_cols = hdr.mcus_x * comps[ci].h
+            n_rows = (hdr.mcus_y * comps[ci].v) * plane_cols
+            geom = ("single", ci, cols_u, plane_cols, n_rows)
+        meta = ("dcd", block_comp, max_blocks, scan.al, scan.ah == 0,
+                geom)
+        inp = (jnp.asarray(scan_words(scan)), jnp.asarray(base_bits),
+               jnp.asarray(nblocks), jnp.asarray(pred0), luts2d,
+               jnp.asarray(mcu_first.astype(np.int32)),
+               jnp.asarray(n_per.astype(np.int32)))
+        return meta, inp
+
+    ci = scan.comp_indices[0]
+    r, c = comp_dims_unpadded(hdr, ci)
+    n_blocks = r * c
+    nzmap = nzmaps.get(ci)
+    if nzmap is None:
+        nzmap = nzmaps.setdefault(ci, np.zeros(n_blocks, np.uint64))
+    plane_cols = hdr.mcus_x * comps[ci].h
+    if scan.ah == 0 or use_emit_refine:
+        # Emission kinds: per-block weights at stride 1, event-balanced
+        # lane boundaries, exact bucketed T.  Boundary weights are
+        # clamped to >= 1 so a lane cannot swallow an unbounded run of
+        # zero-event blocks (bounds the (S, max_b) slot arrays); T uses
+        # the TRUE event sums.
+        bits, eob, wts = native.prog_skeleton_ac(
+            hdr, scan, 1, nzmap, want_syms=True)
+        edges = _balanced_lane_edges(np.maximum(wts, 1), S_lanes)
+        base_bits = bits[edges[:-1]]
+        eobrun0 = eob[edges[:-1]].astype(np.int32)
+        n_per = np.diff(edges).astype(np.int32)
+        mcu_first = edges[:-1].astype(np.int32)
+        T = _bucket_trip(max(_lane_weight_max(wts, edges), 16))
+        max_b = _bucket_trip(max(int(n_per.max()), 1))
+        common = (jnp.asarray(scan_words(scan)), jnp.asarray(base_bits),
+                  jnp.asarray(n_per), jnp.asarray(eobrun0))
+        lut = jnp.asarray(build_lut(scan.ac_specs[scan.ac_table_ids[0]]))
+        mcu_first_j = jnp.asarray(mcu_first)
+        if scan.ah == 0:
+            return (("ace", max_b, scan.ss, scan.se, scan.al, T, ci, c,
+                     plane_cols),
+                    (*common, lut, mcu_first_j))
+        ev = (wts.astype(np.uint8) if wts.max() < 256
+              else wts.astype(np.int32))
+        return (("acr", max_b, scan.ss, scan.se, scan.al, T, ci, c,
+                 plane_cols),
+                (*common, mcu_first_j, lut, jnp.asarray(ev)))
+    # Legacy lockstep refine (JD_PROG_REFINE=lockstep, the A/B
+    # reference path).
+    stride = max(1, -(-n_blocks // target_lanes))
+    bits, eob = native.prog_skeleton_ac(hdr, scan, stride, nzmap)
+    lanes = _stride_lanes(bits, stride, n_blocks, eobrun=eob)
+    base_bits, n_per, mcu_first, eobrun0, _p0 = \
+        _pad_lane_tables(lanes, ms)
+    max_mcus = int(n_per.max())
+    ci2, tgt, _n_rows = _ac_slot_map(hdr, scan, mcu_first, n_per,
+                                     max_mcus)
+    meta = ("ac", max_mcus, scan.ss, scan.se, scan.al, False, None, ci2)
+    inp = (jnp.asarray(scan_words(scan)), jnp.asarray(base_bits),
+           jnp.asarray(n_per.astype(np.int32)), jnp.asarray(eobrun0),
+           jnp.asarray(build_lut(scan.ac_specs[scan.ac_table_ids[0]])),
+           jnp.asarray(tgt.astype(np.int32)))
+    return meta, inp
+
+
 def decode_progressive_lanes(hdr: FrameHeader, as_device: bool = False,
-                             mesh=None):
+                             mesh=None, err_sink: list | None = None):
     """Best available device-lane progressive decode: native skeleton
     lanes when possible, segment lanes otherwise.  With ``mesh``, lanes
-    shard over all mesh axes (shard_map + psum plane reduction)."""
+    shard over all mesh axes (shard_map + psum plane reduction).
+
+    ``err_sink``: when given, per-scan error flags are APPENDED as
+    device arrays instead of being checked here (one host sync saved;
+    call :func:`check_errors` on the sink after the downstream
+    dispatches)."""
     if hdr.precision != 8:
         # The device DC kernels (and the Python oracle) implement the
         # 8-bit size categories; keep non-8-bit progressive on the host
@@ -1136,10 +1564,12 @@ def decode_progressive_lanes(hdr: FrameHeader, as_device: bool = False,
 
             if native.available():
                 return decode_progressive_hybrid(hdr, as_device=as_device,
-                                                 mesh=mesh)
+                                                 mesh=mesh,
+                                                 err_sink=err_sink)
         except ImportError:
             pass
-    return decode_progressive_device(hdr, as_device=as_device, mesh=mesh)
+    return decode_progressive_device(hdr, as_device=as_device, mesh=mesh,
+                                     err_sink=err_sink)
 
 
 # ---------------------------------------------------------------------------
@@ -1155,16 +1585,35 @@ def decode_progressive_lanes(hdr: FrameHeader, as_device: bool = False,
 def _chain_step(planes, m, inp, mesh):
     """Apply one scan (traced inline) to the planes list.  ``m`` is the
     static descriptor, ``inp`` the dynamic arrays (see
-    decode_progressive_hybrid.run_chain)."""
+    decode_progressive_hybrid.run_chain).
+
+    Kinds: "dc"/"ac" carry host-built slot maps (the segment-lane path);
+    "dcd"/"ace"/"acr" are the hybrid skeleton-lane forms — slot maps are
+    computed ON DEVICE from (mcu_first, n_per) closed forms (the host
+    tgt uploads measured up to ~14 MB/scan over the H2D tunnel), and
+    "acr" is the emission AC-refine (event-balanced lanes, deterministic
+    schedule commit)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     axes = tuple(mesh.axis_names) if mesh is not None else ()
     lane = P(axes) if mesh is not None else None
-    if m[0] == "dc":
-        _, block_comp, max_blocks, al, first, cis = m
-        words, base, nblocks, pred0, luts2d, tgts_t = inp
+    kind = m[0]
+    if kind in ("dc", "dcd"):
+        if kind == "dc":
+            _, block_comp, max_blocks, al, first, cis = m
+            words, base, nblocks, pred0, luts2d, tgts_t = inp
+            geom = mcu_first = n_per = None
+        else:
+            _, block_comp, max_blocks, al, first, geom = m
+            words, base, nblocks, pred0, luts2d, mcu_first, n_per = inp
+            cis = ((geom[1],) if geom[0] == "single"
+                   else tuple(g[0] for g in geom[5]))
+            tgts_t = None
         if mesh is None:
+            if kind == "dcd":
+                tgts_t = tuple(t for _ci, t in _dc_rows_device(
+                    mcu_first, n_per, geom=geom, max_blocks=max_blocks))
             if first:
                 vals, err = decode_dc_first(
                     words, base, nblocks, pred0, luts2d,
@@ -1179,7 +1628,13 @@ def _chain_step(planes, m, inp, mesh):
             return planes, err
         n_rows_t = tuple(planes[ci].shape[0] for ci in cis)
 
-        def local(words_l, base_l, nb_l, pred_l, luts_l, *tgts_l):
+        def local(words_l, base_l, nb_l, pred_l, luts_l, *rest):
+            if kind == "dcd":
+                mcu_l, np_l = rest
+                tgts_l = [t for _ci, t in _dc_rows_device(
+                    mcu_l, np_l, geom=geom, max_blocks=max_blocks)]
+            else:
+                tgts_l = list(rest)
             if first:
                 vals, err = decode_dc_first(
                     words_l, base_l, nb_l, pred_l, luts_l,
@@ -1195,16 +1650,91 @@ def _chain_step(planes, m, inp, mesh):
                 outs.append(jax.lax.psum(col, axes))
             return (*outs, err)
 
+        if kind == "dcd":
+            rest_in = (mcu_first, n_per)
+            rest_specs = (lane, lane)
+        else:
+            rest_in = tuple(tgts_t)
+            rest_specs = tuple([P(axes, None)] * len(tgts_t))
         res = shard_map(
             local, mesh=mesh,
             in_specs=(P(None), lane, lane, P(axes, None), P(None, None),
-                      *([P(axes, None)] * len(tgts_t))),
-            out_specs=(*([P(None)] * len(tgts_t)), lane),
+                      *rest_specs),
+            out_specs=(*([P(None)] * len(cis)), lane),
             check_vma=False,
-        )(words, base, nblocks, pred0, luts2d, *tgts_t)
+        )(words, base, nblocks, pred0, luts2d, *rest_in)
         cols, err = res[:-1], res[-1]
         for ci, col in zip(cis, cols):
             planes[ci] = planes[ci].at[:, 0].add(col)
+        return planes, err
+
+    if kind == "ace":
+        _, max_blocks, ss, se, al, T, ci, cols_u, plane_cols = m
+        words, base, n_per, eob0, lut, mcu_first = inp
+        n_rows1 = planes[ci].shape[0]
+        if mesh is None:
+            pos, val, err, _nd = decode_ac_first_emit(
+                words, base, n_per, eob0, lut, T=T, ss=ss, se=se, al=al)
+            tgt = _ac_rows_device(
+                mcu_first, n_per, cols_u=cols_u, plane_cols=plane_cols,
+                n_rows=n_rows1 - 1, max_blocks=max_blocks)
+            planes[ci] = _emit_global_scatter(planes[ci], pos, val, tgt,
+                                              max_blocks)
+            return planes, err
+
+        def local_ace(words_l, base_l, np_l, eob_l, lut_l, mcu_l):
+            pos, val, err, _nd = decode_ac_first_emit(
+                words_l, base_l, np_l, eob_l, lut_l,
+                T=T, ss=ss, se=se, al=al)
+            tgt_l = _ac_rows_device(
+                mcu_l, np_l, cols_u=cols_u, plane_cols=plane_cols,
+                n_rows=n_rows1 - 1, max_blocks=max_blocks)
+            part = _emit_global_scatter(
+                jnp.zeros((n_rows1, 64), jnp.int32), pos, val, tgt_l,
+                max_blocks)
+            return jax.lax.psum(part, axes), err
+
+        part, err = shard_map(
+            local_ace, mesh=mesh,
+            in_specs=(P(None), lane, lane, lane, P(None), lane),
+            out_specs=(P(None, None), lane),
+            check_vma=False,
+        )(words, base, n_per, eob0, lut, mcu_first)
+        planes[ci] = planes[ci] + part
+        return planes, err
+
+    if kind == "acr":
+        _, max_blocks, ss, se, al, T, ci, cols_u, plane_cols = m
+        words, base, n_per, eob0, mcu_first, lut, ev = inp
+        n_rows1 = planes[ci].shape[0]
+        n_blocks = ev.shape[0]
+        zz_m, nextp = _refine_emit_prep(
+            planes[ci], ss=ss, se=se, cols_u=cols_u,
+            plane_cols=plane_cols, n_blocks=n_blocks)
+        kw = dict(T=T, max_blocks=max_blocks, ss=ss, se=se, al=al,
+                  cols_u=cols_u, plane_cols=plane_cols, n_rows1=n_rows1)
+        if mesh is None:
+            part, err = _refine_emit_core(
+                words, base, n_per, eob0, mcu_first, lut, ev, zz_m,
+                nextp, **kw)
+            planes[ci] = planes[ci] + part
+            return planes, err
+
+        def local_acr(words_l, base_l, np_l, eob_l, mcu_l, lut_l, ev_l,
+                      zz_l, nextp_l):
+            part, err = _refine_emit_core(
+                words_l, base_l, np_l, eob_l, mcu_l, lut_l, ev_l, zz_l,
+                nextp_l, **kw)
+            return jax.lax.psum(part, axes), err
+
+        part, err = shard_map(
+            local_acr, mesh=mesh,
+            in_specs=(P(None), lane, lane, lane, lane, P(None), P(None),
+                      P(None, None), P(None)),
+            out_specs=(P(None, None), lane),
+            check_vma=False,
+        )(words, base, n_per, eob0, mcu_first, lut, ev, zz_m, nextp)
+        planes[ci] = planes[ci] + part
         return planes, err
 
     _, max_blocks, ss, se, al, first, t_sym, ci = m

@@ -210,3 +210,84 @@ def test_progressive_lanes_shard_over_mesh():
         got = entropy_prog.decode_progressive_lanes(hdr, mesh=mesh)
         for w, g in zip(want, got):
             assert np.array_equal(w, g)
+
+
+# ---------------------------------------------------------------------------
+# Emission AC-refine (round 5): balanced lanes, deterministic schedule
+# ---------------------------------------------------------------------------
+
+
+def test_refine_emit_vs_lockstep_ab():
+    """JD_PROG_REFINE=lockstep (the legacy A/B path) and the default
+    emission refine produce identical planes on a refine-heavy frame."""
+    import os
+
+    if not _native_ok():
+        pytest.skip("native lib not built")
+    blob = _pil_progressive(seed=41, size=(200, 144), quality=92)
+    hdr = parser.parse(blob)
+    want = entropy_prog.decode_progressive_hybrid(hdr)
+    os.environ["JD_PROG_REFINE"] = "lockstep"
+    try:
+        legacy = entropy_prog.decode_progressive_hybrid(hdr)
+    finally:
+        del os.environ["JD_PROG_REFINE"]
+    for w, g in zip(want, legacy):
+        assert np.array_equal(w, g)
+    ref = prog_ref.decode_progressive(hdr)
+    for w, g in zip(want, ref):
+        assert np.array_equal(w, g)
+
+
+def test_refine_emit_many_lane_counts():
+    """The emission kernels are lane-count independent: odd/small/large
+    balanced lane counts all reproduce the Python planes (exercises
+    lane-entry EOB skips, empty lanes, and partial correction chunks)."""
+    if not _native_ok():
+        pytest.skip("native lib not built")
+    blob = _pil_progressive(seed=42, size=(136, 112), quality=78)
+    hdr = parser.parse(blob)
+    want = prog_ref.decode_progressive(hdr)
+    for lanes in (1, 3, 7, 64, 1024):
+        got = entropy_prog.decode_progressive_hybrid(
+            hdr, target_lanes=lanes)
+        for w, g in zip(want, got):
+            assert np.array_equal(w, g), f"lanes={lanes}"
+
+
+def test_balanced_lane_edges_properties():
+    rng = np.random.default_rng(7)
+    for n, S in ((1000, 16), (17, 32), (64, 8)):
+        w = rng.integers(0, 50, n).astype(np.int64)
+        w[rng.integers(0, n, n // 3)] = 0
+        edges = entropy_prog._balanced_lane_edges(np.maximum(w, 1), S)
+        assert edges[0] == 0 and edges[-1] == n and len(edges) == S + 1
+        assert (np.diff(edges) >= 0).all()
+        sums = np.add.reduceat(np.maximum(w, 1), edges[:-1])[
+            np.diff(edges) > 0]
+        # No lane exceeds the mean by more than the max single weight.
+        assert sums.max() <= np.maximum(w, 1).sum() / S + 50
+
+
+def test_refine_emit_corrupt_stream_flags_error():
+    """A refine scan whose entropy bytes are corrupted after skeleton
+    time must surface JPEGError from the device path, not wrong pixels.
+    (The skeleton validates first, so corruption between skeleton and
+    kernel is simulated by truncating the scan data under the kernel.)"""
+    if not _native_ok():
+        pytest.skip("native lib not built")
+    from jpeg_decoder_tpu.types import JPEGError
+
+    blob = _pil_progressive(seed=43, size=(96, 80), quality=90)
+    hdr = parser.parse(blob)
+    # Corrupt the LAST refine scan's data: flip bytes mid-stream.  The
+    # skeleton walk itself errors (invalid prefix) or the kernel's
+    # schedule check fires — either way a JPEGError must surface.
+    for s in reversed(hdr.scans):
+        if s.ss != 0 and s.ah != 0:
+            data = np.array(s.data, np.uint8, copy=True)
+            data[len(data) // 2:] = 0xFF
+            s.data = data
+            break
+    with pytest.raises(JPEGError):
+        entropy_prog.decode_progressive_hybrid(hdr)

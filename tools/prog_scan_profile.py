@@ -62,90 +62,28 @@ def main():
         shapes.append((hdr.mcus_y * hdr.components[ci].v,
                        hdr.mcus_x * hdr.components[ci].h))
 
-    # Build every scan's lane table + kernel inputs exactly as
-    # decode_progressive_hybrid does (host half), timing the skeletons.
+    # Build every scan's lane table + kernel inputs via the SAME prep
+    # the hybrid path uses (ops.entropy_prog.hybrid_scan_prep), timing
+    # the host half (skeleton walks, balanced edges, H2D enqueues).
     nzmaps: dict[int, np.ndarray] = {}
     scan_rows = []
     for si, scan in enumerate(hdr.scans):
         t0 = time.perf_counter()
-        if scan.ss == 0:
-            interleaved = len(scan.comp_indices) > 1
-            if interleaved:
-                n_mcus = hdr.mcus_x * hdr.mcus_y
-            else:
-                r, c = comp_dims_unpadded(hdr, scan.comp_indices[0])
-                n_mcus = r * c
-            if scan.ah == 0:
-                stride = max(1, -(-n_mcus // target_lanes))
-                bits, preds = native.prog_skeleton_dc(hdr, scan, stride)
-                lanes = ep._stride_lanes(bits, stride, n_mcus, preds=preds)
-            else:
-                lanes = ep.segment_lanes(scan, n_mcus) + (
-                    np.zeros(1, np.int32),
-                    np.zeros((1, len(scan.comp_indices)), np.int32))
-            base_bits, n_per, mcu_first, eobrun0, pred0 = lanes
-            block_comp = ep._scan_block_comp(hdr, scan)
-            bpm = len(block_comp)
-            max_mcus = int(n_per.max())
-            max_blocks = max_mcus * bpm
-            nblocks = (n_per.astype(np.int64) * bpm).astype(np.int32)
-            if scan.ah == 0:
-                luts2d = jnp.asarray(np.stack([
-                    build_lut(scan.dc_specs[scan.dc_table_ids[k]])
-                    for k in range(len(scan.comp_indices))]))
-            else:
-                luts2d = jnp.zeros((1, 1), jnp.uint16)
-            slot_map = ep._dc_slot_map(hdr, scan, mcu_first, n_per,
-                                       max_blocks)
-            cis = tuple(ci for ci, _t in slot_map)
-            tgts_t = tuple(jnp.asarray(t) for _ci, t in slot_map)
-            m = ("dc", block_comp, max_blocks, scan.al, scan.ah == 0, cis)
-            inp = (jnp.asarray(ep.scan_words(scan)), jnp.asarray(base_bits),
-                   jnp.asarray(nblocks), jnp.asarray(pred0), luts2d, tgts_t)
-            kind = "dc-first" if scan.ah == 0 else "dc-refine"
-            skew = ""
-        else:
-            ci = scan.comp_indices[0]
-            r, c = comp_dims_unpadded(hdr, ci)
-            n_blocks = r * c
-            nzmap = nzmaps.setdefault(ci, np.zeros(n_blocks, np.uint64))
-            stride = max(1, -(-n_blocks // target_lanes))
-            t_sym = None
-            if scan.ah == 0:
-                bits, eob, syms = native.prog_skeleton_ac(
-                    hdr, scan, stride, nzmap, want_syms=True)
-                cum = np.concatenate([[0], np.cumsum(syms.astype(np.int64))])
-                edges = np.arange(0, n_blocks, stride)
-                hi = np.minimum(edges + stride, n_blocks)
-                per_lane = cum[hi] - cum[edges]
-                t_exact = int(per_lane.max()) if len(edges) else 1
-                t_sym = ep._bucket_trip(max(t_exact, 16))
-                skew = (f"syms/lane max={per_lane.max()} "
-                        f"mean={per_lane.mean():.0f} T={t_sym}")
-            else:
-                bits, eob = native.prog_skeleton_ac(hdr, scan, stride, nzmap)
-                skew = ""
-            lanes = ep._stride_lanes(bits, stride, n_blocks, eobrun=eob)
-            base_bits, n_per, mcu_first, eobrun0, _p0 = lanes
-            max_mcus = int(n_per.max())
-            ci2, tgt, _n_rows = ep._ac_slot_map(hdr, scan, mcu_first, n_per,
-                                                max_mcus)
-            m = ("ac", max_mcus, scan.ss, scan.se, scan.al, scan.ah == 0,
-                 t_sym, ci2)
-            inp = (jnp.asarray(ep.scan_words(scan)), jnp.asarray(base_bits),
-                   jnp.asarray(n_per.astype(np.int32)),
-                   jnp.asarray(eobrun0),
-                   jnp.asarray(build_lut(
-                       scan.ac_specs[scan.ac_table_ids[0]])),
-                   jnp.asarray(tgt.astype(np.int32)))
-            kind = "ac-first" if scan.ah == 0 else "ac-refine"
+        m, inp = ep.hybrid_scan_prep(hdr, scan, nzmaps,
+                                     target_lanes=target_lanes)
         host_ms = (time.perf_counter() - t0) * 1e3
-        ncomp = ",".join(str(c) for c in scan.comp_indices)
+        kind = {"dcd": "dc", "ace": "ac-first", "acr": "ac-refine",
+                "ac": "ac-lockstep", "dc": "dc"}[m[0]]
+        if m[0] in ("dc", "dcd"):
+            kind = "dc-first" if m[4] else "dc-refine"
+        S = inp[1].shape[0]
+        skew = f"T={m[5]}" if m[0] in ("ace", "acr") else ""
+        ncomp = ",".join(str(cc) for cc in scan.comp_indices)
         scan_rows.append(dict(
             si=si, kind=kind, m=m, inp=inp, host_ms=host_ms,
             desc=(f"scan {si:2d} {kind:9s} comp[{ncomp}] "
                   f"ss={scan.ss} se={scan.se} ah={scan.ah} al={scan.al} "
-                  f"S={len(base_bits)} bytes={len(scan.data)}"),
+                  f"S={S} bytes={len(scan.data)}"),
             skew=skew))
         print(f"{scan_rows[-1]['desc']}  host {host_ms:.0f} ms  {skew}",
               flush=True)
