@@ -409,6 +409,152 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         log("device-path measurement failed:", e)
 
+    # ---- tunnel-independent ON-CHIP stage rates (VERDICT r4 item 2):
+    # chained iterations inside ONE jitted program (optimization_barrier-
+    # carried dependency; block_until_ready does not gate execution on
+    # this box), one scalar fetch — the ~200 ms/round-trip link cost and
+    # the H2D window cancel out, so these numbers are reproducible in
+    # any tunnel window and are the auditable basis of the v5e-16
+    # projection.
+    onchip: dict = {}
+    try:
+        from jpeg_decoder_tpu.ops import entropy_flat, entropy_spec
+
+        oiters = int(os.environ.get("BENCH_ONCHIP_ITERS", "6"))
+
+        def timeit_chained(fn, iters=oiters):
+            @jax.jit
+            def many(seed):
+                def body(_, acc):
+                    return acc + fn(acc)
+                return jax.lax.fori_loop(0, iters, body, seed)
+
+            float(many(jnp.int32(0)))  # warm/compile
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(many(jnp.int32(1)))
+                best = min(best, (time.perf_counter() - t0) / iters)
+            return best
+
+        # (a) lockstep entropy kernel on the corpus DRI image (img4, 50
+        # restart segments) x8 replicas -> 400 lanes, kernel only.
+        b4 = next(b for b in blobs if parser.parse(b).restart_interval)
+        h4 = parser.parse(b4)
+        pool, base, nblk, maxb, bc4, lay4 = \
+            entropy_flat.prepare_scan_flat(h4, h4.scans[0])
+        R = 8
+        pool_r = np.tile(pool, R)
+        base_r = np.concatenate(
+            [base + r * len(pool) * 32 for r in range(R)]).astype(np.int32)
+        nblk_r = np.tile(nblk, R)
+        luts2 = jnp.asarray(entropy_flat.merged_luts(
+            h4, h4.scans[0]).reshape(2 * len(h4.components), 65536))
+        pool_d = jnp.asarray(pool_r)
+        base_d = jnp.asarray(base_r)
+        nblk_d = jnp.asarray(nblk_r)
+        lim_d = jnp.full(base_r.shape, 2**30, jnp.int32)
+        mp4 = R * h4.width * h4.height / 1e6
+
+        def lockstep_step(acc):
+            p = jax.lax.optimization_barrier((pool_d, acc))[0]
+            out, err, nd, *_ = entropy_flat.decode_lockstep(
+                p, base_d, nblk_d, lim_d, luts2, block_comp=bc4,
+                n_comps=len(h4.components), max_blocks=maxb)
+            return out[0, 0, 0] + err.sum() + nd[0]
+
+        dt = timeit_chained(lockstep_step)
+        onchip["entropy_onchip_lockstep_mps"] = round(mp4 / dt, 1)
+
+        # (b) hybrid emission pipeline (skeleton-lane DRI=0 route) on
+        # img5 x4: the FULL device program — emission kernel + scatter +
+        # segmented DC prefix sum (what decode_batch_sharded dispatches).
+        b5 = max(blobs, key=lambda b: len(b))
+        h5 = parser.parse(b5)
+        (pools, starts_rel, nm_lane, lane_off, T, T2, C, seg_first,
+         skel_ok) = entropy_spec.prepare_hybrid_batch_emit(
+            h5, [h5.scans[0]] * 4)
+        assert skel_ok.all()
+        from jpeg_decoder_tpu.layout import scan_layout as _scan_layout
+        lay5 = _scan_layout(h5)
+        bc5 = tuple(ci for ci, c in enumerate(h5.components)
+                    for _ in range(c.v * c.h))
+        luts5 = jnp.asarray(entropy_flat.merged_luts(h5, h5.scans[0]))
+        pair = entropy_spec.use_pair_kernel()
+        hyb_args = tuple(jnp.asarray(a) for a in (
+            pools, starts_rel, nm_lane, lane_off, seg_first))
+        mp5 = 4 * h5.width * h5.height / 1e6
+
+        def hybrid_step(acc):
+            p = jax.lax.optimization_barrier((hyb_args[0], acc))[0]
+            blocks, bad = entropy_spec._hybrid_pipeline_batch_emit(
+                p, *hyb_args[1:], luts5, block_comp=bc5,
+                n_comps=len(h5.components), T=(T2 if pair else T),
+                n_mcus=lay5.n_mcus, C=C, precision=h5.precision,
+                pair=pair)
+            return blocks[0, 0, 0] + bad.sum().astype(jnp.int32)
+
+        dt = timeit_chained(hybrid_step)
+        onchip["entropy_onchip_hybrid_mps"] = round(mp5 / dt, 1)
+
+        # (c) fused pixel pipeline (dequant + kron IDCT + fancy upsample
+        # + color) on a synthetic 8 MP 4:2:0 frame, device-resident.
+        from jpeg_decoder_tpu.ops import pixel as _pix
+
+        side = 2880
+        ly, lc = side // 8, side // 16
+        rng = np.random.default_rng(0)
+        py = jnp.asarray(rng.integers(-512, 512, (ly, ly, 64)), jnp.int32)
+        pc = jnp.asarray(rng.integers(-256, 256, (lc, lc, 64)), jnp.int32)
+        q64 = jnp.asarray(np.full(64, 3), jnp.int32)
+        mp_pix = side * side / 1e6
+
+        def pixel_step(acc):
+            y = jax.lax.optimization_barrier((py, acc))[0]
+            rgb = _pix.pixel_pipeline(
+                (y, pc, pc), (q64, q64, q64), height=side, width=side,
+                samplings=((1, 1), (2, 2), (2, 2)), idct="fast",
+                upsample="fancy", color="ycbcr")
+            return rgb[0, 0, 0].astype(jnp.int32)
+
+        dt = timeit_chained(pixel_step)
+        onchip["pixel_onchip_mps"] = round(mp_pix / dt, 1)
+
+        # (d) v5e-16 projection with the model stated explicitly:
+        # per-chip rate = serial entropy+pixel programs on one
+        # TensorCore; aggregate = 16 chips, host-feed bound = parse +
+        # skeleton prep rate per core x assumed production host cores
+        # (v5e hosts expose ~14 vCPU/chip; 12 assumed — this dev box's 2
+        # cores are NOT the serving shape).
+        ent = onchip["entropy_onchip_hybrid_mps"]
+        pix = onchip["pixel_onchip_mps"]
+        chip_mps = 1.0 / (1.0 / ent + 1.0 / pix)
+        feed = None
+        if dev_path_host_ms:
+            feed = round(dmp / (dev_path_host_ms / 1e3), 1)
+        cores_per_chip = 12
+        chips = 16
+        chip_bound = chips * chip_mps
+        host_bound = (feed * cores_per_chip * chips) if feed else None
+        gps = min(chip_bound, host_bound or chip_bound) / 1000.0
+        onchip["projected_v5e16_gps"] = {
+            "gps": round(gps, 2),
+            "model": "min(chips*1/(1/entropy+1/pixel), "
+                     "chips*cores_per_chip*host_feed_mps_per_core)",
+            "chips": chips,
+            "chip_mps": round(chip_mps, 1),
+            "host_feed_mps_per_core": feed,
+            "cores_per_chip_assumed": cores_per_chip,
+            "bound": ("host" if host_bound and host_bound < chip_bound
+                      else "chip"),
+        }
+        log(f"on-chip: lockstep {onchip['entropy_onchip_lockstep_mps']} "
+            f"MP/s, hybrid {ent} MP/s, pixel {pix} MP/s "
+            f"-> projected v5e-16 {gps:.2f} GP/s "
+            f"({onchip['projected_v5e16_gps']['bound']}-bound)")
+    except Exception as e:  # noqa: BLE001
+        log("on-chip stage measurement failed:", e)
+
     ref_mps = measure_reference_mps()
     log(f"reference C++ single-core: "
         f"{ref_mps:.1f} MP/s" if ref_mps else "reference baseline: n/a")
@@ -439,6 +585,7 @@ def main() -> int:
         "wire_bytes_per_px": round(wire_bpp, 3) if wire_bpp else None,
         "reference_mps": round(ref_mps, 1) if ref_mps else None,
         "wire": wire,
+        **onchip,
     }
     print(json.dumps(out), flush=True)
     return 0

@@ -237,6 +237,25 @@ inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
 // the pair fits the 32-bit window.  Counting is per MCU with a flush at
 // the boundary — an upper bound on the kernel's per-lane step count
 // (the kernel also pairs across MCU boundaries, which only saves).
+// Simulates the paired emission kernel's greedy two-symbols-per-step
+// packing (ops/entropy_flat.decode_emit2) so lane boundaries balance by
+// PAIRED steps and T2 is exact.
+//
+// Dominance argument (ADVICE r4 — why per-MCU flush() totals bound the
+// kernel's continuous step count): both walks apply the SAME greedy
+// rule to the SAME symbol sequence; the only difference is that the
+// skeleton flushes at MCU boundaries (lane boundaries can land on any
+// MCU).  Greedy pairing is local: whether (s_i, s_{i+1}) pair depends
+// only on their own bit widths, never on earlier pairing.  A flush can
+// therefore only BREAK one would-be pair at the boundary — turning one
+// 2-symbol step into two 1-symbol steps — and never enables a pairing
+// the continuous walk lacks; by induction over boundaries, sum of
+// per-MCU flushed steps >= continuous steps for every lane interval.
+// Hence T2 (max lane sum of flushed steps) >= the kernel's true trip
+// count, and the kernel's n_done < nblocks fallback would catch any
+// violation if a future pairing rule broke this locality.  Keep the
+// rule LOCAL (a function of the two candidate symbols only) or re-prove
+// this bound; tools/emit_pair_ab.py cross-checks counts empirically.
 struct PairSim {
   int pending = -1;   // held symbol A's total bits; -1 = none
   int32_t steps = 0;

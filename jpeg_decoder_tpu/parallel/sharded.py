@@ -895,9 +895,15 @@ def _hybrid_group_dispatch_dyn(items, mesh: Mesh, *, idct, upsample):
     preps: list = [None] * B
 
     def prep_one(k):
+        # An unexpected prep failure must not sink the whole pow-2
+        # bucket group (ADVICE r4): the image routes to the per-image
+        # fallback via skel_bad instead.
         _i, hdr, scan = items[k]
-        preps[k] = entropy_spec.prepare_hybrid_batch_emit(
-            hdr, [scan], threads=1)
+        try:
+            preps[k] = entropy_spec.prepare_hybrid_batch_emit(
+                hdr, [scan], threads=1)
+        except Exception:  # noqa: BLE001 — per-image isolation
+            preps[k] = None
 
     if B > 1:
         with ThreadPoolExecutor(min(4, B)) as ex:
@@ -909,10 +915,11 @@ def _hybrid_group_dispatch_dyn(items, mesh: Mesh, *, idct, upsample):
 
     # Pool width is an array SHAPE (a trace key): bucket it like T so
     # batches of assorted byte sizes share one compiled program.
-    W = _bucket_T(max(p[0].shape[1] for p in preps))
-    C = max(p[6] for p in preps)
+    live = [p for p in preps if p is not None]
+    W = _bucket_T(max((p[0].shape[1] for p in live), default=64))
+    C = max((p[6] for p in live), default=1)
     pair = entropy_spec.use_pair_kernel()
-    T = max(p[5] if pair else p[4] for p in preps)
+    T = max((p[5] if pair else p[4] for p in live), default=64)
     pools = np.zeros((B, W), np.uint32)
     starts = np.zeros((B, C), np.int32)
     nm_lane = np.zeros((B, C), np.int32)
@@ -925,12 +932,15 @@ def _hybrid_group_dispatch_dyn(items, mesh: Mesh, *, idct, upsample):
     lut_base = np.zeros(B, np.int32)
     for k, (_i, hdr, scan) in enumerate(items):
         p = preps[k]
-        pools[k, : p[0].shape[1]] = p[0][0]
-        c_k = p[1].shape[1]
-        starts[k, :c_k] = p[1][0]
-        nm_lane[k, :c_k] = p[2][0]
-        lane_off[k, :c_k] = p[3][0]
-        skel_bad[k] = not bool(p[8][0])
+        if p is None:
+            skel_bad[k] = True
+        else:
+            pools[k, : p[0].shape[1]] = p[0][0]
+            c_k = p[1].shape[1]
+            starts[k, :c_k] = p[1][0]
+            nm_lane[k, :c_k] = p[2][0]
+            lane_off[k, :c_k] = p[3][0]
+            skel_bad[k] = not bool(p[8][0])
         geom[k] = (hdr.mcus_x, hdr.mcus_y, hdr.height, hdr.width,
                    scan.restart_interval)
         luts_k = entropy_flat.merged_luts(hdr, scan)
@@ -1451,13 +1461,18 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="kron",
             o += n
     for (items, rgb_b, flags, scans), fl in zip(dispatched, flags_np):
         hdr0 = items[0][1]
+        override: dict[int, object] = {}
         try:
             if scans is None:  # restart path: flags = per-image error
                 errs = [JPEGError("device entropy decode failed")
                         if bool(f) else None for f in fl]
             elif scans == "dyn":
-                # Bucketed group: patch failed rows per image at the
-                # image's OWN geometry (the group's members differ).
+                # Bucketed group: a failed row re-decodes per image at
+                # its OWN geometry and becomes a STANDALONE batch-of-1
+                # result.  (Patching the host array into the
+                # 'data'-sharded group batch would mix a process-local
+                # array into a multi-process sharded one, and pays a
+                # full functional update of the batch — ADVICE r4.)
                 ok_np = fl
                 errs = [None] * len(items)
                 for k in np.flatnonzero(~ok_np):
@@ -1465,9 +1480,7 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="kron",
                     try:
                         rgb1 = _host_rgb_one(hdr_k, scan_k, idct=idct,
                                              upsample=upsample)
-                        rgb_b = rgb_b.at[
-                            int(k), : hdr_k.height, : hdr_k.width].set(
-                            rgb1)
+                        override[int(k)] = jnp.asarray(rgb1)[None]
                     except Exception as e:  # noqa: BLE001
                         errs[int(k)] = e
             else:
@@ -1477,9 +1490,15 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="kron",
                     hdr0, scans, rgb_b, ok_np, idct=idct,
                     upsample=upsample)
             for k, it in enumerate(items):
-                results[it[0]] = BatchItem(
-                    index=it[0], header=it[1], rgb_batch=rgb_b,
-                    batch_index=k, error=errs[k])
+                if k in override:
+                    results[it[0]] = BatchItem(
+                        index=it[0], header=it[1],
+                        rgb_batch=override[k], batch_index=0,
+                        error=errs[k])
+                else:
+                    results[it[0]] = BatchItem(
+                        index=it[0], header=it[1], rgb_batch=rgb_b,
+                        batch_index=k, error=errs[k])
         except Exception as e:  # noqa: BLE001
             for it in items:
                 results[it[0]] = BatchItem(
