@@ -60,7 +60,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 19:
+        if lib.jd_abi_version() != 20:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_prog_skeleton_dc.restype = ctypes.c_int64
         lib.jd_prog_skeleton_dc.argtypes = [
@@ -155,7 +155,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p,   # dc_luts, ac_luts
             ctypes.c_int64, ctypes.c_int64,     # n_mcus, stride
             ctypes.c_void_p, ctypes.c_void_p,   # out_bits, out_syms
-            ctypes.c_void_p,                    # out_pairs
+            ctypes.c_void_p, ctypes.c_int32,    # out_pairs, precision
         ]
         lib.jd_prog_dc_scan.restype = ctypes.c_int64
         lib.jd_prog_dc_scan.argtypes = [
@@ -595,8 +595,8 @@ def skeleton_scan(hdr: FrameHeader, scan: ScanHeader,
     comps = hdr.components
     if len(scan.seg_offsets) != 2:
         raise JPEGError("skeleton scan requires a single-segment scan")
-    if hdr.precision != 8:
-        raise JPEGError("native backend decodes 8-bit frames only")
+    if hdr.precision not in (8, 12):
+        raise JPEGError(f"unsupported precision {hdr.precision}")
     data = _padded(scan)
     h = np.array([c.h for c in comps], np.int32)
     v = np.array([c.v for c in comps], np.int32)
@@ -612,7 +612,7 @@ def skeleton_scan(hdr: FrameHeader, scan: ScanHeader,
         data.ctypes.data, len(scan.data),
         len(comps), h.ctypes.data, v.ctypes.data,
         dc_ptrs, ac_ptrs, lay.n_mcus, stride, out.ctypes.data,
-        syms.ctypes.data if want_syms else None, None)
+        syms.ctypes.data if want_syms else None, None, hdr.precision)
     if rc != 0:
         raise JPEGError(f"skeleton scan failed (code {rc})")
     return (out, syms) if want_syms else out
@@ -632,8 +632,8 @@ def skeleton_scan_segments(hdr: FrameHeader, scan: ScanHeader):
     lib = _load()
     lay = scan_layout(hdr)
     comps = hdr.components
-    if hdr.precision != 8:
-        raise JPEGError("native backend decodes 8-bit frames only")
+    if hdr.precision not in (8, 12):
+        raise JPEGError(f"unsupported precision {hdr.precision}")
     data = _padded(scan)
     ri = scan.restart_interval
     seg_offsets = np.ascontiguousarray(scan.seg_offsets, np.int64)
@@ -665,7 +665,7 @@ def skeleton_scan_segments(hdr: FrameHeader, scan: ScanHeader):
             len(comps), h.ctypes.data, v.ctypes.data,
             dc_ptrs, ac_ptrs, nm, 1,
             bits.ctypes.data + m0 * 8, syms.ctypes.data + m0 * 4,
-            pairs.ctypes.data + m0 * 4)
+            pairs.ctypes.data + m0 * 4, hdr.precision)
         if rc != 0:
             raise JPEGError(
                 f"skeleton scan failed in segment {s} (code {rc})")

@@ -280,14 +280,16 @@ struct PairSim {
 
 inline int skip_block(BitReader& br, const LutEntry* dc_lut,
                       const int32_t* ac_lut, int32_t& nsym,
-                      PairSim* ps = nullptr) {
+                      PairSim* ps = nullptr, int max_dc = 11,
+                      int max_ac = 10) {
+  const int refill = 17 + max_ac;  // 27 for 8-bit, 31 for precision 12
   uint64_t w = br.window();
   int avail = 64 - int(br.pos & 7);
   LutEntry t = dc_lut[w >> 48];
   int len = t & 31;
   if (len == 0) return 1;
   int size = t >> 5;
-  if (size > 11) return 2;
+  if (size > max_dc) return 2;
   br.pos += len + size;
   w <<= len + size;
   avail -= len + size;
@@ -296,7 +298,7 @@ inline int skip_block(BitReader& br, const LutEntry* dc_lut,
 
   int i = 1;
   while (i < 64) {
-    if (avail < 27) {
+    if (avail < refill) {
       w = br.window();
       avail = 64 - int(br.pos & 7);
     }
@@ -311,7 +313,7 @@ inline int skip_block(BitReader& br, const LutEntry* dc_lut,
       if (i + run > 64 || (csize != 0 && i + run >= 64)) return 4;
       i += run;
       if (csize) {
-        if (csize > 10) return 5;
+        if (csize > max_ac) return 5;
         ++i;
       }
       br.pos += len + csize;
@@ -965,8 +967,10 @@ int64_t jd_skeleton_scan(const uint8_t* data, int64_t data_len,
                          const int32_t* const* ac_luts,
                          int64_t n_mcus, int64_t stride,
                          int64_t* out_bits, int32_t* out_syms,
-                         int32_t* out_pairs) {
+                         int32_t* out_pairs, int32_t precision) {
   if (n_comps < 1 || n_comps > kMaxComps || stride < 1) return -1;
+  const int max_dc = precision > 8 ? 15 : 11;
+  const int max_ac = precision > 8 ? 14 : 10;
   int bpm = 0;
   int block_comp[kMaxComps * 16];
   for (int ci = 0; ci < n_comps; ++ci)
@@ -983,7 +987,8 @@ int64_t jd_skeleton_scan(const uint8_t* data, int64_t data_len,
     int32_t nsym = 0;
     for (int k = 0; k < bpm; ++k) {
       int ci = block_comp[k];
-      int rc = skip_block(br, dc_luts[ci], ac_luts[ci], nsym, ps);
+      int rc = skip_block(br, dc_luts[ci], ac_luts[ci], nsym, ps,
+                          max_dc, max_ac);
       if (rc) return rc;
       // Overrun check PER BLOCK (ADVICE r3): one block consumes at most
       // 64 symbols x 27 bits ~ 216 bytes, within the 256-byte zero pad;
@@ -2525,6 +2530,6 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
   return 0;
 }
 
-int32_t jd_abi_version() { return 19; }
+int32_t jd_abi_version() { return 20; }
 
 }  // extern "C"

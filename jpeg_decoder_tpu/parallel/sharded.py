@@ -1218,7 +1218,11 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="kron",
                 prog_frames.append((i, hdr))
                 continue
             scan = hdr.scans[0]
-            if (hdr.progressive or hdr.arithmetic or hdr.precision != 8
+            # 12-bit baseline Huffman rides the device lanes too (the
+            # kernels take precision-dependent size caps, VERDICT r4
+            # item 5; reference rejects precision != 8 at jpeg.cpp:77).
+            if (hdr.progressive or hdr.arithmetic
+                    or hdr.precision not in (8, 12)
                     or decoder_mod.needs_scan_loop(hdr)
                     or decoder_mod.segment_mismatch(hdr, scan)):
                 # Valid frame the device lanes don't cover: host path,
@@ -1226,7 +1230,7 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="kron",
                 host_fallback.append(i)
                 continue
             exact_key = (
-                hdr.width, hdr.height,
+                hdr.width, hdr.height, hdr.precision,
                 tuple((c.h, c.v) for c in hdr.components),
                 # colorspace is a pixel-stage static: two same-geometry
                 # same-table streams can differ only in APP14/JFIF
@@ -1247,7 +1251,7 @@ def decode_batch_sharded(blobs, mesh: Mesh, *, idct="kron",
                 key = ("dyn", _bucket_pow2(hdr.mcus_x),
                        _bucket_pow2(hdr.mcus_y),
                        tuple((c.h, c.v) for c in hdr.components),
-                       hdr.colorspace)
+                       hdr.colorspace, hdr.precision)
             else:
                 key = exact_key
             groups.setdefault(key, []).append((i, hdr, scan, exact_key))

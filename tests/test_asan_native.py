@@ -11,6 +11,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -53,8 +54,9 @@ def prog_skeletons(hdr):
             ci = scan.comp_indices[0]
             r, c = comp_dims_unpadded(hdr, ci)
             m = nz.setdefault(ci, np.zeros(r * c, np.uint64))
-            native.prog_skeleton_ac(hdr, scan, 7, m,
-                                    want_syms=scan.ah == 0)
+            # want_syms on BOTH kinds: first-pass symbol counts and
+            # the r5 refine EVENT counter (ABI 19+) both write out_syms.
+            native.prog_skeleton_ac(hdr, scan, 7, m, want_syms=True)
 
 for p in sorted(glob.glob('/root/reference/images/*.jpg')):
     hdr = parser.parse(np.frombuffer(open(p, 'rb').read(), np.uint8))
@@ -63,6 +65,14 @@ for p in sorted(glob.glob('/root/reference/images/*.jpg')):
         prog_skeletons(hdr)
     else:
         all_backends(hdr)
+
+# precision-12 skeleton + decode entry points (ABI 20; the wire-format
+# decoders are 8-bit-only by design and stay host-gated)
+b12 = open({blob12!r}, 'rb').read()
+hdr12 = parser.parse(np.frombuffer(b12, np.uint8))
+assert hdr12.precision == 12
+native.decode_scan_baseline(hdr12, hdr12.scans[0])
+native.skeleton_scan_segments(hdr12, hdr12.scans[0])
 
 rng = np.random.default_rng(0)
 blob = open('/root/reference/images/img2.jpg', 'rb').read()
@@ -106,7 +116,16 @@ def test_native_decoder_asan_sweep(tmp_path):
     env = dict(os.environ,
                LD_PRELOAD=libasan,
                ASAN_OPTIONS="detect_leaks=0:abort_on_error=1")
-    driver = _DRIVER.format(repo=REPO, lib=lib)
+    from tools.encoder import encode as _encode
+
+    rng = np.random.default_rng(2)
+    img12 = np.kron(rng.integers(0, 4095, (6, 8, 3)),
+                    np.ones((8, 8, 1)))[:44, :60].astype(np.uint16)
+    b12, _ = _encode(img12, samplings=((2, 2), (1, 1), (1, 1)),
+                     precision=12, restart_interval=2)
+    blob12 = str(tmp_path / "p12.jpg")
+    open(blob12, "wb").write(b12)
+    driver = _DRIVER.format(repo=REPO, lib=lib, blob12=blob12)
     r = subprocess.run([sys.executable, "-c", driver], env=env,
                        capture_output=True, text=True, timeout=420)
     assert r.returncode == 0, r.stderr[-2000:]

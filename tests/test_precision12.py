@@ -168,3 +168,35 @@ def test_arithmetic_12bit_roundtrip(progressive):
     for g, p in zip(got, planes):
         assert np.array_equal(np.asarray(g).reshape(p.shape), p)
     assert decode(blob).rgb.dtype == np.uint16
+
+
+def test_12bit_rides_device_sharded_route():
+    """12-bit baseline Huffman frames decode through
+    decode_batch_sharded's DEVICE lanes (VERDICT r4 item 5) — both DRI=0
+    hybrid skeleton lanes and restart-segment lanes — bit-exact vs the
+    native host backend, mixed with an 8-bit image in the same batch.
+    Anchor: the reference rejects precision != 8 (jpeg.cpp:77)."""
+    from jpeg_decoder_tpu.entropy import native
+    from jpeg_decoder_tpu.parallel import mesh as mesh_mod
+    from jpeg_decoder_tpu.parallel import sharded
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    b12, _ = encode(_rgb12(11, h=48, w=64),
+                    samplings=((2, 2), (1, 1), (1, 1)), precision=12)
+    b12dri, _ = encode(_rgb12(12, h=56, w=80), samplings=((1, 1),) * 3,
+                       precision=12, restart_interval=3)
+    b8, _ = encode((_rgb12(13, h=64, w=48) >> 4).astype(np.uint8),
+                   samplings=((2, 2), (1, 1), (1, 1)))
+    blobs = [b12, b8, b12dri]
+    assert parser.parse(b12).precision == 12
+    assert parser.parse(b12dri).restart_interval == 3
+    mesh = mesh_mod.make_mesh((1, 8), ("data", "seg"))
+    items = sharded.decode_batch_sharded(blobs, mesh, idct="fast",
+                                         upsample="nn")
+    for it, b in zip(items, blobs):
+        assert it.error is None, it.error
+        ref = decode(b, entropy="native", idct="fast", upsample="nn").rgb
+        got = np.asarray(it.rgb)
+        assert got.dtype == ref.dtype
+        assert np.array_equal(got, ref)
