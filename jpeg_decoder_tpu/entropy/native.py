@@ -60,7 +60,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 20:
+        if lib.jd_abi_version() != 21:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_prog_skeleton_dc.restype = ctypes.c_int64
         lib.jd_prog_skeleton_dc.argtypes = [
@@ -252,21 +252,41 @@ def _load():
 
 
 def _lut16(spec) -> np.ndarray:
-    """int16 LUT entry (sym<<5)|len: max (255<<5)|31 = 8191 < 2^15."""
+    """int16 LUT entry (sym<<5)|len: max (255<<5)|31 = 8191 < 2^15.
+
+    Layout (ABI 21): 65536 entries + a 4096-entry FIRST-LEVEL table
+    (entry i resolves codes of <= 12 bits, 0 = fall back to the full
+    probe).  The 8 KB first level stays L1-resident — the serially-
+    dependent probe chain is load-latency-bound, and nearly all real
+    Huffman codes fit 12 bits."""
     key = (spec.counts.tobytes(), spec.symbols.tobytes())
     lut = _lut16_cache.get(key)
     if lut is None:
-        lut = build_lut(spec).astype(np.int16)
+        big = build_lut(spec).astype(np.int16)
+        cand = big[::16].copy()                 # big[i << 4]
+        lens = cand & 31
+        small = np.where((lens > 0) & (lens <= 12), cand, 0)
+        lut = np.ascontiguousarray(
+            np.concatenate([big, small.astype(np.int16)]))
         _lut16_cache[key] = lut
     return lut
 
 
 def _lut32ac(spec) -> np.ndarray:
-    """Combined-value int32 AC LUT (huffman.build_ac_lut32), cached."""
+    """Combined-value int32 AC LUT (huffman.build_ac_lut32), cached,
+    with the same appended 4096-entry first level as :func:`_lut16`
+    (fast entries need code+value <= 12 bits; slow entries need only the
+    code to fit — the symbol is then already resolved)."""
     key = (spec.counts.tobytes(), spec.symbols.tobytes())
     lut = _lut32_cache.get(key)
     if lut is None:
-        lut = np.ascontiguousarray(build_ac_lut32(spec))
+        big = np.ascontiguousarray(build_ac_lut32(spec))
+        cand = big[::16].copy()
+        bits = cand & 31                        # total (fast) / len (slow)
+        ok = (cand != 0) & (bits <= 12)
+        small = np.where(ok, cand, 0)
+        lut = np.ascontiguousarray(
+            np.concatenate([big, small.astype(np.int32)]))
         _lut32_cache[key] = lut
     return lut
 

@@ -75,6 +75,29 @@ inline int32_t extend(uint32_t value, int size) {
   return int32_t(value);
 }
 
+// Two-level LUT probes (ABI 21): native.py appends a 4096-entry first
+// level after the 2^16 table — codes (or fast combined-value AC
+// entries) resolvable from 12 bits hit the 8/16 KB L1-resident table;
+// 0 falls back to the full probe.  The per-symbol probe chain is
+// serially dependent (the next index needs this symbol's length), so
+// the load latency IS the walk's critical path; L1 vs L2 measured the
+// difference between ~185 and ~250+ MP/s single-core skeleton walks.
+inline LutEntry probe16(const LutEntry* lut, uint64_t w) {
+  LutEntry t = lut[65536 + int(w >> 52)];
+  if (__builtin_expect(!t, 0)) t = lut[w >> 48];
+  return t;
+}
+inline LutEntry probe16_idx(const LutEntry* lut, uint32_t idx16) {
+  LutEntry t = lut[65536 + (idx16 >> 4)];
+  if (__builtin_expect(!t, 0)) t = lut[idx16];
+  return t;
+}
+inline int32_t probe_ac32(const int32_t* lut, uint64_t w) {
+  int32_t e = lut[65536 + int(w >> 52)];
+  if (__builtin_expect(!e, 0)) e = lut[w >> 48];
+  return e;
+}
+
 // Decode one 8x8 block into out[64] (natural order, pre-zeroed).
 // Returns 0 on success, nonzero error code otherwise.
 // Parity: decodeMCUComponent (jpeg.cpp:322-403).
@@ -94,7 +117,7 @@ inline int decode_block(BitReader& br, const LutEntry* dc_lut,
   const int refill = 17 + max_ac;
   uint64_t w = br.window();
   int avail = 64 - int(br.pos & 7);
-  LutEntry t = dc_lut[w >> 48];
+  LutEntry t = probe16(dc_lut, w);
   int len = t & 31;
   if (len == 0) return 1;  // invalid DC code
   int size = t >> 5;
@@ -113,7 +136,7 @@ inline int decode_block(BitReader& br, const LutEntry* dc_lut,
       w = br.window();
       avail = 64 - int(br.pos & 7);
     }
-    int32_t e = ac_lut[w >> 48];
+    int32_t e = probe_ac32(ac_lut, w);
     if (e == 0) return 3;  // invalid AC prefix
     if (__builtin_expect(e & 32, 0)) {  // slow: len+size > 16 or size > 10
       int sym = (e >> 13) & 0xFF;
@@ -163,7 +186,7 @@ inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
                              int32_t& pred, uint64_t& mask) {
   uint64_t w = br.window();
   int avail = 64 - int(br.pos & 7);
-  LutEntry t = dc_lut[w >> 48];
+  LutEntry t = probe16(dc_lut, w);
   int len = t & 31;
   if (len == 0) return 1;
   int size = t >> 5;
@@ -183,7 +206,7 @@ inline int decode_block_mask(BitReader& br, const LutEntry* dc_lut,
       w = br.window();
       avail = 64 - int(br.pos & 7);
     }
-    int32_t e = ac_lut[w >> 48];
+    int32_t e = probe_ac32(ac_lut, w);
     if (e == 0) return 3;
     if (__builtin_expect(e & 32, 0)) {  // slow path, see decode_block
       int sym = (e >> 13) & 0xFF;
@@ -285,7 +308,7 @@ inline int skip_block(BitReader& br, const LutEntry* dc_lut,
   const int refill = 17 + max_ac;  // 27 for 8-bit, 31 for precision 12
   uint64_t w = br.window();
   int avail = 64 - int(br.pos & 7);
-  LutEntry t = dc_lut[w >> 48];
+  LutEntry t = probe16(dc_lut, w);
   int len = t & 31;
   if (len == 0) return 1;
   int size = t >> 5;
@@ -302,7 +325,7 @@ inline int skip_block(BitReader& br, const LutEntry* dc_lut,
       w = br.window();
       avail = 64 - int(br.pos & 7);
     }
-    int32_t e = ac_lut[w >> 48];
+    int32_t e = probe_ac32(ac_lut, w);
     if (e == 0) return 3;
     ++nsym;
     if (__builtin_expect(e & 32, 0)) {  // slow path, see decode_block
@@ -1902,7 +1925,7 @@ int64_t jd_prog_dc_scan(const uint8_t* data, const int64_t* seg_offsets,
               int64_t row = my * comp_v[c] + vv, col = mx * comp_h[c] + hh;
               int32_t* blk = planes[c] + (row * plane_cols[c] + col) * 64;
               if (first) {
-                LutEntry e = dc_luts[c][br.peek16()];
+                LutEntry e = probe16_idx(dc_luts[c], br.peek16());
                 int len = e & 31;
                 if (!len) return 1;
                 br.pos += len;
@@ -1922,7 +1945,7 @@ int64_t jd_prog_dc_scan(const uint8_t* data, const int64_t* seg_offsets,
         int64_t row = mcu / sc_cols, col = mcu % sc_cols;
         int32_t* blk = planes[0] + (row * plane_cols[0] + col) * 64;
         if (first) {
-          LutEntry e = dc_luts[0][br.peek16()];
+          LutEntry e = probe16_idx(dc_luts[0], br.peek16());
           int len = e & 31;
           if (!len) return 1;
           br.pos += len;
@@ -1991,7 +2014,7 @@ int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
         int k = ss;
         while (k <= se) {
           need(31);
-          LutEntry e = ac_lut[w >> 48];
+          LutEntry e = probe16(ac_lut, w);
           int len = e & 31;
           if (!len) return 3;
           int sym = e >> 5;
@@ -2021,7 +2044,7 @@ int64_t jd_prog_ac_scan(const uint8_t* data, const int64_t* seg_offsets,
         if (eobrun == 0) {
           while (k <= se) {
             need(31);
-            LutEntry e = ac_lut[w >> 48];
+            LutEntry e = probe16(ac_lut, w);
             int len = e & 31;
             if (!len) return 3;
             take(len);
@@ -2357,7 +2380,7 @@ int64_t jd_prog_skeleton_dc(const uint8_t* data, int64_t start_byte,
     }
     for (int k = 0; k < bpm; ++k) {
       int c = block_comp[k];
-      LutEntry e = dc_luts[c][br.peek16()];
+      LutEntry e = probe16_idx(dc_luts[c], br.peek16());
       int len = e & 31;
       if (!len) return 1;
       br.pos += len;
@@ -2429,7 +2452,7 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
       int k = ss;
       while (k <= se) {
         need(31);
-        LutEntry e = ac_lut[w >> 48];
+        LutEntry e = probe16(ac_lut, w);
         int len = e & 31;
         if (!len) return 3;
         ++nsym;
@@ -2466,7 +2489,7 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
       if (eobrun == 0) {
         while (k <= se) {
           need(31);
-          LutEntry e = ac_lut[w >> 48];
+          LutEntry e = probe16(ac_lut, w);
           int len = e & 31;
           if (!len) return 3;
           take(len);
@@ -2530,6 +2553,6 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
   return 0;
 }
 
-int32_t jd_abi_version() { return 20; }
+int32_t jd_abi_version() { return 21; }
 
 }  // extern "C"

@@ -690,7 +690,10 @@ def decode_ac_refine_emit(words, base_bits, nblocks, eobrun0, mcu_first,
             blk=blk2, k=k3, phase=phase3, r=r2, newval=nv1,
             eob_end=eob_end1, acc=acc2,
             err=c["err"] | bad)
-        return carry, acc1
+        # int16 ys halve the (T, S, 64) emission buffer: per band
+        # position a scan applies at most one +-(1 << al) correction or
+        # newval, and al <= 13, so |acc| <= 8192 always fits.
+        return carry, acc1.astype(jnp.int16)
 
     end, acc_ys = jax.lax.scan(step, carry0, None, length=T)
     err = end["err"] | (end["blk"] < nblocks)
@@ -855,9 +858,10 @@ def _refine_emit_core(words, base_bits, n_per, eobrun0, mcu_first, lut,
               - jnp.take(cum, jnp.clip(mcu_first, 0, n_blocks))[:, None]
               - 1)
     has = (jnp.take(evi, m_c) > 0) & (slot < n_per[:, None])
-    ys_s = acc_ys.transpose(1, 0, 2)          # (S, T, 64)
+    ys_s = acc_ys.transpose(1, 0, 2)          # (S, T, 64) int16
     delta = jnp.take_along_axis(
-        ys_s, jnp.clip(t_done, 0, T - 1)[:, :, None], axis=1)
+        ys_s, jnp.clip(t_done, 0, T - 1)[:, :, None], axis=1
+    ).astype(jnp.int32)
     delta = jnp.where(has[:, :, None], delta, 0)
     delta = jnp.take(delta, jnp.asarray(ZIGZAG_INV), axis=2)
     rows_tgt = jnp.where(
@@ -1306,46 +1310,74 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
     trace = PROG_TRACE if os.environ.get("JD_PROG_TRACE") else None
 
     def run_chain(scans):
-        # Host half: skeleton walks + lane tables for EVERY scan of the
-        # chain, then ONE fused device program applies them all (per-scan
-        # programs paid one link round trip each).  Slot maps are closed
-        # forms computed ON DEVICE ("dcd"/"ace"/"acr" kinds) — the r4
-        # host-built tgt uploads measured up to ~14 MB/scan on the H2D
-        # tunnel.
+        # Host half: skeleton walks + lane tables per scan, then fused
+        # device programs apply them (per-scan programs paid one link
+        # round trip each).  Slot maps are closed forms computed ON
+        # DEVICE ("dcd"/"ace"/"acr" kinds) — the r4 host-built tgt
+        # uploads measured up to ~14 MB/scan on the H2D tunnel.
+        #
+        # Chains of >= 3 scans split into TWO programs balanced by scan
+        # bytes: the first half's device execution overlaps the second
+        # half's (serial, CPU-bound) skeleton walks — on the 12 MP
+        # sample the luma chain's prep is ~95 ms of the critical path.
+        # JD_PROG_CHAIN_SPLIT=1 restores the single fused program.
         import time as _time
 
-        t0 = _time.perf_counter()
         planes = [jnp.zeros((r * c + 1, 64), jnp.int32)
                   for r, c in shapes]
         nzmaps: dict[int, np.ndarray] = {}
-        metas, inputs = [], []
-        for scan in scans:
-            m, inp = hybrid_scan_prep(
-                hdr, scan, nzmaps, target_lanes=target_lanes, ms=ms,
-                use_emit_refine=use_emit_refine)
-            metas.append(m)
-            inputs.append(inp)
         holder = _MeshHolder(mesh) if mesh is not None else None
-        if trace is not None:
-            trace.append(("prep", [m[0] for m in metas],
-                          (_time.perf_counter() - t0) * 1e3))
+        n_split = int(os.environ.get("JD_PROG_CHAIN_SPLIT", "2"))
+        if os.environ.get("JD_PROG_FUSE", "1") == "0":
+            # Per-scan programs (A/B reference: JD_PROG_FUSE=0).
+            errs = []
+            for scan in scans:
+                m, inp = hybrid_scan_prep(
+                    hdr, scan, nzmaps, target_lanes=target_lanes,
+                    ms=ms, use_emit_refine=use_emit_refine)
+                planes, err = _chain_step(planes, m, inp, mesh)
+                errs.append(err)
+            return planes, errs
+        groups = [scans]
+        if n_split > 1 and len(scans) >= 3:
+            sizes = np.cumsum([len(s.data) for s in scans])
+            k = min(n_split, len(scans))
+            cuts = [int(np.searchsorted(sizes, sizes[-1] * j / k)) + 1
+                    for j in range(1, k)]
+            edges = sorted({min(max(c, 1), len(scans) - 1)
+                            for c in cuts})
+            edges = [0] + edges + [len(scans)]
+            groups = [scans[a:b] for a, b in zip(edges[:-1], edges[1:])
+                      if b > a]
+        flags_all = []
+        for group in groups:
             t0 = _time.perf_counter()
-        if os.environ.get("JD_PROG_FUSE", "1") != "0":
+            metas, inputs = [], []
+            for scan in group:
+                m, inp = hybrid_scan_prep(
+                    hdr, scan, nzmaps, target_lanes=target_lanes,
+                    ms=ms, use_emit_refine=use_emit_refine)
+                metas.append(m)
+                inputs.append(inp)
+            if trace is not None:
+                trace.append(("prep", [m[0] for m in metas],
+                              (_time.perf_counter() - t0) * 1e3))
+                t0 = _time.perf_counter()
             planes_t, flags = _apply_chain(
                 tuple(planes), tuple(inputs), meta=tuple(metas),
                 mesh_holder=holder)
+            planes = list(planes_t)
+            flags_all.append(flags)
             if trace is not None:
                 trace.append(("dispatch", [m[0] for m in metas],
                               (_time.perf_counter() - t0) * 1e3))
-            return list(planes_t), [flags]
-        # Per-scan programs (A/B reference: JD_PROG_FUSE=0).
-        errs = []
-        for m, inp in zip(metas, inputs):
-            planes, err = _chain_step(planes, m, inp, mesh)
-            errs.append(err)
-        return planes, errs
+        return planes, flags_all
 
-    chain_list = list(chains.values())
+    # Largest chain first: on a small-core host the heaviest chain's
+    # serial skeleton walks are the critical path — start them before
+    # the cheap chroma chains contend for cores.
+    chain_list = sorted(chains.values(),
+                        key=lambda sc: -sum(len(s.data) for s in sc))
     # Threaded chains are safe single-process, or multihost only when
     # the programs carry no collectives (mesh is None): under
     # jax.distributed every process must enqueue collective programs in
@@ -1355,7 +1387,9 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
     if can_thread:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(min(4, len(chain_list))) as ex:
+        # 2 workers (= this box's cores): the heaviest chain's serial
+        # skeleton walks should not timeshare with every chroma chain.
+        with ThreadPoolExecutor(min(2, len(chain_list))) as ex:
             results = list(ex.map(run_chain, chain_list))
     else:
         results = [run_chain(ch) for ch in chain_list]
@@ -1379,9 +1413,11 @@ def decode_progressive_hybrid(hdr: FrameHeader, as_device: bool = False,
 
 
 def _bucket_trip(t: int) -> int:
-    """Quarter-pow2 trip-count bucket (see entropy_spec._bucket_T)."""
+    """Eighth-pow2 trip-count bucket: caps trip padding at ~12% (the
+    12 MP sample's refine scan measured 2146 events -> 2304 instead of
+    the quarter-pow2 2560) while keeping compiled variants O(log)."""
     t = max(16, int(t))
-    step = max(16, 1 << (t.bit_length() - 3))
+    step = max(16, 1 << max(t.bit_length() - 4, 0))
     return -(-t // step) * step
 
 
