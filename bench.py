@@ -497,6 +497,27 @@ def main() -> int:
         dt = timeit_chained(hybrid_step)
         onchip["entropy_onchip_hybrid_mps"] = round(mp5 / dt, 1)
 
+        # (b2) speculative (zero-host-cycles) pipeline on the same
+        # images — the A/B of record vs the hybrid route (VERDICT r4
+        # item 6): same process, same chained technique, same workload.
+        luts2_5 = jnp.asarray(entropy_flat.merged_luts(
+            h5, h5.scans[0]).reshape(2 * len(h5.components), 65536))
+        (spools, sbase, slim, sact, scap, sC) = \
+            entropy_spec.prepare_spec_batch(h5, [h5.scans[0]] * 4)
+        spec_args = tuple(jnp.asarray(a)
+                          for a in (spools, sbase, slim, sact))
+
+        def spec_step(acc):
+            p = jax.lax.optimization_barrier((spec_args[0], acc))[0]
+            blocks, ok = entropy_spec._spec_pipeline_batch(
+                p, *spec_args[1:], luts2_5, block_comp=bc5,
+                n_comps=len(h5.components), cap=scap,
+                n_mcus=lay5.n_mcus, C=sC, precision=h5.precision)
+            return blocks[0, 0, 0] + ok.sum().astype(jnp.int32)
+
+        dt = timeit_chained(spec_step)
+        onchip["entropy_onchip_spec_mps"] = round(mp5 / dt, 1)
+
         # (c) fused pixel pipeline (dequant + kron IDCT + fancy upsample
         # + color) on a synthetic 8 MP 4:2:0 frame, device-resident.
         from jpeg_decoder_tpu.ops import pixel as _pix

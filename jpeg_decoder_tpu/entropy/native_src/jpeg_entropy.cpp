@@ -2477,7 +2477,23 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
       }
       if (out_syms) out_syms[b] = nsym;
     } else {
+      // Refinement: correction-bit consumption depends only on WHICH
+      // band positions are set in ``map`` — so instead of the per-
+      // position walk, corrections are counted with popcount over the
+      // masked bitmap and skipped in bulk (refine streams are mostly
+      // correction bits; the per-bit loop was the host walk's hot spot).
       int k = ss;
+      const uint64_t bandm =
+          (se >= 63 ? ~0ull : ((1ull << (se + 1)) - 1))
+          & ~((1ull << ss) - 1ull);
+      auto bulk_skip = [&](int nc) {
+        while (nc > 0) {
+          need(31);
+          int t = nc < 31 ? nc : 31;
+          take(t);
+          nc -= t;
+        }
+      };
       // Emission-kernel event accounting: extra chunk events beyond the
       // first cap0 correction bits a phase's opening event distributes.
       int32_t ev = 0;
@@ -2512,33 +2528,36 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
             newval = true;
             pend_bits = len + 1;
           }
-          int nc = 0;
-          while (k <= se) {
-            if (map & (uint64_t(1) << k)) {
-              need(1);
-              take(1);  // correction bit
-              ++nc;
-            } else {
-              if (r == 0) break;
-              --r;
-            }
-            ++k;
+          // Zero-run to the (r+1)-th zero-history position >= k (the
+          // newval site); corrections = set bits crossed on the way.
+          const uint64_t tail = map & bandm & ~((1ull << k) - 1ull);
+          uint64_t zeros = ~map & bandm & ~((1ull << k) - 1ull);
+          int stop = -1;
+          for (int j = 0; j < r + 1 && zeros; ++j) {
+            stop = __builtin_ctzll(zeros);
+            zeros &= zeros - 1;
+            if (j < r) stop = -1;
           }
-          ev += 1 + extra(nc, 32 - pend_bits);
-          if (newval && k <= se) map |= uint64_t(1) << k;
-          ++k;
+          int nc;
+          if (stop < 0) {
+            nc = __builtin_popcountll(tail);  // run passes band end
+            bulk_skip(nc);
+            ev += 1 + extra(nc, 32 - pend_bits);
+            k = se + 1;
+          } else {
+            nc = __builtin_popcountll(tail & ((1ull << stop) - 1ull));
+            bulk_skip(nc);
+            ev += 1 + extra(nc, 32 - pend_bits);
+            if (newval) map |= 1ull << stop;
+            k = stop + 1;
+          }
         }
       }
       if (eobrun > 0) {
-        int nc = 0;
-        while (k <= se) {
-          if (map & (uint64_t(1) << k)) {
-            need(1);
-            take(1);
-            ++nc;
-          }
-          ++k;
-        }
+        int nc = (k > 63) ? 0
+                          : __builtin_popcountll(
+                                map & bandm & ~((1ull << k) - 1ull));
+        bulk_skip(nc);
         --eobrun;
         if (entered_eob)
           ev += (nc + 31) / 32;  // covered block: pure correction chunks
