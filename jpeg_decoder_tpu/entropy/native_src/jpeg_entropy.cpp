@@ -2494,11 +2494,34 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
           nc -= t;
         }
       };
-      // Emission-kernel event accounting: extra chunk events beyond the
-      // first cap0 correction bits a phase's opening event distributes.
+      // Emission-kernel event accounting with greedy SYMBOL PAIRING
+      // (mirror of decode_ac_refine_emit's packing): a phase = one
+      // symbol plus its correction bits.  A phase whose opener event
+      // fully fits (no continuation chunks), completes its zero-run
+      // inside the band (next symbol follows in the same block) and
+      // consumed <= 16 bits OPENS the event for the next phase; the
+      // next phase JOINS when its symbol bits still fit the 32-bit
+      // window, with correction cap 32 - used - sym_bits.  Pairing
+      // never crosses blocks or survives continuation chunks — the
+      // rule is local to two adjacent phases (see PairSim's dominance
+      // note; here the count is exact, not a bound, because the kernel
+      // executes the same automaton).
       int32_t ev = 0;
       auto extra = [](int nc, int cap0) -> int32_t {
         return nc <= cap0 ? 0 : (nc - cap0 + 31) / 32;
+      };
+      bool open = false;
+      int used = 0;
+      auto phase_ev = [&](int sym_b, int nc, bool completes_run) {
+        if (open && used + sym_b <= 32) {
+          ev += extra(nc, 32 - used - sym_b);
+          open = false;
+        } else {
+          int extras = extra(nc, 32 - sym_b);
+          ev += 1 + extras;
+          open = (extras == 0) && completes_run && (sym_b + nc <= 16);
+          used = sym_b + nc;
+        }
       };
       int pend_bits = 0;  // symbol bits of an EOB opened THIS block
       bool entered_eob = eobrun > 0;
@@ -2542,12 +2565,12 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
           if (stop < 0) {
             nc = __builtin_popcountll(tail);  // run passes band end
             bulk_skip(nc);
-            ev += 1 + extra(nc, 32 - pend_bits);
+            phase_ev(pend_bits, nc, false);
             k = se + 1;
           } else {
             nc = __builtin_popcountll(tail & ((1ull << stop) - 1ull));
             bulk_skip(nc);
-            ev += 1 + extra(nc, 32 - pend_bits);
+            phase_ev(pend_bits, nc, stop + 1 <= se);
             if (newval) map |= 1ull << stop;
             k = stop + 1;
           }
@@ -2562,7 +2585,7 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
         if (entered_eob)
           ev += (nc + 31) / 32;  // covered block: pure correction chunks
         else
-          ev += 1 + extra(nc, 32 - pend_bits);  // EOB decoded this block
+          phase_ev(pend_bits, nc, false);  // EOB decoded this block
       }
       if (out_syms) out_syms[b] = ev;
     }

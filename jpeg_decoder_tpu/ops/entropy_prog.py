@@ -151,13 +151,37 @@ def decode_dc_first(words, base_bits, nblocks, pred0, luts2d, *,
 
 def dc_refine_bits(words, base_bits, nblocks, max_blocks: int, al: int):
     """DC refinement (ss=0, ah>0): block i of a lane reads exactly bit
-    ``base + i`` — closed form, ONE vectorized gather, no kernel.
+    ``base + i`` — closed form, no kernel.
 
-    Returns (S, max_blocks) int32 deltas (``bit << al``; the target bit of
-    every DC value is zero entering the scan, so |= == +=).
+    Each lane's bits are CONTIGUOUS, so the single-lane case (the DRI=0
+    hybrid path) unpacks one dynamic word slice instead of paying a
+    per-element gather (measured ~10 ms for the 12 MP sample's 566k
+    positions); multi-lane tables keep the vectorized gather.
+
+    Returns (S, max_blocks) int32 deltas (``bit << al``; the target bit
+    of every DC value is zero entering the scan, so |= == +=).
     Parity: entropy/progressive._dc_scan refinement branch."""
     S = base_bits.shape[0]
     n_words = words.shape[0]
+    if S == 1:
+        nw = max_blocks // 32 + 2
+        w0 = jnp.minimum((base_bits[0] >> 5).astype(jnp.int32),
+                         jnp.int32(max(n_words - nw, 0)))
+        ws = jax.lax.dynamic_slice(
+            words, (w0,), (min(nw, n_words),))
+        iota32 = jnp.arange(32, dtype=jnp.uint32)
+        allbits = ((ws[:, None] >> (31 - iota32)[None, :]) & 1).reshape(-1)
+        # Pad so the slice below stays in bounds even for degenerate
+        # tiny word pools (truncated streams read zeros, like the
+        # gather path's clamp).  Pad size is static.
+        pad = max(64, max_blocks + 64 - min(nw, n_words) * 32)
+        allbits = jnp.concatenate(
+            [allbits, jnp.zeros(pad, allbits.dtype)])
+        off = jnp.clip(base_bits[0].astype(jnp.int32) - w0 * 32,
+                       0, allbits.shape[0] - max_blocks)
+        bit = jax.lax.dynamic_slice(allbits, (off,), (max_blocks,))
+        valid = jnp.arange(max_blocks, dtype=jnp.int32) < nblocks[0]
+        return jnp.where(valid, bit.astype(jnp.int32) << al, 0)[None]
     slot = jnp.arange(max_blocks, dtype=jnp.int32)[None, :]
     pos = base_bits[:, None].astype(jnp.int32) + slot
     w = jnp.take(words, jnp.minimum(pos >> 5, n_words - 1))
@@ -573,49 +597,12 @@ def decode_ac_refine_emit(words, base_bits, nblocks, eobrun0, mcu_first,
         acc=jnp.zeros((S, 64), jnp.int32),
         err=jnp.zeros((S,), jnp.bool_))
 
-    def step(c, _):
-        active = ~c["err"] & (c["blk"] < nblocks)
-        m = jnp.clip(c["blk"] + mcu_first, 0, n_rows_zz - 2)
-        cur_vals = jnp.take(zz_rows, m, axis=0)        # (S, 64) zigzag
-        hist_nz = cur_vals != 0
-        corr_step = jnp.where(cur_vals > 0, p1, -p1)
-        guard_ok = (cur_vals & p1) == 0
-        window = _window32(c["cur"], c["nxt"], c["off"])
-
-        # --- SYM (phase 0 lanes): one probe, merged with corrections
-        needsym = active & (c["phase"] == 0)
-        entry = jnp.take(lut, (window >> 16).astype(jnp.int32)
-                         ).astype(jnp.int32)
-        length = (entry & 31).astype(jnp.uint32)
-        sym = (entry >> 5) & 0xFF
-        r_s = sym >> 4
-        sz = sym & 15
-        bad = needsym & ((entry == 0) | ((sz != 0) & (sz != 1)))
-        is_eobr = (sz == 0) & (r_s < 15)
-        ebits = jnp.where(
-            r_s == 0, jnp.uint32(0),
-            (window << length)
-            >> (32 - jnp.maximum(r_s, 1).astype(jnp.uint32)))
-        n_eob = (1 << r_s) + jnp.where(r_s > 0, ebits, 0).astype(jnp.int32)
-        nv_bit = (window << length) >> 31
-        newval_s = jnp.where(sz == 1,
-                             jnp.where(nv_bit == 1, p1, -p1), 0)
-        sym_ok = needsym & ~bad
-        symbits = jnp.where(
-            sym_ok,
-            length + jnp.where(is_eobr, r_s.astype(jnp.uint32),
-                               sz.astype(jnp.uint32)),
-            jnp.uint32(0))
-        phase1 = jnp.where(sym_ok, jnp.where(is_eobr, 2, 1), c["phase"])
-        r1 = jnp.where(sym_ok & ~is_eobr, r_s, c["r"])
-        nv1 = jnp.where(sym_ok & ~is_eobr, newval_s, c["newval"])
-        eob_end1 = jnp.where(sym_ok & is_eobr,
-                             c["blk"] + n_eob - 1, c["eob_end"])
-
-        # --- correction distribution (every live lane, RUN or TAIL)
-        corr_live = active & ~bad
-        is_run = phase1 == 1
-        valid = (lane64 >= c["k"][:, None]) & (lane64 <= se)
+    def corr_dist(live, is_run, k, r1, nv1, window, shift, cap,
+                  hist_nz, corr_step, guard_ok):
+        """Distribute up to ``cap`` correction bits (starting ``shift``
+        bits into ``window``) toward the pending zero-run stop (RUN) or
+        band end (TAIL).  All outputs are gated on ``live``."""
+        valid = (lane64 >= k[:, None]) & (lane64 <= se)
         nzv = valid & hist_nz
         zv = valid & ~hist_nz
         zrank = jnp.cumsum(zv.astype(jnp.int32), axis=1)
@@ -627,49 +614,128 @@ def decode_ac_refine_emit(words, base_bits, nblocks, eobrun0, mcu_first,
         crank = jnp.cumsum(crossed.astype(jnp.int32), axis=1) \
             - crossed.astype(jnp.int32)
         n_cross = jnp.sum(crossed.astype(jnp.int32), axis=1)
-        cap_ev = (32 - symbits).astype(jnp.int32)
-        take_n = jnp.minimum(n_cross, cap_ev)
+        take_n = jnp.clip(jnp.minimum(n_cross, cap), 0, 32)
         use = crossed & (crank < take_n[:, None])
-        shifted = window << symbits
+        shifted = window << jnp.minimum(shift, 31)
         bitw = (shifted[:, None]
                 >> (31 - jnp.minimum(crank, 31)).astype(jnp.uint32)) & 1
-        do_corr = corr_live[:, None] & use & (bitw == 1) & guard_ok
+        do_corr = live[:, None] & use & (bitw == 1) & guard_ok
         delta = jnp.where(do_corr, corr_step, 0)
-        partial = corr_live & (n_cross > cap_ev)
+        partial = live & (n_cross > cap)
         j_cut = jnp.min(jnp.where(
             crossed & (crank == (take_n - 1)[:, None]), lane64, 64),
             axis=1)
-        k_resume = jnp.minimum(j_cut + 1, 64)
-        zeros_used = jnp.sum(
-            (zv & (lane64 <= j_cut[:, None])).astype(jnp.int32), axis=1)
+        k_resume = jnp.where(take_n > 0, jnp.minimum(j_cut + 1, 64), k)
+        zeros_used = jnp.where(
+            take_n > 0,
+            jnp.sum((zv & (lane64 <= j_cut[:, None])).astype(jnp.int32),
+                    axis=1), 0)
         place = is_run & has_stop & (nv1 != 0)
         delta = delta + jnp.where(
-            (corr_live & place & ~partial)[:, None]
+            (live & place & ~partial)[:, None]
             & (lane64 == p_stop[:, None]),
             nv1[:, None], 0)
         k_full = jnp.where(is_run & has_stop, p_stop + 1, 65)
-        acc1 = c["acc"] + jnp.where(corr_live[:, None], delta, 0)
+        k2 = jnp.where(live, jnp.where(partial, k_resume, k_full), k)
+        r2 = jnp.where(live & is_run & partial, r1 - zeros_used, r1)
+        blk_done = live & ~partial & ((~is_run) | (k_full > se))
+        complete = live & ~partial & is_run & has_stop & (k_full <= se)
+        return dict(delta=delta, partial=partial, k=k2, r=r2,
+                    take_n=take_n, blk_done=blk_done, complete=complete)
 
-        # --- transitions
-        k2 = jnp.where(corr_live,
-                       jnp.where(partial, k_resume, k_full), c["k"])
-        r2 = jnp.where(corr_live & is_run & partial,
-                       r1 - zeros_used, r1)
-        phase2 = jnp.where(
-            corr_live & ~partial & is_run & has_stop & (k_full <= se),
-            0, phase1)
-        blk_done = corr_live & ~partial & ((~is_run) | (k_full > se))
+    def sym_fields(window, live):
+        """One refine symbol probe from the window top."""
+        entry = jnp.take(lut, (window >> 16).astype(jnp.int32)
+                         ).astype(jnp.int32)
+        length = (entry & 31).astype(jnp.uint32)
+        sym = (entry >> 5) & 0xFF
+        r_s = sym >> 4
+        sz = sym & 15
+        bad = live & ((entry == 0) | ((sz != 0) & (sz != 1)))
+        is_eobr = (sz == 0) & (r_s < 15)
+        ebits = jnp.where(
+            r_s == 0, jnp.uint32(0),
+            (window << length)
+            >> (32 - jnp.maximum(r_s, 1).astype(jnp.uint32)))
+        n_eob = (1 << r_s) + jnp.where(r_s > 0, ebits, 0).astype(jnp.int32)
+        nv_bit = (window << length) >> 31
+        newval = jnp.where(sz == 1, jnp.where(nv_bit == 1, p1, -p1), 0)
+        ok = live & ~bad
+        symbits = jnp.where(
+            ok,
+            length + jnp.where(is_eobr, r_s.astype(jnp.uint32),
+                               sz.astype(jnp.uint32)),
+            jnp.uint32(0))
+        return dict(bad=bad, ok=ok, is_eobr=is_eobr, n_eob=n_eob,
+                    newval=newval, symbits=symbits, r=r_s)
+
+    def step(c, _):
+        active = ~c["err"] & (c["blk"] < nblocks)
+        m = jnp.clip(c["blk"] + mcu_first, 0, n_rows_zz - 2)
+        cur_vals = jnp.take(zz_rows, m, axis=0)        # (S, 64) zigzag
+        hist_nz = cur_vals != 0
+        corr_step = jnp.where(cur_vals > 0, p1, -p1)
+        guard_ok = (cur_vals & p1) == 0
+        window = _window32(c["cur"], c["nxt"], c["off"])
+
+        # --- phase A: SYM probe (phase 0 lanes) merged with corrections
+        needsym = active & (c["phase"] == 0)
+        A = sym_fields(window, needsym)
+        sym_ok = A["ok"]
+        phase1 = jnp.where(sym_ok, jnp.where(A["is_eobr"], 2, 1),
+                           c["phase"])
+        r1 = jnp.where(sym_ok & ~A["is_eobr"], A["r"], c["r"])
+        nv1 = jnp.where(sym_ok & ~A["is_eobr"], A["newval"], c["newval"])
+        eob_end1 = jnp.where(sym_ok & A["is_eobr"],
+                             c["blk"] + A["n_eob"] - 1, c["eob_end"])
+        corr_live = active & ~A["bad"]
+        is_runA = phase1 == 1
+        capA = (32 - A["symbits"]).astype(jnp.int32)
+        rA = corr_dist(corr_live, is_runA, c["k"], r1, nv1, window,
+                       A["symbits"], capA, hist_nz, corr_step, guard_ok)
+        consumedA = A["symbits"] + rA["take_n"].astype(jnp.uint32)
+
+        # --- phase B: greedy symbol pairing (mirror of the skeleton's
+        # phase_ev automaton, ABI 21): when A's event opened with a
+        # symbol, completed its run inside the band and consumed <= 16
+        # bits, a SECOND symbol decodes from the same window, its
+        # corrections capped at the remaining bits.
+        pairB = sym_ok & rA["complete"] & (consumedA <= 16)
+        windowB = window << jnp.minimum(consumedA, 31)
+        B = sym_fields(windowB, pairB)
+        fitB = pairB & ~B["bad"] & (consumedA + B["symbits"] <= 32)
+        is_runB = fitB & ~B["is_eobr"]
+        rB1 = jnp.where(is_runB, B["r"], 0)
+        nvB = jnp.where(is_runB, B["newval"], 0)
+        capB = jnp.clip(
+            32 - (consumedA + B["symbits"]).astype(jnp.int32), 0, 32)
+        rB = corr_dist(fitB, is_runB, rA["k"], rB1, nvB, windowB,
+                       B["symbits"], capB, hist_nz, corr_step, guard_ok)
+
+        acc1 = c["acc"] + rA["delta"] + rB["delta"]
+
+        # --- state merge (B outcomes override A's where B consumed)
+        phase2 = jnp.where(corr_live & rA["complete"], 0, phase1)
+        phase2 = jnp.where(fitB, jnp.where(B["is_eobr"], 2, 1), phase2)
+        phase2 = jnp.where(fitB & rB["complete"], 0, phase2)
+        k2 = jnp.where(fitB, rB["k"], rA["k"])
+        r2 = jnp.where(fitB, jnp.where(B["is_eobr"], rA["r"], rB["r"]),
+                       rA["r"])
+        nv2 = jnp.where(fitB & ~B["is_eobr"], B["newval"], nv1)
+        eob_end2 = jnp.where(fitB & B["is_eobr"],
+                             c["blk"] + B["n_eob"] - 1, eob_end1)
+        blk_done = rA["blk_done"] | (fitB & rB["blk_done"])
 
         # --- block advance (with free skip of zero-correction covered
         # blocks; matches the skeleton's zero-event accounting)
         nxt_b = c["blk"] + 1
-        covered = eob_end1 >= nxt_b
+        covered = eob_end2 >= nxt_b
         # nextp[m + 1] rides column 0 of the current block's row (the DC
         # slot an AC band never reads) — no extra gather.
         np_rel = cur_vals[:, 0] - mcu_first
-        jump_tail = covered & (np_rel <= eob_end1)
+        jump_tail = covered & (np_rel <= eob_end2)
         cand = jnp.where(covered,
-                         jnp.where(jump_tail, np_rel, eob_end1 + 1),
+                         jnp.where(jump_tail, np_rel, eob_end2 + 1),
                          nxt_b)
         blk2 = jnp.where(blk_done, cand, c["blk"])
         phase3 = jnp.where(blk_done,
@@ -677,8 +743,8 @@ def decode_ac_refine_emit(words, base_bits, nblocks, eobrun0, mcu_first,
         k3 = jnp.where(blk_done, ss, k2)
         acc2 = jnp.where(blk_done[:, None], 0, acc1)
 
-        adv = jnp.where(corr_live,
-                        symbits + take_n.astype(jnp.uint32), 0)
+        adv = jnp.where(corr_live, consumedA, 0) + jnp.where(
+            fitB, B["symbits"] + rB["take_n"].astype(jnp.uint32), 0)
         offp = c["off"] + adv
         need = offp >= 32
         loaded = jnp.take(words, jnp.minimum(c["w_idx"], n_words - 1))
@@ -687,9 +753,9 @@ def decode_ac_refine_emit(words, base_bits, nblocks, eobrun0, mcu_first,
             nxt=jnp.where(need, loaded, c["nxt"]),
             off=offp - jnp.where(need, 32, 0).astype(jnp.uint32),
             w_idx=c["w_idx"] + need,
-            blk=blk2, k=k3, phase=phase3, r=r2, newval=nv1,
-            eob_end=eob_end1, acc=acc2,
-            err=c["err"] | bad)
+            blk=blk2, k=k3, phase=phase3, r=r2, newval=nv2,
+            eob_end=eob_end2, acc=acc2,
+            err=c["err"] | A["bad"] | B["bad"])
         # int16 ys halve the (T, S, 64) emission buffer: per band
         # position a scan applies at most one +-(1 << al) correction or
         # newval, and al <= 13, so |acc| <= 8192 always fits.

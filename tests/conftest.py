@@ -41,3 +41,24 @@ def oracle():
     if not oracle_mod.available():
         pytest.skip("oracle toolchain unavailable")
     return oracle_mod
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_programs():
+    """Drop jax's compiled-executable caches between test MODULES.
+
+    Every compiled XLA CPU executable holds several memory mappings;
+    the suite compiles hundreds of program variants and a long pytest
+    process walks into vm.max_map_count (default 65530) late in the
+    run — LLVM then fails its code-page mmap ("Cannot allocate
+    memory") and the process segfaults.  Clearing per module keeps the
+    map count bounded at a small recompile cost; within-module sharing
+    (the expensive, shape-heavy fixtures) is preserved.
+    """
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
