@@ -60,7 +60,7 @@ def _load():
             return _lib
         lib = ctypes.CDLL(_compile())
         lib.jd_abi_version.restype = ctypes.c_int32
-        if lib.jd_abi_version() != 21:
+        if lib.jd_abi_version() != 22:
             raise RuntimeError("jpeg_entropy ABI mismatch")
         lib.jd_prog_skeleton_dc.restype = ctypes.c_int64
         lib.jd_prog_skeleton_dc.argtypes = [
@@ -146,6 +146,23 @@ def _load():
             ctypes.c_int64,                     # n_mcus
             ctypes.c_void_p, ctypes.c_int32,    # out, n_threads
             ctypes.c_int32,                     # n_chunks
+        ]
+        lib.jd_emit_prep.restype = ctypes.c_int64
+        lib.jd_emit_prep.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,    # data, data_len
+            ctypes.c_void_p, ctypes.c_int32,    # seg_offsets, n_segments
+            ctypes.c_int32,                     # n_comps
+            ctypes.c_void_p, ctypes.c_void_p,   # h, v
+            ctypes.c_void_p, ctypes.c_void_p,   # dc_luts, ac_luts
+            ctypes.c_int64, ctypes.c_int64,     # n_mcus, restart_interval
+            ctypes.c_int32, ctypes.c_int32,     # precision, max_chunks
+            ctypes.c_int32, ctypes.c_int32,     # cap_factor, target_steps
+            ctypes.c_void_p, ctypes.c_void_p,   # scratch bits, syms
+            ctypes.c_void_p,                    # scratch pairs
+            ctypes.c_void_p, ctypes.c_void_p,   # out_m_lo, out_nm
+            ctypes.c_void_p,                    # out_starts
+            ctypes.c_void_p, ctypes.c_void_p,   # out_T_sym, out_T_pair
+            ctypes.c_void_p, ctypes.c_int32,    # out_L, n_threads
         ]
         lib.jd_skeleton_scan.restype = ctypes.c_int64
         lib.jd_skeleton_scan.argtypes = [
@@ -691,6 +708,63 @@ def skeleton_scan_segments(hdr: FrameHeader, scan: ScanHeader):
                 f"skeleton scan failed in segment {s} (code {rc})")
         bits[m0:m1] += lo * 8
     return bits, syms, pairs
+
+
+def emit_prep(hdr: FrameHeader, scan: ScanHeader, *,
+              max_chunks: int = 512, cap_factor: int = 4,
+              target_steps: int = 1300, n_threads: int | None = None):
+    """One-call emit-lane prep (jd_emit_prep, ABI 22): per-segment
+    skeleton walks (threaded in C++), pair-balanced lane boundaries
+    with segment starts forced, exact per-lane trip maxima.
+
+    Returns (m_lo (L,) int64 first MCU per lane, nm (L,) int32,
+    starts (L,) int32 bit offsets, T_sym, T_pair).
+    Raises JPEGError on malformed streams (callers fall back)."""
+    lib = _load()
+    lay = scan_layout(hdr)
+    comps = hdr.components
+    if hdr.precision not in (8, 12):
+        raise JPEGError(f"unsupported precision {hdr.precision}")
+    data = _padded(scan)
+    ri = scan.restart_interval
+    seg_offsets = np.ascontiguousarray(scan.seg_offsets, np.int64)
+    n_segments = len(seg_offsets) - 1
+    expected = -(-lay.n_mcus // ri) if ri else 1
+    if n_segments != expected:
+        raise JPEGError(
+            f"restart-segment count {n_segments} does not match DRI {ri}")
+    h = np.array([c.h for c in comps], np.int32)
+    v = np.array([c.v for c in comps], np.int32)
+    dc_luts = [_lut16(scan.dc_specs[c.td]) for c in comps]
+    ac_luts = [_lut32ac(scan.ac_specs[c.ta]) for c in comps]
+    PtrArray = ctypes.c_void_p * len(comps)
+    dc_ptrs = PtrArray(*[a.ctypes.data for a in dc_luts])
+    ac_ptrs = PtrArray(*[a.ctypes.data for a in ac_luts])
+    n_mcus = lay.n_mcus
+    sb = np.zeros(n_mcus, np.int64)
+    ss_ = np.zeros(n_mcus, np.int32)
+    sp = np.zeros(n_mcus, np.int32)
+    cap_out = max_chunks + 2 * n_segments + 8
+    m_lo = np.zeros(cap_out, np.int64)
+    nm = np.zeros(cap_out, np.int32)
+    starts = np.zeros(cap_out, np.int32)
+    t_sym = ctypes.c_int64(0)
+    t_pair = ctypes.c_int64(0)
+    n_l = ctypes.c_int32(0)
+    rc = lib.jd_emit_prep(
+        data.ctypes.data, len(scan.data),
+        seg_offsets.ctypes.data, n_segments,
+        len(comps), h.ctypes.data, v.ctypes.data, dc_ptrs, ac_ptrs,
+        n_mcus, ri, hdr.precision, max_chunks, cap_factor, target_steps,
+        sb.ctypes.data, ss_.ctypes.data, sp.ctypes.data,
+        m_lo.ctypes.data, nm.ctypes.data, starts.ctypes.data,
+        ctypes.byref(t_sym), ctypes.byref(t_pair), ctypes.byref(n_l),
+        n_threads if n_threads is not None else min(_NCPU, 4))
+    if rc != 0:
+        raise JPEGError(f"emit prep failed (code {rc})")
+    L = int(n_l.value)
+    return (m_lo[:L], nm[:L], starts[:L], int(t_sym.value),
+            int(t_pair.value))
 
 
 def decode_scan_packed(hdr: FrameHeader, scan: ScanHeader,

@@ -22,6 +22,7 @@
 #include <atomic>
 #include <algorithm>
 #include <memory>
+#include <cmath>
 
 namespace {
 
@@ -2595,6 +2596,123 @@ int64_t jd_prog_skeleton_ac(const uint8_t* data, int64_t start_byte,
   return 0;
 }
 
-int32_t jd_abi_version() { return 21; }
+// Emit-lane prep for ONE image (VERDICT r4 item 4): per-segment
+// skeleton walks (threaded), pair-balanced lane boundaries with
+// segment starts forced, and exact per-lane trip maxima — the whole
+// host half of prepare_hybrid_batch_emit minus the pool fill, in one
+// call (the Python version paid one ctypes call PER SEGMENT plus
+// python bounds loops; restart corpora have 50+ segments/image).
+//
+// scratch_*: caller-provided (n_mcus,) work arrays (kept so repeated
+// calls allocate nothing).  out_m_lo/out_nm/out_starts are sized by
+// the caller to at least max_chunks + n_segments + 1 lanes.  Returns
+// 0 on success (out_L lanes written) or the skeleton error code.
+int64_t jd_emit_prep(const uint8_t* data, int64_t data_len,
+                     const int64_t* seg_offsets, int32_t n_segments,
+                     int32_t n_comps, const int32_t* h, const int32_t* v,
+                     const int16_t* const* dc_luts,
+                     const int32_t* const* ac_luts,
+                     int64_t n_mcus, int64_t restart_interval,
+                     int32_t precision, int32_t max_chunks,
+                     int32_t cap_factor, int32_t target_steps,
+                     int64_t* scratch_bits, int32_t* scratch_syms,
+                     int32_t* scratch_pairs,
+                     int64_t* out_m_lo, int32_t* out_nm,
+                     int32_t* out_starts,
+                     int64_t* out_T_sym, int64_t* out_T_pair,
+                     int32_t* out_L, int32_t n_threads) {
+  if (n_comps < 1 || n_comps > kMaxComps || n_segments < 1) return -1;
+  const int64_t per_seg = restart_interval ? restart_interval : n_mcus;
+  if (int64_t(n_segments) * per_seg < n_mcus) return -4;
+  // Per-segment position-only walks (independent: DC reset + byte
+  // alignment at RSTn, jpeg.cpp:419-425).
+  int64_t rc = run_segments(n_segments, n_threads, [&](int sg) -> int {
+    const int64_t m0 = int64_t(sg) * per_seg;
+    if (m0 >= n_mcus) return 0;
+    const int64_t m1 = std::min<int64_t>(n_mcus, m0 + per_seg);
+    const int64_t lo = seg_offsets[sg], hi = seg_offsets[sg + 1];
+    int64_t r = jd_skeleton_scan(
+        data + lo, hi - lo, n_comps, h, v, dc_luts, ac_luts, m1 - m0, 1,
+        scratch_bits + m0, scratch_syms + m0, scratch_pairs + m0,
+        precision);
+    if (r) return int(r & 0xFF) ? int(r & 0xFF) : 1;
+    for (int64_t m = m0; m < m1; ++m) scratch_bits[m] += lo * 8;
+    return 0;
+  });
+  if (rc) return rc;
+
+  // Cumulative sym/pair counts (int64) with cum[0] = 0.
+  std::vector<int64_t> cums(n_mcus + 1), cump(n_mcus + 1);
+  cums[0] = cump[0] = 0;
+  for (int64_t m = 0; m < n_mcus; ++m) {
+    cums[m + 1] = cums[m] + scratch_syms[m];
+    cump[m + 1] = cump[m] + scratch_pairs[m];
+  }
+  const int64_t total = std::max<int64_t>(1, cump[n_mcus]);
+  int64_t c_goal = (total + std::max(64, target_steps) - 1)
+                   / std::max(64, target_steps);
+  c_goal = std::max<int64_t>(
+      1, std::min<int64_t>(std::min<int64_t>(max_chunks, n_mcus), c_goal));
+
+  // Pair-balanced boundaries, segment starts forced (a lane never
+  // decodes across the byte-alignment gap); cap_nm bounds lane MCU
+  // counts (mirror of the Python image_bounds).
+  int32_t L_out = 0;
+  int64_t T_sym = 0, T_pair = 0;
+  auto push = [&](int64_t lo_m, int64_t hi_m) {
+    out_m_lo[L_out] = lo_m;
+    out_nm[L_out] = int32_t(hi_m - lo_m);
+    out_starts[L_out] =
+        int32_t(scratch_bits[std::min(lo_m, n_mcus - 1)]);
+    T_sym = std::max(T_sym, cums[hi_m] - cums[lo_m]);
+    T_pair = std::max(T_pair, cump[hi_m] - cump[lo_m]);
+    ++L_out;
+  };
+  for (int sg = 0; sg < n_segments; ++sg) {
+    const int64_t a = std::min<int64_t>(int64_t(sg) * per_seg, n_mcus);
+    const int64_t bseg =
+        std::min<int64_t>(int64_t(sg + 1) * per_seg, n_mcus);
+    if (bseg <= a) break;
+    const int64_t cs = cump[bseg] - cump[a];
+    int64_t L = int64_t(llround(double(c_goal) * double(cs)
+                                / double(total)));
+    if (L < 1) L = 1;
+    L = std::min<int64_t>(L, bseg - a);
+    const int64_t cap_nm = std::max<int64_t>(
+        1, ((bseg - a) * cap_factor + L - 1) / L);
+    int64_t lo_m = a;
+    for (int64_t i = 0; i < L; ++i) {
+      int64_t want;
+      if (i < L - 1) {
+        const double tgt =
+            double(cump[a])
+            + double(cump[bseg] - cump[a]) * double(i + 1) / double(L);
+        // searchsorted-left over cump[a..bseg]
+        int64_t loi = a, hii = bseg;
+        while (loi < hii) {
+          int64_t mid = (loi + hii) / 2;
+          if (double(cump[mid]) < tgt) loi = mid + 1; else hii = mid;
+        }
+        want = loi;
+      } else {
+        want = bseg;
+      }
+      int64_t hi_m = std::min<int64_t>(
+          std::min<int64_t>(std::max(want, lo_m), lo_m + cap_nm), bseg);
+      hi_m = std::max(hi_m, bseg - (L - 1 - i) * cap_nm);
+      if (hi_m > lo_m) {
+        push(lo_m, hi_m);
+        lo_m = hi_m;
+      }
+    }
+    if (lo_m != bseg) push(lo_m, bseg);
+  }
+  *out_T_sym = T_sym;
+  *out_T_pair = T_pair;
+  *out_L = L_out;
+  return 0;
+}
+
+int32_t jd_abi_version() { return 22; }
 
 }  // extern "C"

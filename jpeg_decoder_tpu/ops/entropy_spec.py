@@ -649,9 +649,14 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
     nbytes = [int(len(s.data)) for s in scans]
     W = (max(nbytes) + 3) // 4 + 2
     pools = np.zeros((B, W), np.uint32)
-    scanned: list = [None] * B
+    lanes: list = [None] * B
     skel_ok = np.zeros(B, bool)
 
+    # Per-image one-call C++ prep (jd_emit_prep, ABI 22): per-segment
+    # skeleton walks, pair-balanced lane boundaries and exact per-lane
+    # trip maxima all happen native-side — the prior shape paid one
+    # ctypes call per SEGMENT plus Python bounds loops (VERDICT r4
+    # item 4).
     def scan_one(b):
         s = scans[b]
         n = nbytes[b]
@@ -659,7 +664,10 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
         pad[:n] = np.asarray(s.data, np.uint8)
         pools[b] = pad.view(">u4")
         try:
-            scanned[b] = native.skeleton_scan_segments(hdr, s)
+            lanes[b] = native.emit_prep(
+                hdr, s, max_chunks=max_chunks, cap_factor=cap_factor,
+                target_steps=target_steps,
+                n_threads=1 if threads == 1 else None)
         except JPEGError:
             return
         skel_ok[b] = True
@@ -671,62 +679,22 @@ def prepare_hybrid_batch_emit(hdr: FrameHeader, scans: list, *,
         for b in range(B):
             scan_one(b)
 
-    pairs_max = max((int(scanned[b][2].sum()) for b in range(B)
-                     if skel_ok[b]), default=64)
-    C_goal = max(1, min(max_chunks, n_mcus,
-                        -(-pairs_max // max(64, target_steps))))
-    seg_edges = list(seg_lo) + [n_mcus]
-
-    def image_bounds(cum):
-        """Equal-symbol lane boundaries, segment starts forced (a lane
-        never decodes across the segment byte-alignment gap)."""
-        total = max(1, int(cum[-1]))
-        bounds = [0]
-        for s in range(len(seg_lo)):
-            a, bseg = seg_edges[s], seg_edges[s + 1]
-            cs = int(cum[bseg] - cum[a])
-            L = max(1, min(bseg - a,
-                           int(round(C_goal * cs / total)) or 1))
-            cap_nm = max(1, -(-(bseg - a) * cap_factor // L))
-            tgt = np.linspace(cum[a], cum[bseg], L + 1)[1:-1]
-            want = np.searchsorted(cum, tgt)
-            lo = a
-            for i in range(L):
-                hi = int(want[i]) if i < L - 1 else bseg
-                hi = min(max(hi, lo), lo + cap_nm, bseg)
-                hi = max(hi, bseg - (L - 1 - i) * cap_nm)
-                if hi > lo:
-                    bounds.append(hi)
-                    lo = hi
-            if bounds[-1] != bseg:
-                bounds.append(bseg)
-        return np.asarray(bounds, np.int64)
-
-    per_img = [image_bounds(np.concatenate(
-        [[0], np.cumsum(scanned[b][2].astype(np.int64))]))
-        if skel_ok[b] else None for b in range(B)]
-    C = max((len(bd) - 1 for bd in per_img if bd is not None), default=1)
-
+    C = max((len(ln[0]) for ln in lanes if ln is not None), default=1)
     starts_rel = np.zeros((B, C), np.int32)
     nm_lane = np.zeros((B, C), np.int32)
     lane_off = np.zeros((B, C), np.int32)
     T = 64
     T2 = 64
     for b in range(B):
-        if per_img[b] is None:
+        if lanes[b] is None:
             continue
-        bits, syms, pairs = scanned[b]
-        cum = np.concatenate([[0], np.cumsum(syms.astype(np.int64))])
-        cump = np.concatenate([[0], np.cumsum(pairs.astype(np.int64))])
-        bounds = per_img[b]
-        m_lo, m_hi = bounds[:-1], bounds[1:]
+        m_lo, nm, starts, t_sym, t_pair = lanes[b]
         k = len(m_lo)
-        nm_lane[b, :k] = (m_hi - m_lo).astype(np.int32)
-        starts_rel[b, :k] = bits[np.minimum(m_lo, n_mcus - 1)].astype(
-            np.int32)
+        nm_lane[b, :k] = nm
+        starts_rel[b, :k] = starts
         lane_off[b, :k] = (m_lo * bpm * 64).astype(np.int32)
-        T = max(T, int((cum[m_hi] - cum[m_lo]).max()))
-        T2 = max(T2, int((cump[m_hi] - cump[m_lo]).max()))
+        T = max(T, t_sym)
+        T2 = max(T2, t_pair)
     return (pools, starts_rel, nm_lane, lane_off, _bucket_T(T),
             _bucket_T(T2), C, seg_first_mcu, skel_ok)
 

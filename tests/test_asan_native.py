@@ -37,6 +37,7 @@ def all_backends(hdr):
     native.decode_scan_slots(hdr, scan, 16)
     native.decode_scan_subset(hdr, scan)
     native.skeleton_scan_segments(hdr, scan)  # r4: pair-sim counting
+    native.emit_prep(hdr, scan)               # r5: one-call lane prep
     if len(scan.seg_offsets) == 2:
         native.decode_scan_speculative(hdr, scan)
 
@@ -73,6 +74,7 @@ hdr12 = parser.parse(np.frombuffer(b12, np.uint8))
 assert hdr12.precision == 12
 native.decode_scan_baseline(hdr12, hdr12.scans[0])
 native.skeleton_scan_segments(hdr12, hdr12.scans[0])
+native.emit_prep(hdr12, hdr12.scans[0])
 
 rng = np.random.default_rng(0)
 blob = open('/root/reference/images/img2.jpg', 'rb').read()
