@@ -331,7 +331,7 @@ def main() -> int:
 
             run_prog_dev()  # warm (compiles)
             best = float("inf")
-            for _ in range(3):
+            for _ in range(6):
                 t0 = time.perf_counter()
                 run_prog_dev()
                 best = min(best, time.perf_counter() - t0)
