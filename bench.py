@@ -331,13 +331,16 @@ def main() -> int:
 
             run_prog_dev()  # warm (compiles)
             best = float("inf")
+            prog_probes = []
             for _ in range(6):
+                prog_probes.append(round(h2d_probe(), 1))
                 t0 = time.perf_counter()
                 run_prog_dev()
                 best = min(best, time.perf_counter() - t0)
             prog_dev_mps = pmp / best
             log(f"progressive device path ({pmp:.1f} MP sample): "
-                f"{prog_dev_mps:.1f} MP/s (device lane kernels)")
+                f"{prog_dev_mps:.1f} MP/s (device lane kernels; H2D "
+                f"probes {prog_probes} MB/s)")
     except Exception as e:  # noqa: BLE001
         log("progressive device-path measurement failed:", e)
 
@@ -374,7 +377,9 @@ def main() -> int:
 
         run_devpath()  # warm (compiles)
         best = float("inf")
+        devpath_probes = []
         for _ in range(3):
+            devpath_probes.append(round(h2d_probe(), 1))
             t0 = time.perf_counter()
             run_devpath()
             best = min(best, time.perf_counter() - t0)
@@ -599,10 +604,14 @@ def main() -> int:
             round(prog_mps, 1) if prog_mps else None),
         "progressive_device_path_mps": (
             round(prog_dev_mps, 1) if prog_dev_mps else None),
+        "progressive_pass_h2d_probes_mbps": (
+            prog_probes if prog_dev_mps else None),
         "device_path_mps": (
             round(dev_path_mps, 2) if dev_path_mps else None),
         "device_path_host_prep_ms": (
             round(dev_path_host_ms, 1) if dev_path_host_ms else None),
+        "device_path_h2d_probes_mbps": (
+            devpath_probes if dev_path_mps else None),
         "wire_bytes_per_px": round(wire_bpp, 3) if wire_bpp else None,
         "reference_mps": round(ref_mps, 1) if ref_mps else None,
         "wire": wire,

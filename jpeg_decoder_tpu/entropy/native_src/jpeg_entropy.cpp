@@ -2621,6 +2621,7 @@ int64_t jd_emit_prep(const uint8_t* data, int64_t data_len,
                      int32_t* out_starts,
                      int64_t* out_T_sym, int64_t* out_T_pair,
                      int32_t* out_L, int32_t n_threads) {
+  (void)data_len;  // per-segment lengths come from seg_offsets
   if (n_comps < 1 || n_comps > kMaxComps || n_segments < 1) return -1;
   const int64_t per_seg = restart_interval ? restart_interval : n_mcus;
   if (int64_t(n_segments) * per_seg < n_mcus) return -4;
